@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session defaults so Verify, Bench and the
+  * test suites run with identical semantics.
+  *
+  * - UTC session TZ: E1/E2-E7 extract-family correctness vs the oracle.
+  * - ANSI off: Redshift-permissive integer division / overflow (SURVEY §4.3).
+  * - nanosAsLong: the fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark
+  *   reads it as BIGINT nanos (mirrors the reference's BIGINT staging col).
+  * - AQE on: runtime re-plan (skew joins, dynamic coalescing) — the knob that
+  *   matters at the 100 TB target, harmless locally.
+  * - shuffle.partitions from cpus: local mode wants ~#threads, not 200; on a
+  *   real cluster this would scale with executors (AQE coalesces the rest).
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local dev mimic of the driver's correctness gate (NOT shipped library code).
+
+Runs DuckDB on oracle_sql.json against the fixture parquet and compares with
+the Spark results that graft.Verify dumped. Columns sorted by name; rows
+compared in produced order and as sorted multisets (reported separately).
+
+Usage: python3 tools/local_check.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            odf = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fail += 1
+            continue
+        try:
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            fail += 1
+            continue
+        ocols, scols = sorted(odf.column_names), sorted(sdf.column_names)
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ: oracle={ocols} spark={scols}")
+            fail += 1
+            continue
+        otypes = {c: str(odf.schema.field(c).type) for c in ocols}
+        stypes = {c: str(sdf.schema.field(c).type) for c in scols}
+        orows = [tuple(norm(v) for v in row)
+                 for row in zip(*[odf.column(c).to_pylist() for c in ocols])]
+        srows = [tuple(norm(v) for v in row)
+                 for row in zip(*[sdf.column(c).to_pylist() for c in scols])]
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
+            fail += 1
+            continue
+        if orows == srows:
+            note = "" if otypes == stypes else f"  [type diff: {({c: (otypes[c], stypes[c]) for c in ocols if otypes[c] != stypes[c]})}]"
+            print(f"OK   {name}: {len(orows)} rows{note}")
+            ok += 1
+        elif sorted(map(repr, orows)) == sorted(map(repr, srows)):
+            print(f"WARN {name}: rows equal as multiset but ORDER differs")
+            fail += 1
+        else:
+            diff = [(a, b) for a, b in zip(orows, srows) if a != b][:3]
+            print(f"FAIL {name}: value diff, first mismatches: {diff}")
+            fail += 1
+    print(f"== {ok} ok, {fail} fail")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
