@@ -1,0 +1,248 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators over `documents` / `embeddings` (BASELINE
+  * north-star "dedup"): exact, MinHash-LSH, n-gram Jaccard, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Design for the 100 TB case:
+  *  - Exact dedup is a fingerprint group-by — one shuffle on the md5 key.
+  *  - MinHash-LSH: per-doc signatures are computed with higher-order array
+  *    functions (narrow, codegen), then candidates come from a self-join on
+  *    (band, band-hash) — the classic band-bucket join. The join key space is
+  *    large (md5 of a quarter-signature), so the shuffle distributes well and
+  *    no pairwise O(n²) comparison ever happens.
+  *  - n-gram Jaccard runs on the inverted shingle index (explode → join on
+  *    shingle → count), again avoiding the quadratic cross product; hot
+  *    shingles could be salted at scale, and a `min(freq)` cap would drop
+  *    stop-shingles (not needed on the fixture vocabulary).
+  *  - SimHash reduces each doc to a 32-bit code; near-dup candidates come
+  *    from an upper-byte band join plus a Hamming-distance filter
+  *    (`bit_count(xor)`), never all-pairs.
+  *  - The MinHash function family is `md5(seed:shingle)` with *string* min:
+  *    lexicographic min of a uniform hash is a valid min-wise hash and is
+  *    bit-reproducible in any engine with md5 (the oracle requirement).
+  */
+object Dedup {
+
+  private val toks = "split(trim(text), ' +')"
+
+  /** Distinct word 3-gram shingles, one row per (doc_id, shingle).
+    *
+    * Row-form on purpose: posexplode + lead() keeps the whole pipeline in
+    * whole-stage codegen. The array-HOF formulation (transform/element_at/
+    * array_distinct) is interpreted and measured ~1.7 ms/doc — it dominated
+    * the dedup queries. The window shuffle partitions by doc_id, which is
+    * exactly how it distributes at scale. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(w))
+      .withColumn("w2", lead(col("w0"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sng"))
+      .distinct()
+  }
+
+  /** Expand each bucket's sorted doc list into its (a < b) pairs — the
+    * shared tail of every bucketed candidate generator. Buckets are small by
+    * construction (band hash / shingle key); at scale a bucket-size cap
+    * (drop super-frequent keys) bounds the quadratic expansion. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+
+  /** 32-bit token hash both engines can reproduce: first 8 md5 hex digits. */
+  private val sparkTokHash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+  private val duckTokHash  = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
+
+  /** Per-doc 32-bit SimHash: for each bit j, majority vote of distinct-token
+    * hash bits (+1/-1), ties resolve to 1 (`>= 0`). */
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(s"array_distinct($toks)").as("ts"))
+      .select(col("doc_id"), explode(col("ts")).as("t"))
+      .select(col("doc_id"), expr(sparkTokHash).as("h"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("IF((shiftright(h, j) & 1) = 1, 1, -1)")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("IF(s >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
+        .as("simhash"))
+
+  private val duckSimhash =
+    """sims AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j)
+      |                              ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, j,
+      |           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |    FROM (
+      |      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+      |      FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS t
+      |            FROM documents)),
+      |         (SELECT unnest(range(0, 32)) AS j)
+      |    GROUP BY doc_id, j)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Exact dedup: group by normalized-text fingerprint; keeper = min id. */
+    QueryDef(
+      "dd_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("fp"),
+      Some("""SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+             |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
+
+    /** MinHash-LSH candidate pairs: 16 md5-min hashes, 4 bands × 4 rows.
+      *
+      * Shaped as explode → partial-aggregated `min` per (doc, seed) → band
+      * keys from the grouped rows, NOT as nested array HOFs: the HOF form
+      * lets CollapseProject inline the 1280-md5 signature expression into
+      * every band-key reference (observed ~80× recompute), while this form
+      * computes each md5 once inside codegen and gets map-side combine on
+      * the min — the formulation that also scales out (the shuffle key is
+      * (doc, seed), perfectly distributed). */
+      QueryDef(
+      "dd_minhash_lsh",
+      (s, d) => {
+        val mh = shingleRows(s, d)
+          .withColumn("h", explode(expr("sequence(0, 15)")))
+          .select(col("doc_id"), col("h"),
+            expr("md5(concat(CAST(h AS STRING), ':', sng))").as("m"))
+          .groupBy(col("doc_id"), col("h")).agg(min(col("m")).as("mh"))
+        val bands = mh
+          .withColumn("b", expr("h div 4"))
+          .groupBy(col("doc_id"), col("b"))
+          .agg(expr("md5(concat_ws('|', " +
+            "min(CASE WHEN h % 4 = 0 THEN mh END), " +
+            "min(CASE WHEN h % 4 = 1 THEN mh END), " +
+            "min(CASE WHEN h % 4 = 2 THEN mh END), " +
+            "min(CASE WHEN h % 4 = 3 THEN mh END)))").as("bk"))
+        val buckets = bands.groupBy(col("b"), col("bk"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        bucketPairs(buckets).distinct().orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+             |sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
+             |          list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sg
+             |        FROM sh),
+             |bands AS (SELECT doc_id, b,
+             |            md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) AS bk
+             |          FROM sig, (SELECT unnest(range(0, 4)) AS b))
+             |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+             |FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** Exact n-gram Jaccard over the inverted shingle index; permille via
+      * integer division; threshold 200‰. */
+    QueryDef(
+      "dd_ngram_jaccard",
+      (s, d) => {
+        val sh = shingleRows(s, d)
+        val n  = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // inverted index keyed by xxhash64(shingle): an 8-byte shuffle key
+        // instead of a ~20-byte string (hash collisions are ~2^-64 per pair
+        // and would only perturb one intersection count); intersections come
+        // from per-key doc-list pair expansion — one pass, no self-join
+        val buckets = sh.select(xxhash64(col("sng")).as("sk"), col("doc_id"))
+          .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        val inter = bucketPairs(buckets)
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        inter.join(na, "doc_a").join(nb, "doc_b")
+          .withColumn("jaccard_permille", expr("(1000 * i) div (na + nb - i)"))
+          .filter(col("jaccard_permille") >= 200)
+          .select(col("doc_a"), col("doc_b"), col("jaccard_permille"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
+             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, (1000 * i) // (na.n + nb.n - i) AS jaccard_permille
+             |FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |WHERE (1000 * i) // (na.n + nb.n - i) >= 200
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** Per-doc 32-bit SimHash code. */
+    QueryDef(
+      "dd_simhash",
+      (s, d) => simhash(s, d).orderBy("doc_id"),
+      Some(s"""WITH $duckSimhash
+              |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
+
+    /** SimHash near-dup candidates: band on the top byte, Hamming ≤ 10. */
+    QueryDef(
+      "dd_simhash_pairs",
+      (s, d) => {
+        val sh = simhash(s, d)
+        val l = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+          .withColumn("band", expr("shiftright(sa, 24) & 255"))
+        val r = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+          .withColumn("band2", expr("shiftright(sb, 24) & 255"))
+        l.join(r, l("band") === r("band2") && l("doc_a") < r("doc_b"))
+          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INTEGER)"))
+          .filter(col("hamming") <= 10)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $duckSimhash
+              |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+              |       CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+              |FROM sims a JOIN sims c
+              |  ON (a.simhash >> 24) & 255 = (c.simhash >> 24) & 255
+              | AND a.doc_id < c.doc_id
+              | AND bit_count(xor(a.simhash, c.simhash)) <= 10
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** Embedding-cosine near-dup: same-label blocking, cosine ≥ 0.35.
+      * Dot/norm use the identical left-fold formula in both engines. */
+    QueryDef(
+      "dd_embed_cosine",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+        val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("label"))
+        val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("label").as("label2"))
+        l.join(r, l("label") === r("label2") && l("vec_a") < r("vec_b"))
+          .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+          .withColumn("na", expr("aggregate(transform(va, x -> x * x), 0D, (a, x) -> a + x)"))
+          .withColumn("nb", expr("aggregate(transform(vb, x -> x * x), 0D, (a, x) -> a + x)"))
+          .withColumn("cos6", expr("round(dot / sqrt(na * nb), 6)"))
+          .filter(col("cos6") >= 0.35)
+          .select(col("vec_a"), col("vec_b"), col("label"), col("cos6"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+             |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.label,
+             |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i])) AS dot,
+             |        list_sum(list_transform(a.v, x -> x * x)) AS na,
+             |        list_sum(list_transform(c.v, x -> x * x)) AS nb
+             |      FROM e a JOIN e c ON a.label = c.label AND a.vec_id < c.vec_id)
+             |SELECT vec_a, vec_b, label, round(dot / sqrt(na * nb), 6) AS cos6
+             |FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.35
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+  )
+}

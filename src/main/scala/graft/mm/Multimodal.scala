@@ -1,0 +1,93 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column plumbing: media payloads ride through the relational
+  * engine as opaque `binary` columns plus typed metadata; decode /
+  * feature-extract steps are partition-local batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[fakeDecode]]) — the Spark-side
+  * plumbing (binary schema, batched per-partition execution, struct results,
+  * partition-count preservation) is real and tested. Swapping the stub for a
+  * JNI/codec call changes no plan shape: it stays a narrow map over binary
+  * batches, which is exactly how it scales — decode cost parallelizes with
+  * partitions, no shuffle, and column pruning drops the heavy binary column
+  * for queries that only touch metadata.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata. */
+  final case class MediaMeta(width: Int, height: Int, format: String)
+
+  /** STUB decoder: deterministic fake metadata derived from the payload.
+    * A real implementation would parse the container header (JPEG SOF /
+    * WAV fmt / MP4 moov) here; same signature, same batch shape. */
+  def fakeDecode(payload: Array[Byte]): MediaMeta = {
+    val first = if (payload.nonEmpty) payload(0) & 0xff else 0
+    MediaMeta(64 + first % 64, 64 + payload.length % 64, "fake/rgb8")
+  }
+
+  /** Partition-local batched decode over a binary column — the Scala analog
+    * of a pandas-batch UDF: one iterator pass per partition, no shuffle. */
+  def decodePartitions(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = df.schema.fieldIndex(binCol)
+    val decoded = df.select(col("doc_id"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = fakeDecode(payload)
+          (id, m.width, m.height, m.format)
+        }
+      }
+      .toDF("doc_id", "width", "height", "format")
+    val _ = idx // schema validated above
+    decoded
+  }
+
+  private val decodeUdf =
+    udf((payload: Array[Byte]) => fakeDecode(payload))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Binary-column metadata without decoding: byte length + content hash.
+      * (Payload here is the utf8 text — stands in for image bytes.) */
+    QueryDef(
+      "mm_binary_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |       md5(text) AS payload_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /** Decode-stub over the binary payload; the oracle mirrors the stub's
+      * arithmetic (first byte = ascii of first char for this utf8 payload). */
+    QueryDef(
+      "mm_decode_stub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("m", decodeUdf(col("payload")))
+        .select(
+          col("doc_id"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.format").as("format"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+             |       CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height,
+             |       'fake/rgb8' AS format
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

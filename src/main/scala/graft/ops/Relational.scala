@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Per-operator micro-queries: one `queries` entry per inventory row of
+  * SURVEY.md §2, plus the relational breadth (join types, aggregation
+  * grouping variants, windows, set ops, subqueries) a user of the engine
+  * needs beyond strict reference parity.
+  *
+  * Determinism rules shared with every oracle (SURVEY.md §7 risk list):
+  * explicit ORDER BY on a non-null key prefix; money sums carried as
+  * DECIMAL(18,2) (exact, order-independent) or integer cents; averages as
+  * integer micro-units via integer division; never raw double accumulation
+  * in a compared column.
+  *
+  * Scale notes: dimension sides of joins are `broadcast()` (at 100 TB the
+  * fact side streams with no shuffle); aggregations rely on Spark's
+  * partial/final hash aggregate (map-side combine); window functions
+  * partition by high-cardinality keys so no single partition explodes.
+  */
+object Relational {
+  private val Dec9 = DecimalType(9, 0)
+
+  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- S1/S2 scans -----------------------------------------------------
+    QueryDef(
+      "s1_scan_events",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("ts div 1000000").as("ms"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) AS ms, user_id, event_type, value, props
+             |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef(
+      "s2_scan_part",
+      (s, d) => Tables.part(s, d).orderBy("p_partkey"),
+      Some("SELECT * FROM part ORDER BY p_partkey")),
+
+    // ---- P1-P3 projection / filter / cast --------------------------------
+    QueryDef(
+      "p1_project_alias",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id").as("eid"), col("user_id").as("uid"),
+          col("event_type").as("etype"))
+        .orderBy("eid"),
+      Some("""SELECT event_id AS eid, user_id AS uid, event_type AS etype
+             |FROM events ORDER BY eid""".stripMargin)),
+    QueryDef(
+      "p2_filter_literal",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value FROM events
+             |WHERE event_type = 'view' ORDER BY event_id""".stripMargin)),
+    QueryDef(
+      "p3_cast",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id").cast(StringType).as("user_id_str"),
+          col("value").cast(Dec9).as("value_dec"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS user_id_str,
+             |       CAST(value AS DECIMAL(9,0)) AS value_dec
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- E1 scalar expression --------------------------------------------
+    QueryDef(
+      "e1_epoch_seconds",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          expr("ts div 1000000").as("ms"),
+          expr("(ts div 1000000) div 1000").as("sec"),
+          timestamp_seconds(expr("(ts div 1000000) div 1000")).as("start_time"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) AS ms, epoch_ms(ts) // 1000 AS sec,
+             |       make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS start_time
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- Join family -----------------------------------------------------
+    QueryDef(
+      "jn_inner_broadcast",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+          .select(o("o_orderkey"), c("c_custkey"), c("c_mktsegment"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, c_custkey, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef(
+      "jn_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(o("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+    QueryDef(
+      "jn_semi",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select(col("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |ORDER BY c_custkey""".stripMargin)),
+    QueryDef(
+      "jn_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer WHERE NOT EXISTS (
+             |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+             |ORDER BY c_custkey""".stripMargin)),
+    QueryDef(
+      "jn_full_outer",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val sup = Tables.supplier(s, d)
+        n.join(sup, n("n_nationkey") === sup("s_nationkey"), "full_outer")
+          .select(
+            coalesce(n("n_nationkey"), sup("s_nationkey")).as("nk"),
+            n("n_name"), sup("s_suppkey"))
+          .orderBy(col("nk").asc, col("s_suppkey").asc_nulls_first)
+      },
+      Some("""SELECT COALESCE(n_nationkey, s_nationkey) AS nk, n_name, s_suppkey
+             |FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+             |ORDER BY nk ASC, s_suppkey ASC NULLS FIRST""".stripMargin)),
+    QueryDef(
+      "jn_cross",
+      (s, d) => {
+        val r = Tables.region(s, d)
+        val n = Tables.nation(s, d).filter(col("n_nationkey") < 5)
+          .select("n_nationkey")
+        r.crossJoin(n).select(col("r_regionkey"), col("n_nationkey"))
+          .orderBy("r_regionkey", "n_nationkey")
+      },
+      Some("""SELECT r_regionkey, n_nationkey
+             |FROM region CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+
+    // ---- Aggregation family ----------------------------------------------
+    QueryDef(
+      "agg_groupby",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("CAST(sum(l_quantity) AS BIGINT)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
+            .as("sum_base"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty_micro", expr("(sum_qty * 1000000) div n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+             |       COUNT(*) AS n,
+             |       (CAST(SUM(l_quantity) AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef(
+      "agg_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) >= 15
+             |ORDER BY o_custkey""".stripMargin)),
+    QueryDef(
+      "agg_count_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+    QueryDef(
+      "agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
+            .as("sum_base"))
+        .select(
+          coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
+          coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+          col("n"), col("sum_base"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT COALESCE(l_returnflag, '_all_') AS rf,
+             |       COALESCE(l_linestatus, '_all_') AS ls,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+    QueryDef(
+      "agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("_all_")).as("st"),
+          coalesce(col("o_orderpriority"), lit("_all_")).as("pri"),
+          col("n"))
+        .orderBy("st", "pri"),
+      Some("""SELECT COALESCE(o_orderstatus, '_all_') AS st,
+             |       COALESCE(o_orderpriority, '_all_') AS pri, COUNT(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY st, pri""".stripMargin)),
+
+    // ---- Window family ---------------------------------------------------
+    QueryDef(
+      "w_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders) WHERE rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin)),
+    QueryDef(
+      "w_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("cents", cents("o_totalprice"))
+          .withColumn("running_cents", sum(col("cents")).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("running_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             |            OVER (PARTITION BY o_custkey
+             |                  ORDER BY o_orderdate ASC, o_orderkey ASC
+             |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    QueryDef(
+      "w_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("prev_cents", lag(cents("o_totalprice"), 1).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("prev_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       lag(CAST(round(o_totalprice * 100) AS BIGINT), 1)
+             |         OVER (PARTITION BY o_custkey
+             |               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_cents
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ---- Sort / limit ----------------------------------------------------
+    QueryDef(
+      "sort_limit_topk",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- Set operations --------------------------------------------------
+    QueryDef(
+      "set_union_all",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), lit("c").as("src"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("k"), lit("s").as("src"))
+        c.unionAll(sup).orderBy("k", "src")
+      },
+      Some("""SELECT c_custkey AS k, 'c' AS src FROM customer
+             |UNION ALL SELECT s_suppkey AS k, 's' AS src FROM supplier
+             |ORDER BY k, src""".stripMargin)),
+    QueryDef(
+      "set_intersect",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT SELECT s_nationkey AS nk FROM supplier
+             |ORDER BY nk""".stripMargin)),
+    QueryDef(
+      "set_except",
+      (s, d) => Tables.part(s, d).select(col("p_partkey").as("k"))
+        .except(Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT p_partkey AS k FROM part
+             |EXCEPT SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 45
+             |ORDER BY k""".stripMargin)),
+
+    // ---- Scalar functions: strings, CASE, COALESCE, JSON -----------------
+    QueryDef(
+      "str_funcs",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_name").like("%1%"))
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 9).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          when(col("c_acctbal") < 0, "neg").otherwise("pos").as("sign_flag"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("-")).as("seg"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, UPPER(c_name) AS uname, substr(c_name, 1, 9) AS prefix,
+             |       CAST(length(c_name) AS INTEGER) AS name_len,
+             |       CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_flag,
+             |       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg
+             |FROM customer WHERE c_name LIKE '%1%'
+             |ORDER BY c_custkey""".stripMargin)),
+    QueryDef(
+      "json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+             |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- Subqueries ------------------------------------------------------
+    QueryDef(
+      "sub_scalar",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val m = o.agg(max(col("o_totalprice")).as("mx"))
+        o.crossJoin(broadcast(m))
+          .filter(col("o_totalprice") > col("mx") * 0.98)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.98
+             |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef(
+      "sub_in",
+      (s, d) => {
+        val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        val o = Tables.orders(s, d)
+        o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+             |ORDER BY o_orderkey""".stripMargin)),
+  )
+}

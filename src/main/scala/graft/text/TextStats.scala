@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * per-language profiles, quality scoring, heuristic language ID, and
+  * document fingerprinting (BASELINE north-star "text analysis").
+  *
+  * Everything is built from codegen'd `functions._` / higher-order array
+  * functions — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and scales linearly with document count (narrow, no shuffle
+  * except the declared group-bys).
+  *
+  * Ratios are carried as integer permille/percent via integer division so
+  * the DuckDB oracle is bit-exact (no double accumulation).
+  */
+object TextStats {
+
+  /** Whitespace tokenizer shared by every query (and the BPE-ish token
+    * estimate): split on runs of spaces after trim. */
+  private val toks = "split(trim(text), ' +')"
+
+  private val stopList = "('the', 'a', 'of', 'and', 'to')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "tx_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr(s"size($toks)").as("n_tokens"),
+          expr("CAST(length(replace(text, ' ', '')) AS INTEGER)").as("n_chars_nospace"),
+          // BPE-ish estimate: alnum runs + residual punctuation, ~chars/4 floor
+          expr(s"CAST(size($toks) + length(replace(text, ' ', '')) div 16 AS INTEGER)")
+            .as("n_tokens_bpe_est"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
+              |       CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_chars_nospace,
+              |       CAST(len(string_split_regex(trim(text), ' +'))
+              |            + length(replace(text, ' ', '')) // 16 AS INTEGER) AS n_tokens_bpe_est
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "tx_lang_profile",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .withColumn("avg_chars_micro", expr("(sum_chars * 1000000) div n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |       COUNT(DISTINCT source) AS n_sources,
+             |       (CAST(SUM(n_chars) AS BIGINT) * 1000000) // COUNT(*) AS avg_chars_micro
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "tx_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr(s"size($toks)").as("n_tokens"),
+          expr(s"size(filter($toks, t -> t IN $stopList))").as("n_stop"))
+        .withColumn("pct_stop", expr("(100 * n_stop) div n_tokens"))
+        .withColumn("quality_ok",
+          expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |       CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
+              |       CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+              |                            t -> t IN $stopList)) AS INTEGER) AS n_stop,
+              |       (100 * len(list_filter(string_split_regex(trim(text), ' +'),
+              |                              t -> t IN $stopList)))
+              |         // len(string_split_regex(trim(text), ' +')) AS pct_stop,
+              |       (len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000)
+              |         AND ((100 * len(list_filter(string_split_regex(trim(text), ' +'),
+              |                                     t -> t IN $stopList)))
+              |              // len(string_split_regex(trim(text), ' +')) < 40) AS quality_ok
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /** Heuristic n-gram language ID: score the token stream against small
+      * per-language marker vocabularies, argmax with a fixed precedence on
+      * ties. (Real trigram profiles would be loaded as a broadcast dim; the
+      * fixture vocabulary is synthetic so markers are illustrative.) */
+    QueryDef(
+      "tx_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          expr(s"size(filter($toks, t -> t IN ('the', 'a', 'and', 'fast', 'slow')))").as("s_en"),
+          expr(s"size(filter($toks, t -> t IN ('data', 'row', 'table', 'batch')))").as("s_de"),
+          expr(s"size(filter($toks, t -> t IN ('query', 'filter', 'merge', 'sort')))").as("s_fr"))
+        .withColumn("pred_lang",
+          expr("CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+            "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"))
+        .orderBy("doc_id"),
+      Some("""WITH sc AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             |         t -> t IN ('the', 'a', 'and', 'fast', 'slow'))) AS INTEGER) AS s_en,
+             |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             |         t -> t IN ('data', 'row', 'table', 'batch'))) AS INTEGER) AS s_de,
+             |    CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+             |         t -> t IN ('query', 'filter', 'merge', 'sort'))) AS INTEGER) AS s_fr
+             |  FROM documents)
+             |SELECT doc_id, lang, s_en, s_de, s_fr,
+             |       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+      * — the exact-dedup key (see graft.dedup.Dedup). */
+    QueryDef(
+      "tx_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

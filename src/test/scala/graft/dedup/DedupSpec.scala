@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def run(name: String) =
+    Dedup.defs.find(_.name == name).get.fn(spark, sf)
+
+  test("dd_exact: one group per distinct normalized text, keeper is min id") {
+    val g = run("dd_exact")
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(g.agg(sum("n_docs")).head.getLong(0) == docs)
+    assert(g.filter(col("keeper") < 0).count() == 0)
+  }
+
+  test("MinHash-LSH candidates recall the high-Jaccard pairs") {
+    val lsh = run("dd_minhash_lsh").select("doc_a", "doc_b")
+    val jac = run("dd_ngram_jaccard").filter(col("jaccard_permille") >= 500)
+      .select("doc_a", "doc_b")
+    // every ≥0.5-Jaccard pair must be an LSH candidate (4x4 bands: prob miss ~0)
+    val missed = jac.except(lsh).count()
+    assert(missed == 0, s"$missed high-jaccard pairs missed by LSH")
+    assert(jac.count() > 0, "fixture should contain planted near-dups")
+  }
+
+  test("SimHash: deterministic and near-dups have small Hamming distance") {
+    val s1 = run("dd_simhash").collect().toSeq
+    val s2 = run("dd_simhash").collect().toSeq
+    assert(s1 == s2)
+    // every code fits in 32 bits
+    assert(s1.forall(r => { val v = r.getLong(1); v >= 0 && v <= 0xffffffffL }))
+  }
+
+  test("embedding near-dup pairs stay within the same label block") {
+    val p = run("dd_embed_cosine")
+    assert(p.count() > 0)
+    assert(p.filter(col("cos6") < 0.35).count() == 0)
+  }
+}
