@@ -222,15 +222,13 @@ object Dedup {
     QueryDef(
       "dd_embed_cosine",
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
         val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("label"))
         val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("label").as("label2"))
         l.join(r, l("label") === r("label2") && l("vec_a") < r("vec_b"))
-          .withColumn("dot", expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
-          .withColumn("na", expr("aggregate(transform(va, x -> x * x), 0D, (a, x) -> a + x)"))
-          .withColumn("nb", expr("aggregate(transform(vb, x -> x * x), 0D, (a, x) -> a + x)"))
-          .withColumn("cos6", expr("round(dot / sqrt(na * nb), 6)"))
+          .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
           .filter(col("cos6") >= 0.35)
           .select(col("vec_a"), col("vec_b"), col("label"), col("cos6"))
           .orderBy("vec_a", "vec_b")

@@ -21,14 +21,15 @@ import graft.{QueryDef, Tables}
   */
 object Similarity {
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+  }
 
-  private val cosExpr =
-    "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x) / " +
-      "sqrt(aggregate(transform(va, x -> x * x), 0D, (a, x) -> a + x) * " +
-      "aggregate(transform(vb, x -> x * x), 0D, (a, x) -> a + x)), 6)"
+  /** Codegen'd native expression (graft.functions.CosineSim); bit-identical
+    * to the left-fold HOF formula and the DuckDB oracle's list_sum. */
+  private val cosExpr = "round(cosine_sim(va, vb), 6)"
 
   private val duckCos =
     "round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / " +
