@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.etl.{StarEtl, StarQueries}
 import graft.mm.Multimodal
-import graft.ops.Relational
+import graft.ops.{Analytics, Relational}
 import graft.sim.Similarity
 import graft.streaming.EventsStream
 import graft.text.TextStats
@@ -20,8 +20,8 @@ import graft.text.TextStats
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    StarQueries.defs ++ Relational.defs ++ TextStats.defs ++ Dedup.defs ++
-      Similarity.defs ++ Multimodal.defs ++ EventsStream.defs
+    StarQueries.defs ++ Relational.defs ++ Analytics.defs ++ TextStats.defs ++
+      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++ EventsStream.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

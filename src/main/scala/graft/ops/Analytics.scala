@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Analytics breadth beyond the §2 micro-inventory: pivot, grouping sets,
+  * percentiles, date arithmetic, lateral explode, union-by-name, range
+  * frames, navigation windows, array aggregation, approximate distinct, and
+  * a multi-join SQL demo — the surface an analytics user of the engine
+  * reaches for next.
+  */
+object Analytics {
+
+  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "an_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+             |       COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+             |       COUNT(*) FILTER (o_orderstatus = 'P') AS P
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      "an_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT COALESCE(l_returnflag, '_all_') AS rf,
+                |       COALESCE(l_linestatus, '_all_') AS ls,
+                |       CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+                |       COUNT(*) AS n
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                |                        (l_returnflag, l_linestatus))
+                |ORDER BY rf, ls, gid""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, '_all_') AS rf,
+             |       COALESCE(l_linestatus, '_all_') AS ls,
+             |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+             |       COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+             |                        (l_returnflag, l_linestatus))
+             |ORDER BY rf, ls, gid""".stripMargin)),
+
+    QueryDef(
+      "an_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_extendedprice, 0.5), 4)").as("p50"),
+          expr("round(percentile(l_extendedprice, 0.9), 4)").as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "an_date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+          datediff(to_date(lit("1996-01-01")), col("o_orderdate").cast("date")).as("days_to_96"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       CAST(year(o_orderdate) AS INTEGER) AS y,
+             |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INTEGER) AS days_to_96
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "an_explode_tokens",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+        .orderBy("p_partkey", "tok"),
+      Some("""SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+             |FROM part WHERE p_partkey <= 200
+             |ORDER BY p_partkey, tok""".stripMargin)),
+
+    QueryDef(
+      "an_union_by_name",
+      (s, d) => {
+        val a = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").as("bal"))
+        val b = Tables.supplier(s, d)
+          .select(col("s_name").as("name"), col("s_suppkey").as("id"))
+        a.unionByName(b.withColumn("bal", lit(null).cast("double")), allowMissingColumns = true)
+          .orderBy(col("id").asc, col("name").asc, col("bal").asc_nulls_first)
+      },
+      Some("""SELECT id, name, bal FROM (
+             |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+             |  UNION ALL BY NAME
+             |  SELECT s_name AS name, s_suppkey AS id, NULL::DOUBLE AS bal FROM supplier)
+             |ORDER BY id ASC, name ASC, bal ASC NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "an_window_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("cents"))
+          .rangeBetween(-1000000L, 0L)
+        Tables.orders(s, d)
+          .withColumn("cents", cents("o_totalprice"))
+          .withColumn("n_within_10k", count(lit(1)).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("cents"), col("n_within_10k"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, cents,
+             |       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY cents
+             |            RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |         AS n_within_10k
+             |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "an_window_nav",
+      (s, d) => {
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("cents").asc, col("o_orderkey").asc)
+        val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .withColumn("cents", cents("o_totalprice"))
+          .withColumn("drank", dense_rank().over(order))
+          .withColumn("ntile4", ntile(4).over(order))
+          .withColumn("cheapest", first(col("o_orderkey")).over(full))
+          .withColumn("dearest", last(col("o_orderkey")).over(full))
+          .select(col("o_custkey"), col("o_orderkey"), col("drank"), col("ntile4"),
+            col("cheapest"), col("dearest"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
+             |       CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
+             |       first_value(o_orderkey) OVER wf AS cheapest,
+             |       last_value(o_orderkey) OVER wf AS dearest
+             |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents ASC, o_orderkey ASC),
+             |       wf AS (PARTITION BY o_custkey ORDER BY cents ASC, o_orderkey ASC
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    QueryDef(
+      "an_array_agg",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_custkey") <= 50)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+             |FROM orders WHERE o_custkey <= 50
+             |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Approximate distinct (HLL) — estimator-specific, so rows-only check.
+    QueryDef(
+      "an_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    QueryDef(
+      "an_regex_extract",
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    /** Multi-join analytic through the SQL surface (join-reorder +
+      * broadcast-hint showcase; Catalyst plans the dim chain as broadcasts). */
+    QueryDef(
+      "an_sql_revenue",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("li_sql")
+        Tables.orders(s, d).createOrReplaceTempView("o_sql")
+        Tables.customer(s, d).createOrReplaceTempView("c_sql")
+        Tables.nation(s, d).createOrReplaceTempView("n_sql")
+        Tables.region(s, d).createOrReplaceTempView("r_sql")
+        s.sql("""SELECT /*+ BROADCAST(c_sql), BROADCAST(n_sql), BROADCAST(r_sql) */
+                |       r_name,
+                |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                |         AS revenue,
+                |       COUNT(DISTINCT o_orderkey) AS n_orders
+                |FROM li_sql
+                |JOIN o_sql ON l_orderkey = o_orderkey
+                |JOIN c_sql ON o_custkey = c_custkey
+                |JOIN n_sql ON c_nationkey = n_nationkey
+                |JOIN r_sql ON n_regionkey = r_regionkey
+                |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      },
+      Some("""SELECT r_name,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             |       COUNT(DISTINCT o_orderkey) AS n_orders
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+  )
+}

@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Physical-layout helpers mirroring the reference's table hints
+  * (SURVEY.md §4.2; /root/reference/sql_queries.py:40-117):
+  *
+  *  - DISTKEY / diststyle key  → `repartition(col)`: co-locates rows by key
+  *    so downstream joins/aggs on that key avoid a shuffle.
+  *  - SORTKEY                  → `sortWithinPartitions(col)`: parquet
+  *    row-group min/max stats then give the zone-map range pruning Redshift
+  *    gets from sorted blocks.
+  *  - diststyle all            → `broadcast(df)` at join time (no storage
+  *    action needed; see the broadcast() hints across graft.ops).
+  *
+  * At 100 TB the same two knobs become table layout policy: partition count
+  * scales with cluster cores, and bucketed tables (`writeBucketed`) make
+  * repeated equi-joins on the bucket key exchange-free on both sides.
+  */
+object Layout {
+
+  /** Apply distkey/sortkey layout to a DataFrame before writing. */
+  def layout(df: DataFrame, distKey: Option[String], sortKey: Option[String],
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dist = distKey match {
+      case Some(k) if partitions > 0 => df.repartition(partitions, col(k))
+      case Some(k)                   => df.repartition(col(k))
+      case None                      => df
+    }
+    sortKey.fold(dist)(k => dist.sortWithinPartitions(k))
+  }
+
+  /** S4 table sink: idempotent overwrite parquet write (the reference's
+    * drop-create-insert cycle collapses to mode=overwrite). */
+  def writeParquet(df: DataFrame, path: String,
+      distKey: Option[String] = None, sortKey: Option[String] = None): Unit =
+    layout(df, distKey, sortKey).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed catalog table: both sides of a repeated join on `bucketCol`
+    * read pre-shuffled. Requires a warehouse-backed catalog (saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
+}

@@ -23,6 +23,17 @@ import graft.QueryDef
   */
 object EventsStream {
 
+  /** Event projection used by the stateful sessionizer. */
+  final case class Ev(user_id: Long, event_id: Long, ms: Long, cents: Long)
+
+  /** Open-session state: carries the last-event time so the gap test works
+    * across micro-batch boundaries. */
+  final case class Open(start: Long, n: Long, cents: Long, lastMs: Long)
+
+  /** Emitted session row. */
+  final case class Sess(user_id: Long, session_start_ms: Long, n_events: Long,
+      sum_cents: Long)
+
   /** Streaming-source schema: matches the fixture parquet read with
     * nanosAsLong (ts = BIGINT nanoseconds). */
   val eventsSchema: StructType = StructType(Seq(
@@ -69,7 +80,93 @@ object EventsStream {
     spark.table(queryName).orderBy("hour_ts", "event_type")
   }
 
+  /** Session gap: a new session starts after 60 minutes of user inactivity. */
+  val SessionGapMs = 3600000L
+
+  /** Batch sessionization — gaps-and-islands with window functions: flag
+    * session starts via lag(), number sessions via a running sum, aggregate
+    * per (user, session). One shuffle on user_id; the window and the final
+    * group-by share that partitioning. */
+  def sessionizeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > SessionGapMs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ms")).as("session_start_ms"), count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"), col("session_start_ms"), col("n_events"), col("sum_cents"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user state
+    * carries the open session across micro-batches; closed sessions are
+    * emitted as soon as a gap-exceeding event (or batch end w/ AvailableNow)
+    * proves them complete. State is O(1) per user — the 100 TB-scale shape
+    * for this computation (the batch window variant needs the full history
+    * resident; this needs one open session per key). */
+  def runSessionizeStream(spark: SparkSession, eventsDir: String,
+      queryName: String = "sessions_stream"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val events = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[Ev]
+    def fn(user: Long, it: Iterator[Ev], state: GroupState[Open]): Iterator[Sess] = {
+      val evs = it.toSeq.sortBy(e => (e.ms, e.event_id))
+      var open = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+      evs.foreach { e =>
+        open = open match {
+          case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
+            Some(s.copy(n = s.n + 1, cents = s.cents + e.cents, lastMs = e.ms))
+          case Some(s) =>
+            out += Sess(user, s.start, s.n, s.cents)
+            Some(Open(e.ms, 1, e.cents, e.ms))
+          case None =>
+            Some(Open(e.ms, 1, e.cents, e.ms))
+        }
+      }
+      open.foreach { s => state.update(s); out += Sess(user, s.start, s.n, s.cents) }
+      out.iterator
+    }
+    val q = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("user_id", "session_start_ms")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "st_sessionize",
+      (s, d) => sessionizeBatch(s, d),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             |         CAST(round(value * 100) AS BIGINT) AS cents,
+             |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+             |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
+             |  FROM events),
+             |b AS (
+             |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 3600000
+             |                 THEN 1 ELSE 0 END AS brk FROM g),
+             |sessions AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+             |  FROM b)
+             |SELECT user_id, MIN(ms) AS session_start_ms, COUNT(*) AS n_events,
+             |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM sessions GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_start_ms""".stripMargin)),
     QueryDef(
       "st_hourly_counts",
       (s, d) => hourlyCountsBatch(s, d),

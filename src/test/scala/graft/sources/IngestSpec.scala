@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmpJson(name: String, lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("ingest").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    s"$dir/$name"
+  }
+
+  test("S1 events load: schema mapping, DECIMAL(9,0) rounding, NOT NULL validation") {
+    // shapes mirror the Sparkify log JSON the reference COPYs (jsonpaths S1)
+    val path = tmpJson("events.json", Seq(
+      """{"event_id":1,"artist":"A","page":"NextSong","registration":1540919166796,"sessionId":139,"song":"S","length":277.15873,"ts":1541105830796,"userId":10,"level":"free"}""",
+      """{"event_id":2,"artist":null,"page":"Home","sessionId":140,"ts":1541106106796,"userId":10}""",
+      """{"event_id":3,"artist":"B","page":"NextSong","sessionId":null,"ts":1541106352796,"userId":26}"""))
+    val df = Ingest.readEventsJson(spark, path)
+    // row 3 dropped: sessionId NOT NULL (sql_queries.py:40)
+    assert(df.count() == 2)
+    // 277.15873 rounds HALF_UP to 277 at load (DECIMAL(9,0) quirk)
+    val len = df.filter(col("event_id") === 1).select("length").head.getDecimal(0)
+    assert(len.intValue == 277)
+    // registration: numeric JSON value stringified (VARCHAR staging col)
+    val reg = df.filter(col("event_id") === 1).select("registration").head.getString(0)
+    assert(reg == "1540919166796")
+  }
+
+  test("S2 songs load: 'auto' name matching + DECIMAL load-casts") {
+    val path = tmpJson("songs.json", Seq(
+      """{"num_songs":1,"artist_id":"AR1","artist_latitude":35.64957,"artist_longitude":-120.6998,"artist_name":"N","song_id":"SO1","title":"T","duration":218.93179,"year":2004}""",
+      """{"num_songs":1,"artist_id":"AR2","artist_name":"M","song_id":"SO2","title":"U","duration":150.5,"year":0}"""))
+    val df = Ingest.readSongsJson(spark, path)
+    assert(df.count() == 2)
+    val r1 = df.filter(col("song_id") === "SO1")
+      .select("duration", "artist_latitude", "artist_longitude").head
+    assert(r1.getDecimal(0).intValue == 219)  // 218.93179 → 219
+    assert(r1.getDecimal(1).intValue == 36)   // 35.64957 → 36
+    assert(r1.getDecimal(2).intValue == -121) // -120.6998 → -121 (half away from zero)
+    // missing fields are null ('auto' matching)
+    assert(df.filter(col("song_id") === "SO2").select("artist_latitude").head.isNullAt(0))
+  }
+
+  test("Layout: distkey repartition + sortkey sortWithinPartitions hold per partition") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sf)
+    val out = Layout.layout(li, Some("l_orderkey"), Some("l_shipdate"), partitions = 4)
+    assert(out.rdd.getNumPartitions == 4)
+    // each partition is sorted by the sortkey (ISO string order = time order)
+    val unsorted = out.select(col("l_shipdate").cast("string")).rdd.mapPartitions { it =>
+      val ts = it.map(_.getString(0)).toSeq
+      Iterator.single(ts.zip(ts.drop(1)).count { case (a, b) => a > b })
+    }.collect().sum
+    assert(unsorted == 0)
+  }
+}
