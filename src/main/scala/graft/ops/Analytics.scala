@@ -189,6 +189,23 @@ object Analytics {
       Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    /** Salted two-phase aggregation (graft.ops.Skew): identical result to
+      * the plain group-by — the oracle IS the plain group-by — but hot keys
+      * spread over 32 reducers in phase one. */
+    QueryDef(
+      "an_salted_agg",
+      (s, d) => Skew.saltedSumCount(
+          Tables.lineitem(s, d).withColumn("cents", cents("l_extendedprice")),
+          key = "l_returnflag", saltSource = "l_orderkey",
+          valueCol = col("cents"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS sum_value,
+             |       COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     /** Multi-join analytic through the SQL surface (join-reorder +
       * broadcast-hint showcase; Catalyst plans the dim chain as broadcasts). */
     QueryDef(

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers.
+  *
+  * A groupBy on a low-cardinality or hot-keyed column concentrates whole key
+  * groups on single reducers; at 100 TB one hot key stalls the stage. The
+  * standard fix for algebraic aggregates is salting: aggregate on
+  * (key, salt) first — distributing each hot key over `buckets` reducers —
+  * then re-aggregate the partials on the bare key. Results are identical
+  * because sum/count/min/max are associative; the second shuffle moves only
+  * `keys × buckets` partial rows.
+  *
+  * (AQE's skew-join splitting covers the join case; this covers hot-key
+  * aggregation, which AQE does not re-salt.)
+  */
+object Skew {
+
+  /** Deterministic salt derived from a high-cardinality column. */
+  def saltFrom(c: Column, buckets: Int): Column = pmod(xxhash64(c), lit(buckets))
+
+  /** Two-phase salted sum/count: exact same result as
+    * `df.groupBy(key).agg(sum(valueCol), count(*))`. */
+  def saltedSumCount(df: DataFrame, key: String, saltSource: String,
+      valueCol: Column, buckets: Int = 32): DataFrame =
+    df.withColumn("_salt", saltFrom(col(saltSource), buckets))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+}

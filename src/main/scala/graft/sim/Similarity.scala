@@ -95,6 +95,42 @@ object Similarity {
               |  WHERE c.vec_id <> q.vec_id)
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    /** Top-k via the bounded typed Aggregator (graft.functions.TopK): same
+      * result as the window formulation (same oracle), but partial buffers
+      * cap the shuffle at O(queries × k) — the formulation that survives
+      * millions of candidates per query. */
+    QueryDef(
+      "sim_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("v").as("va"))
+        val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("q_id"))
+          .withColumn("cos6", expr(cosExpr))
+          .select(col("q_id"), col("cand_id"), col("cos6"))
+          .as[(Long, Long, Double)]
+        scored.groupByKey(_._1)
+          .mapValues(t => graft.functions.TopK.Scored(t._2, t._3))
+          .agg(graft.functions.TopK.topK(5).toColumn)
+          .flatMap { case (qid, entries) =>
+            entries.zipWithIndex.map { case (en, i) => (qid, en.id, en.score, i + 1) }
+          }
+          .toDF("q_id", "cand_id", "cos6", "rank")
+          .withColumn("rank", col("rank").cast("int"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
+              |         row_number() OVER (PARTITION BY q.vec_id
+              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+              |        FROM embeddings WHERE vec_id < 8) q,
+              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+              |  WHERE c.vec_id <> q.vec_id)
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     /** IVF cell assignment for every vector. */
     QueryDef(
       "sim_ivf_assign",

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TopK.{Buf, Scored}
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("aggregator top-k equals window row_number top-k on the fixture") {
+    val byAgg = graft.sim.Similarity.defs.find(_.name == "sim_topk_agg").get
+      .fn(spark, sf).collect().toSeq
+    val byWindow = graft.sim.Similarity.defs.find(_.name == "sim_topk_brute").get
+      .fn(spark, sf).collect().toSeq
+    assert(byAgg == byWindow)
+    assert(byAgg.nonEmpty)
+  }
+
+  test("buffer keeps at most k entries, ordered by (score desc, id asc)") {
+    val agg = TopK.topK(3)
+    val b = Seq(Scored(1, 0.5), Scored(2, 0.9), Scored(3, 0.5), Scored(4, 0.1),
+      Scored(5, 0.9)).foldLeft(agg.zero)(agg.reduce)
+    assert(b.entries == Seq(Scored(2, 0.9), Scored(5, 0.9), Scored(1, 0.5)))
+    // merge respects the same bound and order
+    val m = agg.merge(b, Buf(Vector(Scored(6, 0.7), Scored(7, 0.05))))
+    assert(m.entries == Seq(Scored(2, 0.9), Scored(5, 0.9), Scored(6, 0.7)))
+  }
+}
