@@ -62,23 +62,18 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
 
-  /** 32-bit token hash both engines can reproduce: first 8 md5 hex digits. */
-  private val sparkTokHash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
-  private val duckTokHash  = "CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)"
-
   /** Per-doc 32-bit SimHash: for each bit j, majority vote of distinct-token
-    * hash bits (+1/-1), ties resolve to 1 (`>= 0`). */
-  private def simhash(s: SparkSession, d: String): DataFrame =
+    * hash bits (+1/-1), ties resolve to 1 (`>= 0`). One narrow pass via the
+    * native simhash32 expression (graft.functions.SimHash32) — the exploded
+    * tokens×32-bits formulation costs two wide shuffles and is kept only as
+    * the DuckDB oracle. Registration comes from GraftExtensions (Sessions);
+    * the explicit register() covers foreign sessions. */
+  private def simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), expr(s"array_distinct($toks)").as("ts"))
-      .select(col("doc_id"), explode(col("ts")).as("t"))
-      .select(col("doc_id"), expr(sparkTokHash).as("h"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("IF((shiftright(h, j) & 1) = 1, 1, -1)")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("IF(s >= 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))"))
-        .as("simhash"))
+      .select(col("doc_id"),
+        expr(s"simhash32(array_distinct($toks))").as("simhash"))
+  }
 
   private val duckSimhash =
     """sims AS (

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("simhash32 resolves via GraftExtensions (no manual registration)") {
+    // TestSpark's session is built by Sessions → extensions injected the fn
+    import spark.implicits._
+    val v = Seq("a b c").toDF("text")
+      .select(expr("simhash32(split(text, ' '))").as("h"))
+      .head.getLong(0)
+    assert(v >= 0 && v <= 0xffffffffL)
+  }
+
+  test("native simhash32 equals the exploded bit-vote SQL formulation") {
+    val docs = graft.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_sh")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  CAST(SUM(IF(s >= 0, shiftleft(CAST(1 AS BIGINT), j), 0L)) AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id, j, SUM(IF((shiftright(h, j) & 1) = 1, 1, -1)) AS s
+        |  FROM (
+        |    SELECT doc_id, CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) AS h
+        |    FROM (SELECT doc_id, explode(array_distinct(split(trim(text), ' +'))) AS t
+        |          FROM docs_sh))
+        |  LATERAL VIEW explode(sequence(0, 31)) AS j
+        |  GROUP BY doc_id, j)
+        |GROUP BY doc_id""".stripMargin)
+    val viaNative = docs.select(col("doc_id"),
+      expr("simhash32(array_distinct(split(trim(text), ' +')))").as("simhash"))
+    assert(viaNative.exceptAll(viaSql).count() == 0)
+    assert(viaSql.exceptAll(viaNative).count() == 0)
+  }
+
+  test("tokenHash matches the hex-substr md5 SQL derivation") {
+    import spark.implicits._
+    val got = Seq("spark", "graft", "x").toDF("t")
+      .select(expr("CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)")).as[Long]
+      .collect().toSeq
+    val native = Seq("spark", "graft", "x")
+      .map(s => SimHashImpl.tokenHash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(got == native)
+  }
+}
