@@ -74,6 +74,58 @@ object StarQueries {
              |       CAST(year(start_time) AS INTEGER) AS year,
              |       CAST(isodow(start_time) - 1 AS INTEGER) AS weekday
              |FROM t ORDER BY start_time""".stripMargin)),
+    /** Demo analytics over the built star schema (SURVEY §2.5: the
+      * "queries given to you by the analytics team" the reference README
+      * alludes to but never ships): top songs by play count. */
+    QueryDef(
+      "demo_top_songs",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        StarEtl.songplays(s, d)
+          .groupBy(col("song_id"))
+          .agg(count(lit(1)).as("n_plays"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("n_plays").desc, col("song_id").asc)
+          .limit(10)
+      },
+      Some("""WITH se AS (SELECT *, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
+             |dim AS (SELECT user_id AS d_user, CAST(value AS DECIMAL(9,0)) AS d_value,
+             |               MIN(event_id) AS song_id
+             |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |songplays AS (
+             |  SELECT DISTINCT make_timestamp((se.ms // 1000) * 1000000) AS start_time,
+             |         CAST(se.user_id AS VARCHAR) AS user_id, dim.song_id,
+             |         CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
+             |  FROM se JOIN dim ON se.user_id = dim.d_user
+             |                  AND CAST(se.value AS DECIMAL(9,0)) = dim.d_value)
+             |SELECT song_id, COUNT(*) AS n_plays, COUNT(DISTINCT user_id) AS n_users
+             |FROM songplays GROUP BY song_id
+             |ORDER BY n_plays DESC, song_id ASC LIMIT 10""".stripMargin)),
+
+    /** Demo analytics: plays per hour-of-day over the star time dim. */
+    QueryDef(
+      "demo_plays_per_hour",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        StarEtl.songplays(s, d)
+          .select(hour(col("start_time")).as("hour"))
+          .groupBy(col("hour"))
+          .agg(count(lit(1)).as("n_plays"))
+          .orderBy("hour")
+      },
+      Some("""WITH se AS (SELECT *, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
+             |dim AS (SELECT user_id AS d_user, CAST(value AS DECIMAL(9,0)) AS d_value,
+             |               MIN(event_id) AS song_id
+             |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |songplays AS (
+             |  SELECT DISTINCT make_timestamp((se.ms // 1000) * 1000000) AS start_time,
+             |         CAST(se.user_id AS VARCHAR) AS user_id, dim.song_id,
+             |         CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
+             |  FROM se JOIN dim ON se.user_id = dim.d_user
+             |                  AND CAST(se.value AS DECIMAL(9,0)) = dim.d_value)
+             |SELECT CAST(hour(start_time) AS INTEGER) AS hour, COUNT(*) AS n_plays
+             |FROM songplays GROUP BY hour ORDER BY hour""".stripMargin)),
+
     QueryDef(
       "j1_rounded_join",
       (s, d) => {
