@@ -31,6 +31,13 @@ object Dedup {
 
   private val toks = "split(trim(text), ' +')"
 
+  /** MinHash-LSH shape: 64 hashes in 16 bands of 4. P(pair becomes a
+    * candidate) = 1-(1-j⁴)¹⁶ — ≥0.8-Jaccard pairs are caught with
+    * probability ~0.9996; extra bands cost only integer mins. */
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand = 4
+
   /** Distinct word 3-gram shingles, one row per (doc_id, shingle).
     *
     * Row-form on purpose: posexplode + lead() keeps the whole pipeline in
@@ -115,35 +122,51 @@ object Dedup {
       QueryDef(
       "dd_minhash_lsh",
       (s, d) => {
-        val mh = shingleRows(s, d)
-          .withColumn("h", explode(expr("sequence(0, 15)")))
-          .select(col("doc_id"), col("h"),
-            expr("md5(concat(CAST(h AS STRING), ':', sng))").as("m"))
-          .groupBy(col("doc_id"), col("h")).agg(min(col("m")).as("mh"))
-        val bands = mh
-          .withColumn("b", expr("h div 4"))
-          .groupBy(col("doc_id"), col("b"))
-          .agg(expr("md5(concat_ws('|', " +
-            "min(CASE WHEN h % 4 = 0 THEN mh END), " +
-            "min(CASE WHEN h % 4 = 1 THEN mh END), " +
-            "min(CASE WHEN h % 4 = 2 THEN mh END), " +
-            "min(CASE WHEN h % 4 = 3 THEN mh END)))").as("bk"))
-        val buckets = bands.groupBy(col("b"), col("bk"))
+        // Kirsch-Mitzenmacher family: hash_i(s) = (h1 + i*h2m) mod P derived
+        // from ONE md5 per shingle (h1 = hex[1..15], h2m = hex[17..31] mod P)
+        // — 64 minhashes for the md5 cost of one, and every operation is
+        // plain BIGINT math the oracle reproduces exactly. P = 2^31-1 keeps
+        // h1 + 63*h2m < 2^61 (no overflow in either engine).
+        val hs = shingleRows(s, d).select(col("doc_id"), md5(col("sng")).as("m"))
+        val hh = hs.select(col("doc_id"),
+          expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+          expr("CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT) % 2147483647").as("h2m"))
+        val minAggs = (0 until NumHashes).map(i =>
+          min(expr(s"(h1 + $i * h2m) % 2147483647")).as(s"mh$i"))
+        val sig = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+        val bandKeys = (0 until NumBands).map { b =>
+          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+          expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+        val buckets = bands.groupBy(col("bk"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         bucketPairs(buckets).distinct().orderBy("doc_a", "doc_b")
       },
-      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-             |sig AS (SELECT doc_id, list_transform(range(0, 16), h ->
-             |          list_min(list_transform(shingles, s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sg
-             |        FROM sh),
-             |bands AS (SELECT doc_id, b,
-             |            md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) AS bk
-             |          FROM sig, (SELECT unnest(range(0, 4)) AS b))
-             |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-             |FROM bands a JOIN bands c ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i").mkString(",\n|          ")
+        val bks = (0 until NumBands).map { b =>
+          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+          s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))"
+        }.mkString(",\n|            ")
+        s"""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+           |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+           |shq AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+           |hs AS (SELECT doc_id, md5(sng) AS m FROM shq),
+           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
+           |       FROM hs),
+           |sig AS (SELECT doc_id,
+           |          $mins
+           |        FROM hh GROUP BY doc_id),
+           |bands AS (SELECT doc_id, unnest([
+           |            $bks]) AS bk FROM sig)
+           |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+           |FROM bands a JOIN bands c ON a.bk = c.bk AND a.doc_id < c.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
 
     /** Exact n-gram Jaccard over the inverted shingle index; permille via
       * integer division; threshold 200‰. */

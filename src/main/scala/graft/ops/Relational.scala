@@ -165,6 +165,48 @@ object Relational {
              |FROM region CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
              |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
 
+    /** As-of join — an operator Spark lacks natively, composed from
+      * built-ins the scalable way (SURVEY preference (a)): tag both inputs,
+      * union, and carry the latest order forward with an ignore-nulls
+      * `last()` over a (key, time) window. One shuffle on the key, no
+      * range-condition row explosion, state bounded by the window — exactly
+      * how an as-of join distributes at 100 TB. The oracle is DuckDB's
+      * NATIVE `ASOF JOIN`, i.e. an independent implementation of the same
+      * semantics. Order sides with equal timestamps are pre-deduped to the
+      * max orderkey so both engines are deterministic. */
+    QueryDef(
+      "jn_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val orders = Tables.orders(s, d)
+          // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC so the cast
+          // matches DuckDB's epoch_ms on the naive value
+          .groupBy(col("o_custkey").as("k"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+          .select(col("k"), col("t"), lit(1).as("is_order"),
+            col("o_orderkey"), lit(null).cast("long").as("event_id"))
+        val events = Tables.events(s, d)
+          .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
+            lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+            col("event_id"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t").asc, col("is_order").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.unionAll(events)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull)
+          .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
+             |                  MAX(o_orderkey) AS o_orderkey
+             |           FROM orders GROUP BY 1, 2),
+             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events)
+             |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
+             |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- Aggregation family ----------------------------------------------
     QueryDef(
       "agg_groupby",
