@@ -235,6 +235,61 @@ object Dedup {
               | AND bit_count(xor(a.simhash, c.simhash)) <= 10
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    /** End-to-end corpus cleaning — the composite an LLM-data pipeline
+      * actually runs: quality gate (token count + stopword ratio) →
+      * exact-dup removal (keep min doc_id per fingerprint) → near-dup
+      * removal (drop the higher id of every ≥0.5-Jaccard pair, greedy by
+      * id). Each stage is one of the verified operators above; composed
+      * they stay three shuffles end to end. */
+    QueryDef(
+      "dd_clean_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr(s"size($toks)").as("n_tokens"),
+            expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
+            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+          .filter(expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+        val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val sh = shingleRows(s, d)
+        val n  = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val buckets = sh.select(xxhash64(col("sng")).as("sk"), col("doc_id"))
+          .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        val inter = bucketPairs(buckets)
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+        val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        val nearDupLosers = inter.join(na, "doc_a").join(nb, "doc_b")
+          .filter(expr("(1000 * i) div (na + nb - i) >= 500"))
+          .select(col("doc_b").as("doc_id")).distinct()
+        keepers.select(col("doc_id"))
+          .join(nearDupLosers, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |  FROM documents
+             |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
+             |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
+             |                               t -> t IN ('the', 'a', 'of', 'and', 'to'))))
+             |        // len(string_split_regex(trim(text), ' +')) < 40),
+             |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+             |toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
+             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
+             |          GROUP BY 1, 2),
+             |losers AS (SELECT DISTINCT doc_b AS doc_id
+             |           FROM inter JOIN n na ON na.doc_id = doc_a
+             |                      JOIN n nb ON nb.doc_id = doc_b
+             |           WHERE (1000 * i) // (na.n + nb.n - i) >= 500)
+             |SELECT doc_id FROM keepers
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+             |ORDER BY doc_id""".stripMargin)),
+
     /** Embedding-cosine near-dup: same-label blocking, cosine ≥ 0.35.
       * Dot/norm use the identical left-fold formula in both engines. */
     QueryDef(

@@ -207,6 +207,39 @@ object Relational {
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |ORDER BY event_id""".stripMargin)),
 
+    /** Range join, bucketized — the scale-correct shape for interval
+      * predicates: equi-join on a coarse time bucket (so Catalyst plans a
+      * hash join, never a nested-loop theta join), then filter the precise
+      * range. Each row lands in ⌈range/bucket⌉+1 buckets; here: orders
+      * matched to same-customer orders within 30 days (bucket = 30 days).
+      * The oracle states the plain range predicate directly. */
+    QueryDef(
+      "jn_range",
+      (s, d) => {
+        val DayMs = 86400000L
+        val W = 30 * DayMs
+        val o = Tables.orders(s, d).select(
+          col("o_custkey").as("k"),
+          col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+        val l = o.select(col("k"), col("o_orderkey").as("a"), col("t").as("ta"))
+          .withColumn("bkt", explode(array(
+            expr(s"ta div $W - 1"), expr(s"ta div $W"), expr(s"ta div $W + 1"))))
+        val r = o.select(col("k").as("k2"), col("o_orderkey").as("b"), col("t").as("tb"))
+          .withColumn("bkt2", expr(s"tb div $W"))
+        l.join(r, l("k") === r("k2") && l("bkt") === r("bkt2") &&
+            l("a") < r("b") &&
+            r("tb") >= l("ta") - W && r("tb") <= l("ta") + W)
+          .select(col("k").as("o_custkey"), col("a"), col("b")).distinct()
+          .orderBy("o_custkey", "a", "b")
+      },
+      Some("""SELECT DISTINCT l.o_custkey AS o_custkey, l.o_orderkey AS a, r.o_orderkey AS b
+             |FROM orders l JOIN orders r
+             |  ON l.o_custkey = r.o_custkey AND l.o_orderkey < r.o_orderkey
+             | AND epoch_ms(r.o_orderdate) BETWEEN epoch_ms(l.o_orderdate) - 2592000000
+             |                                 AND epoch_ms(l.o_orderdate) + 2592000000
+             |ORDER BY o_custkey, a, b""".stripMargin)),
+
     // ---- Aggregation family ----------------------------------------------
     QueryDef(
       "agg_groupby",
