@@ -189,6 +189,37 @@ object Analytics {
       Some("""SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS digits
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    /** Conversion funnel: per user, first view and first subsequent
+      * purchase; conversion lag in ms. Two grouped mins + a broadcastable
+      * join — the sequence-analytics shape (no per-event state needed). */
+    QueryDef(
+      "an_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), expr("ts div 1000000").as("ms"))
+        val firstView = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("first_view_ms"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("ms").as("pms"))
+        firstView.join(purchases,
+            firstView("user_id") === purchases("u2") &&
+              col("pms") >= firstView("first_view_ms"), "left_outer")
+          .groupBy(col("user_id"), col("first_view_ms"))
+          .agg(min(col("pms")).as("first_purchase_ms"))
+          .withColumn("lag_ms", col("first_purchase_ms") - col("first_view_ms"))
+          .orderBy("user_id")
+      },
+      Some("""WITH fv AS (SELECT user_id, MIN(epoch_ms(ts)) AS first_view_ms
+             |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |fp AS (SELECT fv.user_id, fv.first_view_ms, MIN(epoch_ms(e.ts)) AS first_purchase_ms
+             |       FROM fv LEFT JOIN events e
+             |         ON e.user_id = fv.user_id AND e.event_type = 'purchase'
+             |        AND epoch_ms(e.ts) >= fv.first_view_ms
+             |       GROUP BY fv.user_id, fv.first_view_ms)
+             |SELECT user_id, first_view_ms, first_purchase_ms,
+             |       first_purchase_ms - first_view_ms AS lag_ms
+             |FROM fp ORDER BY user_id""".stripMargin)),
+
     /** Salted two-phase aggregation (graft.ops.Skew): identical result to
       * the plain group-by — the oracle IS the plain group-by — but hot keys
       * spread over 32 reducers in phase one. */

@@ -114,6 +114,39 @@ object TextStats {
              |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    /** Top-3 word bigrams per language: n-gram frequency analytics —
+      * posexplode+lead bigram stream → (lang, bigram) counts → windowed
+      * top-k. Two shuffles; the count shuffle is partial-aggregated. */
+    QueryDef(
+      "tx_top_bigrams",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val rankW = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            posexplode(expr("split(trim(text), ' +')")).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(byDoc))
+          .filter(col("w1").isNotNull)
+          .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+          .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") <= 3)
+          .select(col("lang"), col("bigram"), col("n"), col("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH toksq AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS t
+             |               FROM documents),
+             |bg AS (SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+             |       FROM toksq, unnest(range(1, len(t))) AS u(i)),
+             |cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+             |SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY lang
+             |                               ORDER BY n DESC, bigram ASC) AS rk
+             |  FROM cnt)
+             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+
     /** Document fingerprint: md5 of the whitespace-normalized lowercase text
       * — the exact-dedup key (see graft.dedup.Dedup). */
     QueryDef(
