@@ -37,6 +37,13 @@ object Layout {
       distKey: Option[String] = None, sortKey: Option[String] = None): Unit =
     layout(df, distKey, sortKey).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned write: the time/tenant pruning lever. A query
+    * filtering on the partition column reads only matching directories —
+    * at 100 TB that is the difference between scanning a day and scanning
+    * the lake ("PartitionFilters" in the scan node; see LayoutPruningSpec). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
   /** Bucketed catalog table: both sides of a repeated join on `bucketCol`
     * read pre-shuffled. Requires a warehouse-backed catalog (saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
