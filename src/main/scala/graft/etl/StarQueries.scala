@@ -40,13 +40,13 @@ object StarQueries {
       "songs_build",
       (s, d) => StarEtl.songs(s, d),
       Some("""SELECT DISTINCT p_partkey AS song_id, p_name AS title, p_brand AS artist_id,
-             |       p_size AS year, CAST(p_retailprice AS DECIMAL(9,0)) AS duration
+             |       p_size AS year, CAST(CAST(p_retailprice AS DECIMAL(9,0)) AS BIGINT) AS duration
              |FROM part ORDER BY song_id""".stripMargin)),
     QueryDef(
       "artists_build",
       (s, d) => StarEtl.artists(s, d),
       Some("""SELECT DISTINCT s_suppkey AS artist_id, s_name AS name,
-             |       s_nationkey AS location, CAST(s_acctbal AS DECIMAL(9,0)) AS latitude
+             |       s_nationkey AS location, CAST(CAST(s_acctbal AS DECIMAL(9,0)) AS BIGINT) AS latitude
              |FROM supplier ORDER BY artist_id""".stripMargin)),
     QueryDef(
       "time_build",

@@ -23,10 +23,12 @@ object StarSchema {
       user_agent: String)
 
   final case class User(user_id: Long, level: String)
+  // duration/latitude: DECIMAL(9,0) HALF_UP load-rounding applied, then
+  // carried as (nullable) BIGINT — see StarEtl.songs/artists.
   final case class Song(song_id: Long, title: String, artist_id: String,
-      year: Int, duration: java.math.BigDecimal)
+      year: Int, duration: java.lang.Long)
   final case class Artist(artist_id: Long, name: String, location: Int,
-      latitude: java.math.BigDecimal)
+      latitude: java.lang.Long)
   final case class TimeRow(start_time: java.sql.Timestamp, hour: Int, day: Int,
       week: Int, month: Int, year: Int, weekday: Int)
 

@@ -15,15 +15,31 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * dot/normA/normB accumulators) is identical to the left-fold HOF formula
   * and to the DuckDB oracle's `list_sum(list_transform(...))`, so results
   * stay bit-reproducible across all three.
+  *
+  * Edge semantics (deliberate, oracle-matching): a zero-norm input yields
+  * NaN (0/sqrt(0), same as the SQL formula — guard upstream if vectors may
+  * be all-zero); null array elements read as 0.0 in both eval paths.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Callers pass array<double> (cast at the call site); AbstractDataType is
-  // sql-private in Spark 4 so no ExpectsInputTypes here.
+  // AbstractDataType is sql-private in Spark 4 so no ExpectsInputTypes;
+  // analysis-time validation happens in checkInputDataTypes instead.
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires (array<double>, array<double>), got (${l.sql}, ${r.sql})")
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -78,6 +94,8 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
   }
 }
 
@@ -98,5 +116,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
   }
 }

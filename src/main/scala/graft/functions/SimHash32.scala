@@ -25,18 +25,36 @@ object SimHashImpl {
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
 
-  /** 32-bit SimHash over a token array: per-bit majority vote (+1/-1) of the
+  /** 60-bit token hash = first 15 md5 hex chars (first 8 bytes big-endian,
+    * top nibble dropped) — bit-compatible with the SQL formulation
+    * `CAST(conv(substr(md5(t),1,15),16,10) AS BIGINT)` and DuckDB's
+    * `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`. 15 hex chars (not 16)
+    * keeps the value inside a signed BIGINT in every engine. */
+  def tokenHash60(t: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(t.getBytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) {
+      out = (out << 8) | (h(i) & 0xffL)
+      i += 1
+    }
+    out >>> 4
+  }
+
+  /** SimHash over a token array: per-bit majority vote (+1/-1) of the
     * token hash bits, ties (`>= 0`) resolve to 1. Callers pass distinct
     * tokens when set semantics are wanted. */
-  def compute(tokens: ArrayData): Long = {
-    val votes = new Array[Int](32)
+  private def simhash(tokens: ArrayData, bits: Int, hash: UTF8String => Long): Long = {
+    val votes = new Array[Int](bits)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = tokenHash(tokens.getUTF8String(i))
+        val h = hash(tokens.getUTF8String(i))
         var j = 0
-        while (j < 32) {
+        while (j < bits) {
           votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
           j += 1
         }
@@ -45,12 +63,20 @@ object SimHashImpl {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < bits) {
       if (votes(j) >= 0) out |= (1L << j)
       j += 1
     }
     out
   }
+
+  /** 32-bit SimHash code. */
+  def compute(tokens: ArrayData): Long = simhash(tokens, 32, tokenHash)
+
+  /** 60-bit SimHash code — the width that supports multi-band LSH with
+    * bands wide enough to bucket at scale (4 bands x 15 bits = 32768
+    * buckets per band). */
+  def compute60(tokens: ArrayData): Long = simhash(tokens, 60, tokenHash60)
 }
 
 /** `simhash32(array<string>)`: whole-code SimHash as one narrow expression.
@@ -73,6 +99,30 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `simhash60(array<string>)`: 60-bit SimHash (15 md5 hex chars per token).
+  *
+  * The wider code exists for banded near-dup candidate generation at scale:
+  * 32 bits only supports bands too narrow to bucket well (an 8-bit band =
+  * 256 buckets = ~N/256 docs per bucket, quadratic at 100 TB), while 60 bits
+  * gives 4 bands x 15 bits = 32768 buckets per band. Same majority-vote/tie
+  * semantics as [[SimHash32]].
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHashImpl.compute60(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -164,9 +164,11 @@ object Analytics {
       (s, d) => Tables.orders(s, d)
         .filter(col("o_custkey") <= 50)
         .groupBy(col("o_custkey"))
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        // Serialized deterministically (sorted, comma-joined) so the result
+        // is a flat string column both engines hash identically.
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("orderkeys"))
         .orderBy("o_custkey"),
-      Some("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      Some("""SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys
              |FROM orders WHERE o_custkey <= 50
              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 

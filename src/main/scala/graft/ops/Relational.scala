@@ -68,10 +68,13 @@ object Relational {
         .select(
           col("event_id"),
           col("user_id").cast(StringType).as("user_id_str"),
-          col("value").cast(Dec9).as("value_dec"))
+          // Load-rounding semantics live in the DECIMAL(9,0) cast (HALF_UP);
+          // the scale-0 result is then carried as BIGINT so the compared
+          // bytes are representation-independent across engines.
+          col("value").cast(Dec9).cast(LongType).as("value_dec"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS user_id_str,
-             |       CAST(value AS DECIMAL(9,0)) AS value_dec
+             |       CAST(CAST(value AS DECIMAL(9,0)) AS BIGINT) AS value_dec
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- E1 scalar expression --------------------------------------------

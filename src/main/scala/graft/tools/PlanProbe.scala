@@ -20,6 +20,13 @@ object PlanProbe {
     t0 = System.nanoTime()
     df.count()
     println(f"[probe] $name warm run:  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.contains("final")) {
+      // Post-execution adaptive plan — shows AQE's runtime exchange reuse,
+      // which the pre-execution explain("formatted") cannot. Must drive THIS
+      // queryExecution (count() would plan a separate one).
+      df.queryExecution.toRdd.count()
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

@@ -15,6 +15,9 @@ object StageProbe {
     }
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr("split(trim(text), ' +')").as("t"))
+      // docs with <3 tokens have no 3-gram shingles; without this filter
+      // sequence(1, size(t) - 2) would descend and element_at hit index 0
+      .filter(expr("size(t) >= 3"))
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, size(t) - 2), i -> " +
           "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))")

@@ -43,4 +43,29 @@ class DedupSpec extends AnyFunSuite {
     assert(p.count() > 0)
     assert(p.filter(col("cos6") < 0.35).count() == 0)
   }
+
+  test("bucket cap drops adversarial hot-key buckets from pair expansion") {
+    import spark.implicits._
+    // 200 docs all sharing one hot shingle key (a stop-shingle stand-in):
+    // uncapped this bucket alone would expand to 19,900 pairs.
+    val hot = (0L until 200L).map(id => ("hot", id)).toDF("sk", "doc_id")
+    val cold = Seq(("cold", 1L), ("cold", 2L)).toDF("sk", "doc_id")
+    val buckets = hot.unionAll(cold).groupBy("sk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val capped = Dedup.bucketPairs(buckets, cap = 100)
+    assert(capped.count() == 1, "only the cold bucket's single pair survives")
+    assert(capped.head() == org.apache.spark.sql.Row(1L, 2L))
+    // default cap is above every fixture bucket (max observed 25 at sf0.1)
+    val uncapped = Dedup.bucketPairs(buckets)
+    assert(uncapped.count() == 19900 + 1)
+  }
+
+  test("simhash_pairs: multi-band candidates verified by Hamming threshold") {
+    val p = run("dd_simhash_pairs").collect()
+    assert(p.nonEmpty)
+    assert(p.forall(_.getInt(2) <= 10))
+    // pairs are deduped across the 4 bands
+    val keys = p.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
 }
