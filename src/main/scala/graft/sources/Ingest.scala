@@ -69,10 +69,13 @@ object Ingest {
     StructField("year", IntegerType)))
 
   /** S1: events log load — explicit mapping, DECIMAL load-cast, NOT NULL
-    * validation on (sessionId, ts). */
+    * validation on (sessionId, ts), and the VARCHAR(1) truncation the
+    * star schema declares on gender (sql_queries.py:83): Redshift silently
+    * truncates on insert, so the load applies `substring(gender, 1, 1)`. */
   def readEventsJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventsStagingSchema).json(path)
       .withColumn("length", col("length").cast(dec9))
+      .withColumn("gender", substring(col("gender"), 1, 1))
       .filter(col("sessionId").isNotNull && col("ts").isNotNull)
 
   /** S2: song metadata load — 'auto' name matching, DECIMAL load-casts. */

@@ -107,16 +107,31 @@ object EventsStream {
   }
 
   /** Streaming sessionization via flatMapGroupsWithState: per-user state
-    * carries the open session across micro-batches; closed sessions are
-    * emitted as soon as a gap-exceeding event (or batch end w/ AvailableNow)
-    * proves them complete. State is O(1) per user — the 100 TB-scale shape
-    * for this computation (the batch window variant needs the full history
-    * resident; this needs one open session per key). */
+    * carries the open session across micro-batches; a session is emitted as
+    * FINAL as soon as a gap-exceeding event proves it closed. State is O(1)
+    * per user — the 100 TB-scale shape for this computation (the batch
+    * window variant needs the full history resident; this needs one open
+    * session per key).
+    *
+    * Emit contract: because an append sink cannot retract, the still-open
+    * session is re-emitted at the end of every micro-batch it received
+    * events in, as a PROVISIONAL row (n_events grows monotonically per
+    * emission). Downstream therefore compacts by (user_id,
+    * session_start_ms) keeping the row with the largest n_events — the
+    * standard upsert-by-key pattern for append streams; this function
+    * applies that compaction before returning, so multi-batch runs agree
+    * with [[sessionizeBatch]] exactly.
+    *
+    * `maxFilesPerTrigger` > 0 bounds files per micro-batch (used by the
+    * spec to force a genuine multi-batch run under AvailableNow). */
   def runSessionizeStream(spark: SparkSession, eventsDir: String,
-      queryName: String = "sessions_stream"): DataFrame = {
+      queryName: String = "sessions_stream",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val events = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+    val reader = spark.readStream.schema(eventsSchema)
+    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val events = reader.parquet(eventsDir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .as[Ev]
@@ -129,12 +144,14 @@ object EventsStream {
           case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
             Some(s.copy(n = s.n + 1, cents = s.cents + e.cents, lastMs = e.ms))
           case Some(s) =>
+            // closed by gap — this emission is final
             out += Sess(user, s.start, s.n, s.cents)
             Some(Open(e.ms, 1, e.cents, e.ms))
           case None =>
             Some(Open(e.ms, 1, e.cents, e.ms))
         }
       }
+      // provisional emission of the open session (see emit contract above)
       open.foreach { s => state.update(s); out += Sess(user, s.start, s.n, s.cents) }
       out.iterator
     }
@@ -143,7 +160,13 @@ object EventsStream {
       .writeStream.outputMode("append").format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName).orderBy("user_id", "session_start_ms")
+    // Upsert-by-key compaction: latest provisional/final row per session.
+    spark.table(queryName)
+      .groupBy(col("user_id"), col("session_start_ms"))
+      .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
+      .select(col("user_id"), col("session_start_ms"),
+        col("m.n_events").as("n_events"), col("m.sum_cents").as("sum_cents"))
+      .orderBy("user_id", "session_start_ms")
   }
 
   val defs: Seq[QueryDef] = Seq(

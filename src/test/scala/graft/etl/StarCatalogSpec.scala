@@ -1,0 +1,39 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StarCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("catalog round-trip: reset declares all five tables, drop removes them") {
+    StarCatalog.reset(spark)
+    StarCatalog.tables.foreach { case (name, _, _) =>
+      assert(spark.catalog.tableExists(name), s"$name missing after reset")
+      assert(spark.table(name).count() == 0, s"$name should be empty after create")
+    }
+    // reset is idempotent (CREATE IF NOT EXISTS after DROP IF EXISTS)
+    StarCatalog.reset(spark)
+    StarCatalog.drop(spark)
+    StarCatalog.tables.foreach { case (name, _, _) =>
+      assert(!spark.catalog.tableExists(name), s"$name should be dropped")
+    }
+  }
+
+  test("end-to-end ETL: pipeline writes five tables and register serves them") {
+    val out = java.nio.file.Files.createTempDirectory("etl_out").toString
+    StarCatalog.reset(spark)
+    val results = StarPipeline.run(spark, sf, out)
+    assert(results.map(_.name) ==
+      Seq("songplays", "users", "songs", "artists", "time"))
+    results.foreach(r => assert(r.rows > 0, s"${r.name} wrote no rows"))
+    StarCatalog.register(spark, out)
+    // catalog now serves the loaded data, with the declared schema
+    assert(spark.table("songs").count() == results.find(_.name == "songs").get.rows)
+    assert(spark.table("songplays").schema.fieldNames.toSeq ==
+      Seq("start_time", "user_id", "song_id", "session_id", "user_agent"))
+    StarCatalog.drop(spark)
+  }
+}

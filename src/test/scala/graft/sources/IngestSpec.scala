@@ -34,6 +34,19 @@ class IngestSpec extends AnyFunSuite {
     assert(reg == "1540919166796")
   }
 
+  test("S1 events load: gender truncated to 1 char (VARCHAR(1), sql_queries.py:83)") {
+    val path = tmpJson("events_gender.json", Seq(
+      """{"event_id":1,"gender":"Female","sessionId":1,"ts":1541105830796}""",
+      """{"event_id":2,"gender":"M","sessionId":2,"ts":1541105830797}""",
+      """{"event_id":3,"sessionId":3,"ts":1541105830798}"""))
+    val g = Ingest.readEventsJson(spark, path)
+      .select("event_id", "gender").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(g(1L) == "F")
+    assert(g(2L) == "M")
+    assert(g(3L) == null) // NULL passes through untruncated
+  }
+
   test("S2 songs load: 'auto' name matching + DECIMAL load-casts") {
     val path = tmpJson("songs.json", Seq(
       """{"num_songs":1,"artist_id":"AR1","artist_latitude":35.64957,"artist_longitude":-120.6998,"artist_name":"N","song_id":"SO1","title":"T","duration":218.93179,"year":2004}""",
