@@ -353,29 +353,39 @@ object Dedup {
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
              |ORDER BY doc_id""".stripMargin)),
 
-    /** Embedding-cosine near-dup: same-label blocking, cosine ≥ 0.35.
-      * Dot/norm use the identical left-fold formula in both engines. */
+    /** Embedding-cosine near-dup, IVF-cell blocked: candidates are pairs in
+      * the same trained k-means cell (graft.sim.Similarity — the oracle
+      * replays training exactly), verified with the exact native cosine.
+      * Blocking by learned cell replaces the earlier fixed-cardinality
+      * `label` block: the candidate join is keyed on `cell`, and at scale K
+      * grows ~√N so per-cell all-pairs stays bounded — the standard IVF
+      * dedup trade (recall limited to same-cell pairs, like any ANN-backed
+      * near-dup). Dot/norm use the identical left-fold formula in both
+      * engines. */
     QueryDef(
       "dd_embed_cosine",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
-        val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("label"))
-        val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("label").as("label2"))
-        l.join(r, l("label") === r("label2") && l("vec_a") < r("vec_b"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val asg = graft.sim.Similarity.assignCells(s, d).select(col("vec_id"), col("cell"))
+        val ev = e.join(asg, "vec_id")
+        val l = ev.select(col("vec_id").as("vec_a"), col("v").as("va"), col("cell"))
+        val r = ev.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("cell").as("cell2"))
+        l.join(r, l("cell") === r("cell2") && l("vec_a") < r("vec_b"))
           .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
           .filter(col("cos6") >= 0.35)
-          .select(col("vec_a"), col("vec_b"), col("label"), col("cos6"))
+          .select(col("vec_a"), col("vec_b"), col("cell"), col("cos6"))
           .orderBy("vec_a", "vec_b")
       },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-             |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.label,
+      Some(s"""WITH ${graft.sim.Similarity.duckKmeansChain()},
+             |ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+             |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.cell,
              |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i])) AS dot,
              |        list_sum(list_transform(a.v, x -> x * x)) AS na,
              |        list_sum(list_transform(c.v, x -> x * x)) AS nb
-             |      FROM e a JOIN e c ON a.label = c.label AND a.vec_id < c.vec_id)
-             |SELECT vec_a, vec_b, label, round(dot / sqrt(na * nb), 6) AS cos6
+             |      FROM ev a JOIN ev c ON a.cell = c.cell AND a.vec_id < c.vec_id)
+             |SELECT vec_a, vec_b, cell, round(dot / sqrt(na * nb), 6) AS cos6
              |FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin)),
   )

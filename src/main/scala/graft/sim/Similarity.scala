@@ -1,25 +1,38 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 
 /** Similarity search over the `embeddings` table (BASELINE north-star
   * "similarity search"): brute-force cosine top-k as the correctness
-  * baseline, and an IVF-style two-stage path as the scale story.
+  * baseline, and a trained IVF (k-means) two-stage path as the scale story.
   *
   * Scale design: brute force is O(|Q|·N) — fine when the query set is small
-  * and broadcast (as here: the N×|Q| join broadcasts the queries, so the
-  * corpus streams through map-side with no shuffle; the only exchange is the
-  * per-query top-k). The IVF variant assigns every vector to its nearest
-  * coarse centroid (here: deterministic anchor vectors; at scale, k-means
-  * centroids broadcast the same way) and searches only the query's cell —
-  * the standard nprobe=1 trade of recall for a ~|cells|× cost cut. Both
-  * paths share one bit-reproducible cosine: a left-fold dot/norm formula
-  * that the DuckDB oracle mirrors operation-for-operation.
+  * and broadcast (the N×|Q| join broadcasts the queries, so the corpus
+  * streams through map-side with no shuffle; the only exchange is the
+  * per-query top-k). The IVF variant trains K coarse centroids with Lloyd's
+  * iterations, assigns every vector to its nearest centroid, and searches
+  * only the query's `NProbe` nearest cells — the standard recall/cost trade
+  * (at 100 TB, K grows ~√N and centroids stay a broadcast table). All paths
+  * share one bit-reproducible cosine: a left-fold dot/norm formula the
+  * DuckDB oracle mirrors operation-for-operation.
   */
 object Similarity {
+
+  /** Embedding dimensionality of the fixture corpus (TESTDATA.md); the
+    * Spark side reads array sizes dynamically, the oracle SQL needs the
+    * constant. */
+  val Dim = 64
+
+  /** IVF shape: K coarse cells, `Iters` Lloyd's rounds, `NProbe` cells
+    * searched per query. K matches the fixture's label-cluster count; at
+    * scale these become tuning knobs (K ~ √N). */
+  val K = 5
+  val Iters = 3
+  val NProbe = 3
 
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -31,39 +44,104 @@ object Similarity {
     * to the left-fold HOF formula and the DuckDB oracle's list_sum. */
   private val cosExpr = "round(cosine_sim(va, vb), 6)"
 
-  private val duckCos =
-    "round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / " +
-      "sqrt(list_sum(list_transform(va, x -> x * x)) * " +
-      "list_sum(list_transform(vb, x -> x * x))), 6)"
+  private def duckCosOf(a: String, b: String): String =
+    s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) / " +
+      s"sqrt(list_sum(list_transform($a, x -> x * x)) * " +
+      s"list_sum(list_transform($b, x -> x * x))), 6)"
 
-  /** Nearest-anchor assignment (anchors = vec_id 0,1,2 as stand-in coarse
-    * centroids; ties break to the lowest anchor id). */
-  private def assignments(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, d)
-    val anchors = e.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("anchor_id"), col("v").as("vb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos6").desc, col("anchor_id").asc)
-    e.select(col("vec_id"), col("v").as("va"))
-      .crossJoin(broadcast(anchors))
-      .withColumn("cos6", expr(cosExpr))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("anchor_id"), col("cos6"))
+  private val duckCos = duckCosOf("va", "vb")
+
+  /** Centroids as a broadcastable literal DataFrame: (cid INT, cv array<double>). */
+  private def centroidsDf(s: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cid", "cv")
   }
 
-  private val duckAssign =
-    """assign AS (
-      |  SELECT vec_id, anchor_id, cos6 FROM (
-      |    SELECT q.vec_id, a.anchor_id, COS_FORMULA AS cos6,
-      |           row_number() OVER (PARTITION BY q.vec_id
-      |                              ORDER BY COS_FORMULA DESC, a.anchor_id ASC) AS rn
-      |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va FROM embeddings) q,
-      |         (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS vb
-      |          FROM embeddings WHERE vec_id < 3) a)
-      |  WHERE rn = 1)""".stripMargin
-      .replace("COS_FORMULA", duckCos)
+  /** Nearest-centroid assignment: rank `round(cosine, 6)` descending, ties
+    * to the lowest centroid id. One narrow pass over the corpus against a
+    * broadcast centroid table + a row_number window on vec_id. */
+  private def nearest(e: DataFrame, cdf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
+    e.crossJoin(broadcast(cdf))
+      .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("cos6"))
+  }
+
+  /** Lloyd's k-means over the embeddings with ENGINE-EXACT arithmetic, so
+    * the DuckDB oracle can replay training bit-for-bit:
+    *  - component sums are quantized to integer micro-units
+    *    (`CAST(round(x*1e6) AS BIGINT)`) — integer addition is exact and
+    *    order-independent, where a float sum would depend on aggregation
+    *    order no two engines share;
+    *  - centroid components are the IEEE-exact double
+    *    `sum_micro / (n * 1e6)` (sums stay far below 2^53);
+    *  - assignment ranks `round(cosine, 6)` with ties to the lowest cid.
+    * Init = the first K vectors. Per-iteration centroids are collected to
+    * the driver (K×Dim doubles — model state, the same pattern Spark ML's
+    * KMeans uses) and re-broadcast as literals, keeping every iteration a
+    * flat two-shuffle job. A cell that loses all members drops out — in
+    * both engines identically, since every step is deterministic. */
+  def trainKMeans(s: SparkSession, d: String, k: Int = K, iters: Int = Iters)
+      : Seq[(Int, Seq[Double])] = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k).orderBy("vec_id")
+      .collect().toSeq.map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+    for (_ <- 0 until iters) {
+      val asg = nearest(e, centroidsDf(s, cents)).select(col("vec_id"), col("cid"))
+      cents = asg.join(e, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cid"), col("j"))
+        .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sm"),
+          count(lit(1)).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, " +
+          "CAST(sm AS DOUBLE) / (c * 1000000.0) AS comp))), p -> p.comp)").as("cv"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Trained-cell assignment for every vector: (vec_id, cell, cos6). */
+  def assignCells(s: SparkSession, d: String): DataFrame =
+    nearest(vecs(s, d).select(col("vec_id"), col("v")),
+        centroidsDf(s, trainKMeans(s, d)))
+      .select(col("vec_id"), col("cid").as("cell"), col("cos6"))
+
+  /** DuckDB WITH-fragment replaying k-means training and the final
+    * assignment — `assign` ends as (vec_id, cell, cos6). Shared by every
+    * oracle that consumes trained cells (also graft.dedup's embedding
+    * near-dup). */
+  def duckKmeansChain(k: Int = K, iters: Int = Iters): String = {
+    val sb = new StringBuilder
+    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < $k),\n"
+    for (i <- 1 to iters) {
+      val cos = duckCosOf("e.v", "c.cv")
+      sb ++= s"a$i AS (SELECT vec_id, cid FROM (\n"
+      sb ++= s"  SELECT e.vec_id, c.cid,\n"
+      sb ++= s"         row_number() OVER (PARTITION BY e.vec_id\n"
+      sb ++= s"                            ORDER BY $cos DESC, c.cid ASC) AS rn\n"
+      sb ++= s"  FROM e, c${i - 1} c) WHERE rn = 1),\n"
+      sb ++= s"c$i AS (SELECT cid, list(comp ORDER BY jj) AS cv FROM (\n"
+      sb ++= s"  SELECT a.cid, jj,\n"
+      sb ++= s"         CAST(SUM(CAST(round(e.v[jj] * 1000000) AS BIGINT)) AS DOUBLE)\n"
+      sb ++= s"           / (COUNT(*) * 1000000.0) AS comp\n"
+      sb ++= s"  FROM a$i a JOIN e USING (vec_id), (SELECT unnest(range(1, ${Dim + 1})) AS jj)\n"
+      sb ++= s"  GROUP BY a.cid, jj)\n"
+      sb ++= s"GROUP BY cid),\n"
+    }
+    val cos = duckCosOf("e.v", "c.cv")
+    sb ++= s"assign AS (SELECT vec_id, cid AS cell, cos6 FROM (\n"
+    sb ++= s"  SELECT e.vec_id, c.cid, $cos AS cos6,\n"
+    sb ++= s"         row_number() OVER (PARTITION BY e.vec_id\n"
+    sb ++= s"                            ORDER BY $cos DESC, c.cid ASC) AS rn\n"
+    sb ++= s"  FROM e, c$iters c) WHERE rn = 1)"
+    sb.toString
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -71,7 +149,6 @@ object Similarity {
     QueryDef(
       "sim_topk_brute",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val e = vecs(s, d)
         val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("v").as("va"))
         val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
@@ -131,43 +208,60 @@ object Similarity {
               |  WHERE c.vec_id <> q.vec_id)
               |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
-    /** IVF cell assignment for every vector. */
+    /** Trained IVF cell assignment for every vector (k-means, K cells,
+      * Iters Lloyd's rounds — the oracle replays training exactly). */
     QueryDef(
       "sim_ivf_assign",
-      (s, d) => assignments(s, d).orderBy("vec_id"),
-      Some(s"""WITH $duckAssign
-              |SELECT vec_id, anchor_id, cos6 FROM assign ORDER BY vec_id""".stripMargin)),
+      (s, d) => assignCells(s, d).orderBy("vec_id"),
+      Some(s"""WITH ${duckKmeansChain()}
+              |SELECT vec_id, cell, cos6 FROM assign ORDER BY vec_id""".stripMargin)),
 
-    /** ANN search, IVF nprobe=1: candidates limited to the query's cell. */
+    /** ANN search over the trained IVF index, nprobe=NProbe: each query
+      * searches its NProbe nearest cells only; exact cosine re-ranks the
+      * candidates. Recall vs sim_topk_brute is asserted ≥0.9 in
+      * SimilaritySpec. */
     QueryDef(
       "sim_ann_ivf",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = vecs(s, d)
-        val asg = assignments(s, d).select(col("vec_id"), col("anchor_id"))
-        val ev = e.join(asg, "vec_id")
-        val q = ev.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("v").as("va"), col("anchor_id").as("cell"))
-        val c = ev.select(col("vec_id").as("cand_id"), col("v").as("vb"), col("anchor_id").as("cell2"))
+        val e = vecs(s, d).select(col("vec_id"), col("v"))
+        val cdf = centroidsDf(s, trainKMeans(s, d))
+        val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
+        val wq = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
+        val probes = e.filter(col("vec_id") < 8)
+          .crossJoin(broadcast(cdf))
+          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
+        val c = e.join(asg, "vec_id")
+          .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("cos6").desc, col("cand_id").asc)
-        c.join(broadcast(q), c("cell2") === q("cell") && c("cand_id") =!= q("q_id"))
+        c.join(broadcast(probes),
+            c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
           .withColumn("cos6", expr(cosExpr))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""WITH $duckAssign,
-              |ev AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, a.anchor_id
-              |       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id)
-              |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
-              |         row_number() OVER (PARTITION BY q.vec_id
-              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-              |  FROM (SELECT vec_id, v AS va, anchor_id FROM ev WHERE vec_id < 8) q
-              |  JOIN (SELECT vec_id, v AS vb, anchor_id FROM ev) c
-              |    ON c.anchor_id = q.anchor_id AND c.vec_id <> q.vec_id)
-              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+      Some {
+        val pcos = duckCosOf("e.v", "c.cv")
+        s"""WITH ${duckKmeansChain()},
+           |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
+           |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
+           |  FROM e, c${Iters} c WHERE e.vec_id < 8) WHERE rn <= $NProbe),
+           |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
+           |          FROM assign a JOIN e USING (vec_id))
+           |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
+           |  SELECT p.q_id, c.cand_id, ${duckCosOf("p.va", "c.vb")} AS cos6,
+           |         row_number() OVER (PARTITION BY p.q_id
+           |                            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
+           |  FROM probes p JOIN cands c
+           |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
   )
 }

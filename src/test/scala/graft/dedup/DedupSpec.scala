@@ -38,10 +38,15 @@ class DedupSpec extends AnyFunSuite {
     assert(s1.forall(r => { val v = r.getLong(1); v >= 0 && v <= 0xffffffffL }))
   }
 
-  test("embedding near-dup pairs stay within the same label block") {
-    val p = run("dd_embed_cosine")
-    assert(p.count() > 0)
-    assert(p.filter(col("cos6") < 0.35).count() == 0)
+  test("embedding near-dup pairs stay within one trained IVF cell") {
+    val p = run("dd_embed_cosine").collect()
+    assert(p.nonEmpty)
+    assert(p.forall(_.getDouble(3) >= 0.35))
+    // pairs are blocked by cell: both members carry the pair's cell id
+    val asg = graft.sim.Similarity.assignCells(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(p.forall(r => asg(r.getLong(0)) == r.getInt(2) &&
+      asg(r.getLong(1)) == r.getInt(2)))
   }
 
   test("bucket cap drops adversarial hot-key buckets from pair expansion") {

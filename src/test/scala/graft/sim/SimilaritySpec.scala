@@ -20,19 +20,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(t.filter(col("cos6") > 1.000001 || col("cos6") < -1.000001).count() == 0)
   }
 
-  test("IVF assignment: every vector lands in exactly one anchor cell") {
+  test("k-means training: K centroids of Dim components, deterministic") {
+    val c1 = Similarity.trainKMeans(spark, sf)
+    val c2 = Similarity.trainKMeans(spark, sf)
+    assert(c1 == c2, "training must be bit-deterministic (oracle replays it)")
+    assert(c1.size == Similarity.K)
+    assert(c1.forall(_._2.size == Similarity.Dim))
+    // training moved the centroids off their init vectors
+    val init = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < Similarity.K)
+      .orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    assert(c1.map(_._2) != init.toSeq)
+  }
+
+  test("IVF assignment: every vector lands in exactly one trained cell") {
     val a = run("sim_ivf_assign")
     val n = graft.Tables.embeddings(spark, sf).count()
     assert(a.count() == n)
-    assert(a.select("anchor_id").distinct().count() <= 3)
-    // anchors are their own nearest anchor
-    assert(a.filter(col("vec_id") === col("anchor_id")).count() == 3)
+    assert(a.select("cell").distinct().count() <= Similarity.K)
   }
 
-  test("ANN(IVF, nprobe=1) results are a subset of brute-force candidates by score") {
+  test("ANN(IVF) recall >= 0.9 vs brute force at top-3") {
+    val brute = run("sim_topk_brute").filter(col("rank") <= 3)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("sim_ann_ivf")
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.9, s"ANN recall $recall below 0.9 (${brute.size} truth pairs)")
+  }
+
+  test("ANN rank-1 cosine never exceeds brute-force rank-1 cosine") {
     val ann = run("sim_ann_ivf")
     assert(ann.count() > 0)
-    // rank-1 ANN cosine can never exceed rank-1 brute-force cosine
     val b1 = run("sim_topk_brute").filter(col("rank") === 1)
       .select(col("q_id"), col("cos6").as("bcos"))
     val a1 = ann.filter(col("rank") === 1).select(col("q_id"), col("cos6").as("acos"))
