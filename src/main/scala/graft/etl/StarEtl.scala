@@ -52,7 +52,12 @@ object StarEtl {
   /** staging_songs analog: a small metadata dim keyed by
     * (user, DECIMAL(9,0)-rounded measurement) — the rounded value plays
     * `duration` in the reference's three-key join (sql_queries.py:160-164).
-    * GroupBy (not distinct) so each dim row carries a stable surrogate id. */
+    * GroupBy (not distinct) so each dim row carries a stable surrogate id.
+    *
+    * Note the fixture artifact documented in FIXTURES.md §C: this surrogate
+    * (min purchase event_id) and the `songs` dim key (p_partkey) live in
+    * unrelated domains, so the star's fact→songs join is vacuous on
+    * fixtures — mirroring the reference's own unenforced star integrity. */
   def songDim(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")

@@ -49,9 +49,6 @@ object Multimodal {
     decoded
   }
 
-  private val decodeUdf =
-    udf((payload: Array[Byte]) => fakeDecode(payload))
-
   val defs: Seq[QueryDef] = Seq(
 
     /** Binary-column metadata without decoding: byte length + content hash.
@@ -71,18 +68,16 @@ object Multimodal {
              |       md5(text) AS payload_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    /** Decode-stub over the binary payload; the oracle mirrors the stub's
-      * arithmetic (first byte = ascii of first char for this utf8 payload). */
+    /** Decode-stub over the binary payload via the BATCHED per-partition
+      * path ([[decodePartitions]] — the pattern a real codec plugs into);
+      * the oracle mirrors the stub's arithmetic (first byte = ascii of the
+      * first char for this utf8 payload). */
     QueryDef(
       "mm_decode_stub",
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .withColumn("m", decodeUdf(col("payload")))
-        .select(
-          col("doc_id"),
-          col("m.width").as("width"),
-          col("m.height").as("height"),
-          col("m.format").as("format"))
+      (s, d) => decodePartitions(
+          Tables.documents(s, d)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |       CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
