@@ -84,6 +84,16 @@ object Similarity {
     * flat two-shuffle job. A cell that loses all members drops out — in
     * both engines identically, since every step is deterministic. */
   def trainKMeans(s: SparkSession, d: String, k: Int = K, iters: Int = Iters)
+      : Seq[(Int, Seq[Double])] =
+    trained.getOrElseUpdate((d, k, iters), trainKMeansUncached(s, d, k, iters))
+
+  /** Trained models are deterministic functions of (corpus dir, K, Iters),
+    * so the driver memoizes them like any ANN index artifact — repeated
+    * queries (assign / search / dedup) share one training run. */
+  private val trained =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double])]]
+
+  private[sim] def trainKMeansUncached(s: SparkSession, d: String, k: Int, iters: Int)
       : Seq[(Int, Seq[Double])] = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
     var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k).orderBy("vec_id")

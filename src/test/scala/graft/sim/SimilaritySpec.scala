@@ -21,8 +21,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("k-means training: K centroids of Dim components, deterministic") {
-    val c1 = Similarity.trainKMeans(spark, sf)
-    val c2 = Similarity.trainKMeans(spark, sf)
+    // uncached path both times: determinism of the training itself, not memo
+    val c1 = Similarity.trainKMeansUncached(spark, sf, Similarity.K, Similarity.Iters)
+    val c2 = Similarity.trainKMeansUncached(spark, sf, Similarity.K, Similarity.Iters)
     assert(c1 == c2, "training must be bit-deterministic (oracle replays it)")
     assert(c1.size == Similarity.K)
     assert(c1.forall(_._2.size == Similarity.Dim))
