@@ -353,6 +353,67 @@ object Dedup {
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
              |ORDER BY doc_id""".stripMargin)),
 
+    /** Near-dup cluster assignment — connected components over the
+      * ≥0.5-Jaccard pair graph, the transitive step a production dedup
+      * pipeline runs after candidate generation (pairwise "drop the higher
+      * id" under-merges chains A~B~C). Min-label propagation to fixpoint:
+      * each round, every node takes the min cluster id among itself and its
+      * neighbors; rounds = component diameter (near-dup components are short
+      * chains). Each round is one join + one groupBy, labels are
+      * checkpointed so the plan stays flat (at cluster scale the same loop
+      * runs with reliable checkpoints — this is how GraphX/GraphFrames'
+      * connected components distributes). Output: every doc appearing in a
+      * pair, labeled by the min doc_id of its component. The oracle computes
+      * the same fixpoint as a DuckDB recursive-CTE transitive closure — an
+      * independent algorithm, so agreement checks the semantics, not the
+      * implementation. */
+    QueryDef(
+      "dd_dup_clusters",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d, permille = 500)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val sym = pairs.unionAll(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        var labels = sym.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+        var converged = false
+        while (!converged) {
+          val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
+            .groupBy(sym("doc_a").as("nbr_key")).agg(min(col("cluster_id")).as("nbr_min"))
+          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
+            .select(labels("doc_id"),
+              least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
+                .as("cluster_id"))
+            .localCheckpoint()
+          val changed = next
+            .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(col("cluster_id") < col("old")).count()
+          converged = changed == 0
+          labels = next
+        }
+        labels.orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
+             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
+             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
+             |          GROUP BY 1, 2),
+             |jac AS (SELECT doc_a, doc_b
+             |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+             |        WHERE (1000 * i) // (na.n + nb.n - i) >= 500),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+             |          UNION ALL SELECT doc_b, doc_a FROM jac),
+             |reach(a, r) AS (
+             |  SELECT DISTINCT a, a FROM edges
+             |  UNION
+             |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b)
+             |SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+             |ORDER BY doc_id""".stripMargin)),
+
     /** Embedding-cosine near-dup, IVF-cell blocked: candidates are pairs in
       * the same trained k-means cell (graft.sim.Similarity — the oracle
       * replays training exactly), verified with the exact native cosine.

@@ -147,6 +147,60 @@ object TextStats {
              |  FROM cnt)
              |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
 
+    /** Repetition quality signals (the Gopher-rules family of pretraining
+      * filters, Rae et al. 2021): fraction of repeated tokens, most-frequent-
+      * token share, and duplicate-bigram share — high values flag boilerplate
+      * and degenerate text. Integer percent via `div` for oracle bit-parity.
+      * Token and bigram stats are two aggregations over ONE exploded token
+      * stream (the window exchange is reused); percentages derive from the
+      * per-token counts, so no second scan of the documents. */
+    QueryDef(
+      "tx_repetition",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val stream = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(byDoc))
+          .withColumn("bigram",
+            when(col("w1").isNotNull, concat_ws(" ", col("w0"), col("w1"))))
+        val tokStats = stream.groupBy(col("doc_id"), col("w0"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+            max("c").as("top_c"))
+        val bgStats = stream.filter(col("w1").isNotNull)
+          .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum("c").as("n_bg"), count(lit(1)).as("n_bg_distinct"))
+        tokStats.join(bgStats, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            expr("(100 * (n_tokens - n_distinct)) div n_tokens").as("dup_token_pct"),
+            expr("(100 * top_c) div n_tokens").as("top_token_pct"),
+            expr("(100 * (coalesce(n_bg, 0) - coalesce(n_bg_distinct, 0))) " +
+              "div greatest(coalesce(n_bg, 0), 1)").as("dup_bigram_pct"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(t) AS w FROM toksq),
+             |tc  AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |ts  AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |               COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+             |        FROM tc GROUP BY 1),
+             |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |                              i -> t[i] || ' ' || t[i + 1])) AS bg
+             |        FROM toksq),
+             |bc  AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgl GROUP BY 1, 2),
+             |bs  AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+             |               COUNT(*) AS n_bg_distinct FROM bc GROUP BY 1)
+             |SELECT ts.doc_id, n_tokens,
+             |       (100 * (n_tokens - n_distinct)) // n_tokens AS dup_token_pct,
+             |       (100 * top_c) // n_tokens AS top_token_pct,
+             |       (100 * (COALESCE(n_bg, 0) - COALESCE(n_bg_distinct, 0)))
+             |         // greatest(COALESCE(n_bg, 0), 1) AS dup_bigram_pct
+             |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+             |ORDER BY ts.doc_id""".stripMargin)),
+
     /** Document fingerprint: md5 of the whitespace-normalized lowercase text
       * — the exact-dedup key (see graft.dedup.Dedup). */
     QueryDef(

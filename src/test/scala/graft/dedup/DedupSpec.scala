@@ -49,6 +49,21 @@ class DedupSpec extends AnyFunSuite {
       asg(r.getLong(1)) == r.getInt(2)))
   }
 
+  test("dup clusters: pairs land in one component, labeled by its min member") {
+    val labels = run("dd_dup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = run("dd_ngram_jaccard").filter(col("jaccard_permille") >= 500)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the label IS the minimum member of its component
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by min member")
+    }
+  }
+
   test("bucket cap drops adversarial hot-key buckets from pair expansion") {
     import spark.implicits._
     // 200 docs all sharing one hot shingle key (a stop-shingle stand-in):

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DocsStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("streaming exact dedup equals batch dd_exact fingerprint groups (multi-batch)") {
+    // Stage the fixture as two files split by doc_id so duplicate texts can
+    // span the micro-batch boundary; maxFilesPerTrigger=1 forces two batches.
+    val dir = java.nio.file.Files.createTempDirectory("docs_dedup").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val mid = docs.selectExpr("percentile_approx(doc_id, 0.5)").head.getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis()
+    stage(docs.filter(col("doc_id") <= mid), "part1", t0 - 60000)
+    stage(docs.filter(col("doc_id") > mid), "part2", t0)
+
+    val streamed = DocsStream.runDedupStream(spark, dir, "docs_dedup_spec",
+      maxFilesPerTrigger = 1)
+    val batch = graft.dedup.Dedup.defs.find(_.name == "dd_exact").get.fn(spark, sf)
+
+    // one row per distinct fingerprint, and exactly the batch fingerprint set
+    val streamFps = streamed.select("fp").collect().map(_.getString(0)).toSeq
+    assert(streamFps.distinct.size == streamFps.size, "stream emitted duplicate fps")
+    val batchFps = batch.select("fp").collect().map(_.getString(0)).toSet
+    assert(streamFps.toSet == batchFps)
+  }
+}
