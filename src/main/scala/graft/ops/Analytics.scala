@@ -239,6 +239,74 @@ object Analytics {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    /** MERGE/upsert semantics (SCD type-1) without a table format: snapshot
+      * ⟕⟖ changes with coalesce — matched rows take the change's values,
+      * unmatched changes insert. Here: customer balances upserted from each
+      * customer's latest order total. One shuffle join on the key (broadcast
+      * when the change set is small); at scale this is exactly the join
+      * Delta/Iceberg MERGE plans under the hood. */
+    QueryDef(
+      "an_merge_upsert",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey").as("k"), cents("c_acctbal").as("bal_cents"),
+            col("c_mktsegment").as("seg"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val changes = Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey").as("k2"), cents("o_totalprice").as("new_bal"))
+        base.join(changes, base("k") === changes("k2"), "full_outer")
+          .select(
+            coalesce(col("k"), col("k2")).as("k"),
+            coalesce(col("new_bal"), col("bal_cents")).as("bal_cents"),
+            coalesce(col("seg"), lit("NEW")).as("seg"))
+          .orderBy("k")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k,
+             |                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             |                     c_mktsegment AS seg
+             |              FROM customer),
+             |changes AS (SELECT o_custkey AS k,
+             |                   CAST(round(o_totalprice * 100) AS BIGINT) AS new_bal
+             |            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |                  FROM orders) WHERE rn = 1)
+             |SELECT COALESCE(base.k, changes.k) AS k,
+             |       COALESCE(changes.new_bal, base.bal_cents) AS bal_cents,
+             |       COALESCE(base.seg, 'NEW') AS seg
+             |FROM base FULL JOIN changes ON base.k = changes.k
+             |ORDER BY k""".stripMargin)),
+
+    /** Deterministic stratified sampling — the training-data mixing
+      * primitive: per-source keep rates applied via a SHARED hash of the key
+      * (md5 high bits mod 100), so the sample is reproducible in any engine
+      * and stable under reruns/backfills — none of which holds for
+      * rand()-based sampling. Narrow (no shuffle): the filter runs at the
+      * scan. */
+    QueryDef(
+      "an_hash_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .filter(expr(
+          "(source = 'src0' AND bucket < 25) OR " +
+            "(source = 'src1' AND bucket < 75) OR " +
+            "(source NOT IN ('src0', 'src1') AND bucket < 50)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source"),
+      Some("""WITH b AS (SELECT *,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM b
+             |WHERE (source = 'src0' AND bucket < 25)
+             |   OR (source = 'src1' AND bucket < 75)
+             |   OR (source NOT IN ('src0', 'src1') AND bucket < 50)
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     /** Multi-join analytic through the SQL surface (join-reorder +
       * broadcast-hint showcase; Catalyst plans the dim chain as broadcasts). */
     QueryDef(
