@@ -27,6 +27,13 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  // Note on scan splits: the fixture ships one row group per file, so the
+  // first narrow segment of each pipeline runs on one core until its first
+  // exchange. A round-robin repartition after read was measured (bench
+  // r2) to cost more than it buys here — the compute-heavy stages already
+  // parallelize via their own shuffles, and RoundRobinPartitioning's
+  // deterministic full-row local sort taxes every light consumer. On a
+  // cluster the lever is source-side: write multiple row groups / files.
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }
