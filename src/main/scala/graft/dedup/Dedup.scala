@@ -61,8 +61,9 @@ object Dedup {
     * otherwise collects one huge doc list whose pair expansion is quadratic
     * — the 100 TB killer. A key shared by more than this many docs carries
     * no near-dup signal, so such buckets are dropped from pair generation
-    * (standard stop-shingle removal). Fixture buckets max out at 25 docs
-    * (sf0.1), so oracle results are unchanged at test scales; the
+    * (standard stop-shingle removal). Shingle buckets stay tiny on fixtures
+    * (max 25 docs at sf0.1), but simhash BAND buckets do cross the cap at
+    * sf0.1 — so the dd_simhash_pairs oracle mirrors the cap explicitly; the
     * adversarial case is covered by DedupSpec's hot-shingle property. */
   val MaxBucket = 1000
 
@@ -291,20 +292,22 @@ object Dedup {
           .distinct()
           .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val bandEq = (0 until SimBands).map(b =>
-          s"(a.simhash >> ${b * SimBandBits}) & $SimBandMask = " +
-            s"(c.simhash >> ${b * SimBandBits}) & $SimBandMask")
-          .mkString("(", "\n              |      OR ", ")")
-        s"""WITH $duckSimhash60
-           |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      Some(
+        // banded form with the MaxBucket cap mirrored (the cap DOES trigger
+        // at sf0.1: one band bucket holds 1371 docs), so both engines drop
+        // the same hot buckets before pair expansion
+        s"""WITH $duckSimhash60,
+           |bands AS (SELECT doc_id, simhash, b.b AS bi,
+           |                 (simhash >> ($SimBandBits * b.b)) & $SimBandMask AS bv
+           |          FROM sims, (SELECT unnest(range(0, $SimBands)) AS b) b),
+           |keep AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+           |         HAVING COUNT(*) <= $MaxBucket)
+           |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
            |       CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
-           |FROM sims a JOIN sims c
-           |  ON a.doc_id < c.doc_id
-           | AND $bandEq
-           | AND bit_count(xor(a.simhash, c.simhash)) <= 10
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+           |FROM bands a JOIN keep k ON a.bi = k.bi AND a.bv = k.bv
+           |     JOIN bands c ON c.bi = a.bi AND c.bv = a.bv AND a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.simhash, c.simhash)) <= 10
+           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     /** End-to-end corpus cleaning — the composite an LLM-data pipeline
       * actually runs: quality gate (token count + stopword ratio) →

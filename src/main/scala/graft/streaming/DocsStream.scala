@@ -27,6 +27,27 @@ object DocsStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Incremental exact dedup into a parquet landing table with a real
+    * checkpoint: each invocation processes only files that arrived since the
+    * last run (source offsets live in `checkpointDir`), appends first-seen
+    * documents exactly once, and carries the fingerprint state ACROSS runs —
+    * the incremental-ingestion lifecycle that replaces the reference's
+    * drop-everything-and-reload (create_tables.py:40-41). At scale this is
+    * the production shape: file-source offsets + state store in the
+    * checkpoint, exactly-once parquet sink via the sink's commit log. */
+  def runDedupToParquet(spark: SparkSession, docsDir: String, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(docsSchema).parquet(docsDir)
+      .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Incremental exact dedup over a directory of arriving document files;
     * returns the deduped rows seen so far (memory sink, AvailableNow).
     * `maxFilesPerTrigger` > 0 forces multi-batch runs (spec). */

@@ -38,4 +38,37 @@ class DocsStreamSpec extends AnyFunSuite {
     val batchFps = batch.select("fp").collect().map(_.getString(0)).toSet
     assert(streamFps.toSet == batchFps)
   }
+
+  test("checkpointed parquet-sink dedup resumes across separate runs (incremental ingestion)") {
+    val land = java.nio.file.Files.createTempDirectory("docs_land").toString
+    val out = s"$land/out"
+    val ckpt = s"$land/ckpt"
+    val src = s"$land/src"
+    new java.io.File(src).mkdirs()
+    val docs = graft.Tables.documents(spark, sf)
+    val mid = docs.selectExpr("percentile_approx(doc_id, 0.5)").head.getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$land/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    // run 1: first half arrives
+    stage(docs.filter(col("doc_id") <= mid), "part1")
+    DocsStream.runDedupToParquet(spark, src, out, ckpt)
+    val afterRun1 = spark.read.parquet(out).count()
+    // run 2: second half arrives; checkpoint must skip part1 and keep state
+    stage(docs.filter(col("doc_id") > mid), "part2")
+    DocsStream.runDedupToParquet(spark, src, out, ckpt)
+    val result = spark.read.parquet(out)
+    val fps = result.select("fp").collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.size == fps.size,
+      "resumed run re-emitted fingerprints already in the landing table")
+    val batchFps = graft.dedup.Dedup.defs.find(_.name == "dd_exact").get
+      .fn(spark, sf).select("fp").collect().map(_.getString(0)).toSet
+    assert(fps.toSet == batchFps)
+    assert(afterRun1 < fps.size, "run 2 appended nothing — not incremental")
+  }
 }
