@@ -242,6 +242,24 @@ object Analytics {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    /** Salted equi-join (graft.ops.Skew.saltedJoin): hot fact keys spread
+      * over 32 reducers by joining on (key, salt) against a replicated dim.
+      * The oracle is the PLAIN join — salting must be result-invisible. */
+    QueryDef(
+      "an_salted_join",
+      (s, d) => Skew.saltedJoin(
+          Tables.lineitem(s, d)
+            .select(col("l_partkey").as("k"), col("l_orderkey"), col("l_quantity")),
+          Tables.part(s, d).select(col("p_partkey").as("k"), col("p_brand")),
+          key = "k", saltSource = "l_orderkey")
+        .groupBy(col("p_brand"))
+        .agg(expr("CAST(sum(l_quantity) AS BIGINT)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     /** MERGE/upsert semantics (SCD type-1) without a table format: snapshot
       * ⟕⟖ changes with coalesce — matched rows take the change's values,
       * unmatched changes insert. Here: customer balances upserted from each

@@ -30,4 +30,22 @@ object Skew {
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+
+  /** Salted equi-join for a hot-keyed fact side that must SHUFFLE-join a
+    * non-broadcastable dimension (too big to broadcast, too hot for a plain
+    * hash join): the fact side gets a random-in-[0,buckets) salt derived
+    * from a high-cardinality column, the dim side is replicated once per
+    * salt value, and the join runs on (key, salt) — each hot key's rows
+    * spread over `buckets` reducers. Result is row-identical to the plain
+    * join; cost is dim×buckets replication, the standard trade. (AQE's
+    * skew-join split handles sort-merge joins after the fact; salting is
+    * the plan-level guarantee that also covers repeated joins and
+    * pre-bucketed layouts.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: String, buckets: Int = 32): DataFrame = {
+    val salted = fact.withColumn("_salt", saltFrom(col(saltSource), buckets))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }
