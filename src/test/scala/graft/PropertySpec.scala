@@ -47,6 +47,36 @@ object GraftProperties extends Properties("graft") {
       agg.merge(fold(xs), fold(ys)).entries == fold(xs ++ ys).entries
     }
 
+  private val tokenGen = Gen.listOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+
+  property("simhash60 fits in 60 bits and equals the vote-by-vote reference") =
+    forAll(tokenGen) { toks =>
+      val got = toks.toDF("t").groupBy().agg(collect_list(col("t")).as("ts"))
+        .selectExpr("simhash60(ts) AS h") // registered by TestSpark session
+        .head.getLong(0)
+      // independent reference computation of the same semantics
+      val votes = new Array[Int](60)
+      toks.foreach { t =>
+        val h = functions.SimHashImpl.tokenHash60(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        (0 until 60).foreach(j => votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+      }
+      val expect = (0 until 60).foldLeft(0L)((acc, j) =>
+        if (votes(j) >= 0) acc | (1L << j) else acc)
+      got == expect && (got >>> 60) == 0L
+    }
+
+  property("cosine_sim is symmetric and 1.0 on self (non-zero vectors)") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100))
+        .suchThat(_.exists(_ != 0))) { xsInt =>
+      val xs = xsInt.map(_.toDouble)
+      val df = Seq((xs, xs.reverse)).toDF("a", "b")
+        .selectExpr("cosine_sim(a, b) AS ab", "cosine_sim(b, a) AS ba",
+          "cosine_sim(a, a) AS aa")
+      val r = df.head
+      r.getDouble(0) == r.getDouble(1) && math.abs(r.getDouble(2) - 1.0) < 1e-9
+    }
+
   property("distinct is idempotent") = {
     val d1 = etl.StarEtl.users(spark, TestSpark.sf)
     d1.distinct().count() == d1.count()
