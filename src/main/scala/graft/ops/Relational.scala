@@ -210,6 +210,50 @@ object Relational {
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |ORDER BY event_id""".stripMargin)),
 
+    /** As-of join with a tolerance horizon: same distribution shape as
+      * jn_asof, but the matched order's timestamp is carried alongside so a
+      * residual filter enforces `event.t - order.t <= tol` — the "match
+      * only if recent enough" form every as-of consumer eventually needs
+      * (stale matches become misses). Still one shuffle, no row explosion;
+      * the oracle is DuckDB's native ASOF JOIN with the same residual.
+      * (Fixture event times sit ~22-27 years after the order era, so the
+      * tolerance cuts at the gap median to exercise both keep and drop.) */
+    QueryDef(
+      "jn_asof_tolerance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val TolMs = 730000000000L
+        val orders = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("k"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+          .select(col("k"), col("t"), lit(1).as("is_order"),
+            col("o_orderkey"), lit(null).cast("long").as("event_id"))
+        val events = Tables.events(s, d)
+          .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
+            lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+            col("event_id"))
+        val w = Window.partitionBy(col("k"))
+          .orderBy(col("t").asc, col("is_order").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.unionAll(events)
+          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+          .withColumn("asof_t",
+            last(when(col("is_order") === 1, col("t")), ignoreNulls = true).over(w))
+          .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull &&
+            col("t") - col("asof_t") <= TolMs)
+          .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
+             |                  MAX(o_orderkey) AS o_orderkey
+             |           FROM orders GROUP BY 1, 2),
+             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events)
+             |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
+             |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
+             |WHERE e.t - o.t <= 730000000000
+             |ORDER BY event_id""".stripMargin)),
+
     /** Range join, bucketized — the scale-correct shape for interval
       * predicates: equi-join on a coarse time bucket (so Catalyst plans a
       * hash join, never a nested-loop theta join), then filter the precise
