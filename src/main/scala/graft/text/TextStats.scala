@@ -201,6 +201,38 @@ object TextStats {
              |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
              |ORDER BY ts.doc_id""".stripMargin)),
 
+    /** Overlapping token-window chunking — the preprocessing step feeding
+      * embedding/RAG pipelines: 50-token chunks advancing by 40 (10-token
+      * overlap), stable (doc_id, chunk_idx) identity, md5 fingerprint per
+      * chunk. One narrow pass (HOF sequence → slice inside codegen, then
+      * posexplode); chunk count per doc is ceil-div arithmetic both engines
+      * share. At 100 TB this is the shape that matters: no shuffle, output
+      * partitioning inherits the scan. */
+    QueryDef(
+      "tx_chunks",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, (greatest(n - 50, 0) + 39) div 40), i -> " +
+              "slice(t, CAST(i * 40 + 1 AS INT), 50))")).as(Seq("chunk_idx", "ctoks")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("int").as("chunk_idx"),
+          size(col("ctoks")).as("n_chunk_tokens"),
+          md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+             |c AS (SELECT doc_id, t,
+             |             unnest(range(0, (greatest(len(t) - 50, 0) + 39) // 40 + 1)) AS idx
+             |      FROM toksq)
+             |SELECT doc_id, CAST(idx AS INTEGER) AS chunk_idx,
+             |       CAST(len(list_slice(t, idx * 40 + 1, idx * 40 + 50)) AS INTEGER)
+             |         AS n_chunk_tokens,
+             |       md5(array_to_string(list_slice(t, idx * 40 + 1, idx * 40 + 50), ' '))
+             |         AS chunk_fp
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     /** Document fingerprint: md5 of the whitespace-normalized lowercase text
       * — the exact-dedup key (see graft.dedup.Dedup). */
     QueryDef(
