@@ -20,7 +20,11 @@ object Bench {
     try {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => -1.0 }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] query failed: ${e.getClass.getName}: ${e.getMessage}")
+        -1.0
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -39,8 +43,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A regressed-to-throwing query must not read as an improved total:
+    // surface an explicit failure count and a nonzero exit code.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}""")
+    failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

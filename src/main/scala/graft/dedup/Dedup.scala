@@ -61,10 +61,13 @@ object Dedup {
     * otherwise collects one huge doc list whose pair expansion is quadratic
     * — the 100 TB killer. A key shared by more than this many docs carries
     * no near-dup signal, so such buckets are dropped from pair generation
-    * (standard stop-shingle removal). Shingle buckets stay tiny on fixtures
-    * (max 25 docs at sf0.1), but simhash BAND buckets do cross the cap at
-    * sf0.1 — so the dd_simhash_pairs oracle mirrors the cap explicitly; the
-    * adversarial case is covered by DedupSpec's hot-shingle property. */
+    * (standard stop-shingle removal). EVERY bucketed candidate generator's
+    * oracle mirrors the cap with a `keep … HAVING COUNT(*) <= cap` CTE, so
+    * both engines always state the same semantics (at sf0.1 the cap FIRES
+    * for simhash band buckets — one holds 1,371 docs — and stays dormant for
+    * shingle buckets, max 25 docs; either way the engines agree by
+    * construction). The adversarial case is covered by DedupSpec's
+    * hot-shingle property. */
   val MaxBucket = 1000
 
   /** Expand each bucket's sorted doc list into its (a < b) pairs — the
@@ -144,6 +147,29 @@ object Dedup {
     * exchange, which Catalyst's ReuseExchange then computes once: the
     * expensive scan → posexplode → window shingle subtree appears a single
     * time in the physical plan (it previously ran 3x per query). */
+  /** DuckDB CTE chain mirroring [[jaccardPairs]], ending in `jac(doc_a,
+    * doc_b, jaccard_permille)`. The `keep` CTE states the [[MaxBucket]] cap
+    * the Spark side applies in [[bucketPairs]]: hot shingles are dropped
+    * from candidate generation in BOTH engines (per-doc counts `n` stay
+    * uncapped, matching the Spark side where `n` derives from the bucket
+    * postings before the cap filter). Fixture shingle buckets stay far under
+    * the cap today, but the semantics must agree by construction, not by
+    * fixture luck. */
+  private def duckJaccard(permille: Int): String =
+    s"""toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+       |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+       |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+       |keep AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= $MaxBucket),
+       |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN keep k ON a.sng = k.sng
+       |               JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b, (1000 * i) // (na.n + nb.n - i) AS jaccard_permille
+       |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+       |        WHERE (1000 * i) // (na.n + nb.n - i) >= $permille)""".stripMargin
+
   private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
     val buckets = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
@@ -227,9 +253,11 @@ object Dedup {
            |          $mins
            |        FROM hh GROUP BY doc_id),
            |bands AS (SELECT doc_id, unnest([
-           |            $bks]) AS bk FROM sig)
+           |            $bks]) AS bk FROM sig),
+           |keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $MaxBucket)
            |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-           |FROM bands a JOIN bands c ON a.bk = c.bk AND a.doc_id < c.doc_id
+           |FROM bands a JOIN keep k ON a.bk = k.bk
+           |     JOIN bands c ON c.bk = a.bk AND a.doc_id < c.doc_id
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
@@ -240,18 +268,9 @@ object Dedup {
       (s, d) => jaccardPairs(s, d, permille = 200)
         .select(col("doc_a"), col("doc_b"), col("jaccard_permille"))
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
-             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
-             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
-             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
-             |          GROUP BY 1, 2)
-             |SELECT doc_a, doc_b, (1000 * i) // (na.n + nb.n - i) AS jaccard_permille
-             |FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-             |WHERE (1000 * i) // (na.n + nb.n - i) >= 200
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(s"""WITH ${duckJaccard(200)}
+              |SELECT doc_a, doc_b, jaccard_permille FROM jac
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     /** Per-doc 32-bit SimHash code. */
     QueryDef(
@@ -332,29 +351,19 @@ object Dedup {
           .join(nearDupLosers, Seq("doc_id"), "left_anti")
           .orderBy("doc_id")
       },
-      Some("""WITH q AS (
-             |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
-             |  FROM documents
-             |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
-             |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
-             |                               t -> t IN ('the', 'a', 'of', 'and', 'to'))))
-             |        // len(string_split_regex(trim(text), ' +')) < 40),
-             |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp),
-             |toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
-             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
-             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
-             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
-             |          GROUP BY 1, 2),
-             |losers AS (SELECT DISTINCT doc_b AS doc_id
-             |           FROM inter JOIN n na ON na.doc_id = doc_a
-             |                      JOIN n nb ON nb.doc_id = doc_b
-             |           WHERE (1000 * i) // (na.n + nb.n - i) >= 500)
-             |SELECT doc_id FROM keepers
-             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+              |  FROM documents
+              |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
+              |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
+              |                               t -> t IN ('the', 'a', 'of', 'and', 'to'))))
+              |        // len(string_split_regex(trim(text), ' +')) < 40),
+              |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+              |${duckJaccard(500)},
+              |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jac)
+              |SELECT doc_id FROM keepers
+              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+              |ORDER BY doc_id""".stripMargin)),
 
     /** Near-dup cluster assignment — connected components over the
       * ≥0.5-Jaccard pair graph, the transitive step a production dedup
@@ -396,18 +405,8 @@ object Dedup {
         }
         labels.orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE
-             |toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-             |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-             |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
-             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
-             |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
-             |          FROM ex a JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
-             |          GROUP BY 1, 2),
-             |jac AS (SELECT doc_a, doc_b
-             |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-             |        WHERE (1000 * i) // (na.n + nb.n - i) >= 500),
+      Some(s"""WITH RECURSIVE
+             |${duckJaccard(500)},
              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
              |          UNION ALL SELECT doc_b, doc_a FROM jac),
              |reach(a, r) AS (

@@ -45,7 +45,7 @@ object StarEtl {
     * component before the timestamp is built. Epoch millis are positive, so
     * divide-then-cast truncation equals the reference's integer division. */
   def epochToTimestamp(ms: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_seconds((ms / 1000).cast(LongType))
+    timestamp_seconds(call_function("div", ms, lit(1000)))
 
   private def startTime = epochToTimestamp(expr("ms")).as("start_time")
 

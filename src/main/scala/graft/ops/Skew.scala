@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Working-column name for the salt. Prefixed to make a collision with a
+    * caller's own columns implausible; [[saltedJoin]] asserts it anyway
+    * (a duplicate would make the join key silently wrong). */
+  val SaltCol = "__graft_salt"
+
   /** Deterministic salt derived from a high-cardinality column. */
   def saltFrom(c: Column, buckets: Int): Column = pmod(xxhash64(c), lit(buckets))
 
@@ -25,8 +30,8 @@ object Skew {
     * `df.groupBy(key).agg(sum(valueCol), count(*))`. */
   def saltedSumCount(df: DataFrame, key: String, saltSource: String,
       valueCol: Column, buckets: Int = 32): DataFrame =
-    df.withColumn("_salt", saltFrom(col(saltSource), buckets))
-      .groupBy(col(key), col("_salt"))
+    df.withColumn(SaltCol, saltFrom(col(saltSource), buckets))
+      .groupBy(col(key), col(SaltCol))
       .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
@@ -43,9 +48,11 @@ object Skew {
     * pre-bucketed layouts.) */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: String, buckets: Int = 32): DataFrame = {
-    val salted = fact.withColumn("_salt", saltFrom(col(saltSource), buckets))
-    val replicated = dim.withColumn("_salt",
+    require(!fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"input already has a $SaltCol column")
+    val salted = fact.withColumn(SaltCol, saltFrom(col(saltSource), buckets))
+    val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 }
