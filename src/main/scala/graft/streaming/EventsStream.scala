@@ -113,20 +113,31 @@ object EventsStream {
     * window variant needs the full history resident; this needs one open
     * session per key).
     *
+    * State EXPIRES: the input carries a `watermarkDelay` event-time
+    * watermark and the state an `EventTimeTimeout` at lastMs + gap. When the
+    * watermark passes a user's gap horizon without new events, the open
+    * session is emitted as FINAL and the state row is REMOVED — without this
+    * a departed user's state lives forever (hundreds of millions of rows at
+    * the 100 TB target) and their last session never closes. Expiry cannot
+    * diverge from batch semantics: the timeout firing at watermark w implies
+    * any future non-late event (ms ≥ w ≥ lastMs + gap) starts a new session
+    * under the gap rule anyway.
+    *
     * Emit contract: because an append sink cannot retract, the still-open
     * session is re-emitted at the end of every micro-batch it received
     * events in, as a PROVISIONAL row (n_events grows monotonically per
-    * emission). Downstream therefore compacts by (user_id,
-    * session_start_ms) keeping the row with the largest n_events — the
-    * standard upsert-by-key pattern for append streams; this function
-    * applies that compaction before returning, so multi-batch runs agree
-    * with [[sessionizeBatch]] exactly.
+    * emission); the timeout emission above is its final form. Downstream
+    * therefore compacts by (user_id, session_start_ms) keeping the row with
+    * the largest n_events — the standard upsert-by-key pattern for append
+    * streams; [[runSessionizeStream]] applies that compaction before
+    * returning, so multi-batch runs agree with [[sessionizeBatch]] exactly.
     *
     * `maxFilesPerTrigger` > 0 bounds files per micro-batch (used by the
     * spec to force a genuine multi-batch run under AvailableNow). */
-  def runSessionizeStream(spark: SparkSession, eventsDir: String,
+  def sessionizeStreamQuery(spark: SparkSession, eventsDir: String,
       queryName: String = "sessions_stream",
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val reader = spark.readStream.schema(eventsSchema)
@@ -134,39 +145,66 @@ object EventsStream {
     val events = reader.parquet(eventsDir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("et", expr("timestamp_millis(ms)"))
+      .withWatermark("et", watermarkDelay)
       .as[Ev]
     def fn(user: Long, it: Iterator[Ev], state: GroupState[Open]): Iterator[Sess] = {
-      val evs = it.toSeq.sortBy(e => (e.ms, e.event_id))
-      var open = state.getOption
-      val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
-      evs.foreach { e =>
-        open = open match {
-          case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
-            Some(s.copy(n = s.n + 1, cents = s.cents + e.cents, lastMs = e.ms))
-          case Some(s) =>
-            // closed by gap — this emission is final
-            out += Sess(user, s.start, s.n, s.cents)
-            Some(Open(e.ms, 1, e.cents, e.ms))
-          case None =>
-            Some(Open(e.ms, 1, e.cents, e.ms))
+      if (state.hasTimedOut) {
+        // watermark passed lastMs + gap with no new events: close out
+        val fin = state.getOption.map(s => Sess(user, s.start, s.n, s.cents))
+        state.remove()
+        fin.iterator
+      } else {
+        val evs = it.toSeq.sortBy(e => (e.ms, e.event_id))
+        var open = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+        evs.foreach { e =>
+          open = open match {
+            case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
+              Some(s.copy(n = s.n + 1, cents = s.cents + e.cents, lastMs = e.ms))
+            case Some(s) =>
+              // closed by gap — this emission is final
+              out += Sess(user, s.start, s.n, s.cents)
+              Some(Open(e.ms, 1, e.cents, e.ms))
+            case None =>
+              Some(Open(e.ms, 1, e.cents, e.ms))
+          }
         }
+        // provisional emission of the open session (see emit contract above)
+        open.foreach { s =>
+          state.update(s)
+          // events passing the late filter have ms ≥ watermark, so this
+          // timestamp is always > watermark (Spark rejects stale timeouts)
+          state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
+          out += Sess(user, s.start, s.n, s.cents)
+        }
+        out.iterator
       }
-      // provisional emission of the open session (see emit contract above)
-      open.foreach { s => state.update(s); out += Sess(user, s.start, s.n, s.cents) }
-      out.iterator
     }
-    val q = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .writeStream.outputMode("append").format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // Upsert-by-key compaction: latest provisional/final row per session.
+  }
+
+  /** Upsert-by-key compaction of the append-stream emissions: latest
+    * provisional/final row per (user, session_start). */
+  def compactSessions(spark: SparkSession, queryName: String): DataFrame =
     spark.table(queryName)
       .groupBy(col("user_id"), col("session_start_ms"))
       .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
       .select(col("user_id"), col("session_start_ms"),
         col("m.n_events").as("n_events"), col("m.sum_cents").as("sum_cents"))
       .orderBy("user_id", "session_start_ms")
+
+  def runSessionizeStream(spark: SparkSession, eventsDir: String,
+      queryName: String = "sessions_stream",
+      maxFilesPerTrigger: Int = 0,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val q = sessionizeStreamQuery(spark, eventsDir, queryName, maxFilesPerTrigger,
+      watermarkDelay)
+    q.awaitTermination()
+    compactSessions(spark, queryName)
   }
 
   val defs: Seq[QueryDef] = Seq(

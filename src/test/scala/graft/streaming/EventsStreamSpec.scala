@@ -57,4 +57,60 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(stream == batch,
       s"multi-batch stream diverged: ${stream.size} vs ${batch.size} sessions")
   }
+
+  test("sessionizer state EXPIRES: idle user emits a final session and its state row is removed") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("events_expiry").toString
+    val t0 = 1600000000000L // epoch ms
+    val Min = 60000L; val Hour = 3600000L
+    // Rows shaped like the fixture: ts is BIGINT nanoseconds.
+    def stage(name: String, mtime: Long, rows: (Long, Long, Long)*): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ms, uid) =>
+          org.apache.spark.sql.Row(id, ms * 1000000L, uid, "play", 1.0, "{}") }, 1),
+        StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val tmp = s"$dir/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    // user 1: one 3-event session, then silence forever.
+    stage("f1", now - 120000, (1L, t0, 1L), (2L, t0 + 10 * Min, 1L), (3L, t0 + 20 * Min, 1L))
+    // user 2: appears 6 h later — advances the watermark past user 1's
+    // gap horizon (t0+20min+1h) once the delay (10 min) is subtracted.
+    stage("f2", now - 60000, (4L, t0 + 6 * Hour, 2L), (5L, t0 + 6 * Hour + Min, 2L))
+    // user 3: far future — in whatever batch processes this file, the
+    // timeout check runs against the watermark from f2's batch and fires
+    // user 1's expiry; if a trailing no-data batch runs, user 2 expires too.
+    stage("f3", now, (6L, t0 + 100 * Hour, 3L))
+    val q = EventsStream.sessionizeStreamQuery(spark, dir, "sessions_expiry",
+      maxFilesPerTrigger = 1, watermarkDelay = "10 minutes")
+    q.awaitTermination()
+    // Final emission for user 1 arrived via TIMEOUT: the raw append table
+    // holds the provisional row from its data batch plus the identical
+    // final row from the timeout batch.
+    val raw = spark.table("sessions_expiry")
+    val u1 = raw.filter(col("user_id") === 1).collect()
+    assert(u1.length == 2, s"expected provisional + timeout-final for user 1, got ${u1.toSeq}")
+    assert(u1.map(_.toSeq).distinct.size == 1, s"final differs from provisional: ${u1.toSeq}")
+    assert(u1.head.getLong(2) == 3, s"user 1 session should have 3 events: ${u1.head}")
+    // Compacted output: exactly one session per user, matching the gap rule.
+    val sessions = EventsStream.compactSessions(spark, "sessions_expiry").collect().toSeq
+    assert(sessions.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      Seq((1L, t0, 3L), (2L, t0 + 6 * Hour, 2L), (3L, t0 + 100 * Hour, 1L)))
+    // State shrank: user 1's row (and user 2's, if a trailing no-data batch
+    // ran) is REMOVED — without EventTimeTimeout this is 3 forever.
+    val lastState = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head).get
+    assert(lastState.numRowsTotal <= 2,
+      s"state did not shrink: ${lastState.numRowsTotal} rows still live")
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 1, "no state rows were ever removed")
+  }
 }
