@@ -170,6 +170,16 @@ object Dedup {
        |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
        |        WHERE (1000 * i) // (na.n + nb.n - i) >= $permille)""".stripMargin
 
+  /** Truncate lineage between label-propagation rounds. With a configured
+    * checkpoint dir this is a RELIABLE checkpoint (blocks on the cluster
+    * store, survives executor loss — required for the iterative loop on a
+    * real cluster, where one lost executor would otherwise invalidate an
+    * unrecoverable lineage chain); without one it falls back to
+    * executor-local blocks, the right trade in local mode. */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
     val buckets = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
@@ -372,9 +382,10 @@ object Dedup {
       * each round, every node takes the min cluster id among itself and its
       * neighbors; rounds = component diameter (near-dup components are short
       * chains). Each round is one join + one groupBy, labels are
-      * checkpointed so the plan stays flat (at cluster scale the same loop
-      * runs with reliable checkpoints — this is how GraphX/GraphFrames'
-      * connected components distributes). Output: every doc appearing in a
+      * checkpointed via [[ckpt]] so the plan stays flat — RELIABLE
+      * checkpoints whenever a checkpoint dir is configured, which is how
+      * GraphX/GraphFrames' connected components survives executor loss on a
+      * real cluster. Output: every doc appearing in a
       * pair, labeled by the min doc_id of its component. The oracle computes
       * the same fixpoint as a DuckDB recursive-CTE transitive closure — an
       * independent algorithm, so agreement checks the semantics, not the
@@ -382,21 +393,20 @@ object Dedup {
     QueryDef(
       "dd_dup_clusters",
       (s, d) => {
-        val pairs = jaccardPairs(s, d, permille = 500)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val pairs = ckpt(jaccardPairs(s, d, permille = 500)
+          .select(col("doc_a"), col("doc_b")))
         val sym = pairs.unionAll(
           pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var labels = sym.select(col("doc_a").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")).localCheckpoint()
+        var labels = ckpt(sym.select(col("doc_a").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")))
         var converged = false
         while (!converged) {
           val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
             .groupBy(sym("doc_a").as("nbr_key")).agg(min(col("cluster_id")).as("nbr_min"))
-          val next = labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
+          val next = ckpt(labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
             .select(labels("doc_id"),
               least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
-                .as("cluster_id"))
-            .localCheckpoint()
+                .as("cluster_id")))
           val changed = next
             .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
             .filter(col("cluster_id") < col("old")).count()

@@ -64,6 +64,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dup clusters run with RELIABLE checkpoints when a checkpoint dir is set") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir configured")
+    val baseline = run("dd_dup_clusters").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val reliable = run("dd_dup_clusters").collect().toSeq
+      assert(reliable == baseline, "checkpoint mode changed the fixpoint")
+      // the loop actually wrote cluster-store checkpoints (executor-loss-safe)
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      // restore local-mode behavior for the rest of the suite
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+    }
+  }
+
   test("bucket cap drops adversarial hot-key buckets from pair expansion") {
     import spark.implicits._
     // 200 docs all sharing one hot shingle key (a stop-shingle stand-in):
