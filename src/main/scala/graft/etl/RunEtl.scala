@@ -1,19 +1,39 @@
 package graft.etl
 
-import graft.Sessions
+import graft.{GraftConfig, Sessions}
 
 /** CLI entry point — the `python etl.py` analog (reference etl.py:32-43):
   * drops/recreates the catalog tables, runs the five-table star ELT end to
   * end, and prints per-table row counts.
   *
-  * Usage: `sbt "runMain graft.etl.RunEtl <sfDir> <outDir>"`
-  * (cpus via SPARK_GRAFT_CPUS, default 4).
+  * Usage: `sbt "runMain graft.etl.RunEtl [--config dwh.cfg] [<sfDir>] [<outDir>]"`
+  *
+  * Config-driven like the reference (etl.py:6-10 reads dwh.cfg before
+  * anything else): `[GRAFT] SF_DIR / OUT_DIR / CPUS` supply the defaults,
+  * positional argv overrides them, and SPARK_GRAFT_CPUS overrides CPUS.
   */
 object RunEtl {
+
+  /** (sfDir, outDir, cpus) from config + argv; argv wins. Exposed for the
+    * spec — no SparkSession involved. */
+  def resolve(args: Array[String]): (String, String, String) = {
+    val (cfgPath, positional) = args.indexOf("--config") match {
+      case -1 => (None, args.toSeq)
+      case i  => (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
+    }
+    val cfg = cfgPath.map(GraftConfig.load).getOrElse(GraftConfig.Config(Map.empty))
+    val sfDir = positional.headOption.orElse(cfg.get("GRAFT", "SF_DIR"))
+      .getOrElse(sys.error("usage: RunEtl [--config dwh.cfg] [<sfDir>] [<outDir>] " +
+        "(sfDir from argv or [GRAFT] SF_DIR)"))
+    val outDir = positional.lift(1).orElse(cfg.get("GRAFT", "OUT_DIR"))
+      .getOrElse(sys.error("outDir missing: pass it or set [GRAFT] OUT_DIR"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cfg.getOr("GRAFT", "CPUS", "4"))
+    (sfDir, outDir, cpus)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: RunEtl <sfDir> <outDir>")
-    val (sfDir, outDir) = (args(0), args(1))
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val (sfDir, outDir, cpus) = resolve(args)
+    val spark = Sessions.local(cpus)
     try {
       // create_tables.py analog: reset the catalog before loading
       StarCatalog.reset(spark)

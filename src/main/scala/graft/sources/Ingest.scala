@@ -84,4 +84,53 @@ object Ingest {
       .withColumn("duration", col("duration").cast(dec9))
       .withColumn("artist_latitude", col("artist_latitude").cast(dec9))
       .withColumn("artist_longitude", col("artist_longitude").cast(dec9))
+
+  /** Redshift jsonpaths manifest → (read schema, source→target renames).
+    *
+    * The one COPY option that previously had no executable analog: the
+    * reference's S1 COPY names a jsonpaths file (sql_queries.py:125 via
+    * dwh.cfg [S3] LOG_JSONPATH) whose i-th `"$['field']"` entry maps the
+    * source field to the i-th column of the TARGET table — a positional
+    * contract, unlike Spark's by-name matching. This translates the
+    * manifest into (a) the `StructType` to hand `spark.read.json` — fields
+    * named by the SOURCE leaf in manifest order, typed by the corresponding
+    * target column, so the read stays a single schema'd distributed pass —
+    * and (b) the rename list that restores the target column names.
+    *
+    * Both `$['field']` and `$.field` forms parse (the two Redshift spells);
+    * nested paths are rejected — the reference's log_json_path.json is flat,
+    * and a nested mapping has no by-position analog in a flat staging table.
+    */
+  def jsonpathsMapping(manifestJson: String,
+      target: StructType): (StructType, Seq[(String, String)]) = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(manifestJson)
+    val arr = root.get("jsonpaths")
+    require(arr != null && arr.isArray, "manifest must have a jsonpaths array")
+    val Bracket = """\$\[['"]([^'"\[\]]+)['"]\]""".r
+    val Dotted = """\$\.([A-Za-z0-9_]+)""".r
+    val sources = (0 until arr.size).map { i =>
+      arr.get(i).asText match {
+        case Bracket(f) => f
+        case Dotted(f)  => f
+        case p => sys.error(s"unsupported jsonpath '$p' (flat $$['field'] / $$.field only)")
+      }
+    }
+    require(sources.size == target.fields.length,
+      s"jsonpaths has ${sources.size} entries but target has ${target.fields.length} columns " +
+        "(COPY maps them positionally)")
+    val readSchema = StructType(sources.zip(target.fields).map {
+      case (src, tf) => StructField(src, tf.dataType, tf.nullable)
+    })
+    (readSchema, sources.zip(target.fields.map(_.name)))
+  }
+
+  /** S1 via an actual jsonpaths manifest: schema'd single-pass read of the
+    * source-named fields, then positional rename to the target columns. */
+  def readJsonViaJsonpaths(spark: SparkSession, dataPath: String,
+      manifestJson: String, target: StructType): DataFrame = {
+    val (readSchema, renames) = jsonpathsMapping(manifestJson, target)
+    renames.foldLeft(spark.read.schema(readSchema).json(dataPath)) {
+      case (df, (src, dst)) => df.withColumnRenamed(src, dst)
+    }
+  }
 }

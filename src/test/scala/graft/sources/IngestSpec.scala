@@ -62,6 +62,45 @@ class IngestSpec extends AnyFunSuite {
     assert(df.filter(col("song_id") === "SO2").select("artist_latitude").head.isNullAt(0))
   }
 
+  test("jsonpaths manifest: positional mapping to target columns, typed read, renames") {
+    import org.apache.spark.sql.types._
+    // Shaped like the reference's log_json_path.json (S3 LOG_JSONPATH):
+    // camelCase source fields, positionally mapped to snake_case staging
+    // columns — the case by-name matching cannot handle.
+    val manifest =
+      """{"jsonpaths": ["$['artist']", "$.firstName", "$['sessionId']", "$['ts']"]}"""
+    val target = StructType(Seq(
+      StructField("artist_name", StringType),
+      StructField("first_name", StringType),
+      StructField("session_id", IntegerType),
+      StructField("ts", LongType)))
+    val (readSchema, renames) = Ingest.jsonpathsMapping(manifest, target)
+    assert(readSchema.fieldNames.toSeq == Seq("artist", "firstName", "sessionId", "ts"))
+    assert(readSchema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, StringType, IntegerType, LongType))
+    assert(renames == Seq("artist" -> "artist_name", "firstName" -> "first_name",
+      "sessionId" -> "session_id", "ts" -> "ts"))
+
+    val path = tmpJson("events_jp.json", Seq(
+      """{"artist":"A","firstName":"Lily","sessionId":139,"ts":1541105830796,"extra":"ignored"}""",
+      """{"artist":"B","sessionId":140,"ts":1541106106796}"""))
+    val df = Ingest.readJsonViaJsonpaths(spark, path, manifest, target)
+    assert(df.columns.toSeq == Seq("artist_name", "first_name", "session_id", "ts"))
+    val rows = df.orderBy("session_id").collect()
+    assert(rows(0).getString(0) == "A" && rows(0).getString(1) == "Lily" &&
+      rows(0).getInt(2) == 139 && rows(0).getLong(3) == 1541105830796L)
+    assert(rows(1).isNullAt(1), "missing source field reads as null")
+
+    // count mismatch and nested paths are loud failures, not silent skew
+    intercept[RuntimeException] {
+      Ingest.jsonpathsMapping("""{"jsonpaths": ["$['a']"]}""", target)
+    }
+    intercept[RuntimeException] {
+      Ingest.jsonpathsMapping(
+        """{"jsonpaths": ["$['a']['b']", "$.b", "$.c", "$.d"]}""", target)
+    }
+  }
+
   test("Layout: distkey repartition + sortkey sortWithinPartitions hold per partition") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val out = Layout.layout(li, Some("l_orderkey"), Some("l_shipdate"), partitions = 4)
