@@ -210,6 +210,41 @@ object Dedup {
              |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
              |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
 
+    /** Priority-aware canonical selection — the production exact-dedup
+      * variant: within each exact-dup group keep the doc from the
+      * highest-priority SOURCE (rank = numeric suffix of `source`; lower =
+      * more curated), ties by min doc_id. "Curated beats crawl" is how real
+      * training pipelines choose the canonical copy; plain min-id keeps
+      * whichever copy happened to be ingested first. One window shuffle on
+      * the fingerprint (same key as dd_exact — at scale the two share a
+      * partitioning). */
+    QueryDef(
+      "dd_exact_priority",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = Tables.documents(s, d)
+          .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
+          .withColumn("src_rank", expr("CAST(substr(source, 4) AS INT)"))
+        val byFp = Window.partitionBy(col("fp"))
+        ranked
+          .withColumn("rn", row_number().over(byFp.orderBy(col("src_rank"), col("doc_id"))))
+          .withColumn("n_docs", count(lit(1)).over(byFp))
+          .filter(col("rn") === 1)
+          .select(col("fp"), col("doc_id").as("keeper"),
+            col("source").as("keeper_source"), col("n_docs"))
+          .orderBy("fp")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         CAST(substr(source, 4) AS INT) AS src_rank
+             |  FROM documents)
+             |SELECT fp, keeper, keeper_source, n_docs FROM (
+             |  SELECT fp, doc_id AS keeper, source AS keeper_source,
+             |         COUNT(*) OVER (PARTITION BY fp) AS n_docs,
+             |         row_number() OVER (PARTITION BY fp ORDER BY src_rank, doc_id) AS rn
+             |  FROM r) WHERE rn = 1 ORDER BY fp""".stripMargin)),
+
     /** MinHash-LSH candidate pairs: 64 md5-derived min hashes, 16 bands × 4
       * rows (NumHashes/NumBands/RowsPerBand above).
       *

@@ -233,6 +233,41 @@ object TextStats {
              |         AS chunk_fp
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    /** Unigram-LM familiarity score — corpus-frequency scoring in integer
+      * nano-units, the quality-filter signal a real pipeline derives from a
+      * reference LM (here: the corpus's own unigram distribution; a doc of
+      * common tokens scores high, rare-token noise scores low). Integer
+      * arithmetic only — (1e9 × count) div total per token, summed per doc —
+      * so both engines agree bit-for-bit with no float log parity games.
+      *
+      * Scale shape: token counts are ONE shuffle on the token (map-side
+      * combined); the per-doc score joins tokens→counts on the token key
+      * (vocab is NOT broadcast — at 100 TB it's billions of entries) and
+      * re-aggregates per doc. The corpus total rides along as a broadcast
+      * 1-row scalar. */
+    QueryDef(
+      "tx_unigram_lm",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = tk.agg(count(lit(1)).as("tot"))
+        tk.join(freq, "tok")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(expr("(1000000000 * cnt) div tot")).as("familiarity_nano"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+             |            FROM documents),
+             |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+             |tot AS (SELECT COUNT(*) AS tot FROM tk)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |       CAST(SUM((1000000000 * cnt) // tot) AS BIGINT) AS familiarity_nano
+             |FROM tk JOIN freq USING (tok), tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     /** Document fingerprint: md5 of the whitespace-normalized lowercase text
       * — the exact-dedup key (see graft.dedup.Dedup). */
     QueryDef(
