@@ -153,7 +153,106 @@ object Similarity {
     sb.toString
   }
 
+  /** Random-hyperplane (sign-random-projection) LSH shape: RpBands bands of
+    * RpBandBits sign bits — the TRAINING-FREE complement to the IVF path
+    * (no k-means pass over the corpus; hyperplanes are data-independent, so
+    * codes for new vectors never require re-fitting — the property that
+    * matters for an append-only 100 TB corpus). Collision probability per
+    * bit is 1 − θ/π (θ = the pair's angle), so same-band candidates skew
+    * toward high cosine; candidates are verified with the exact native
+    * cosine like every other near-dup path. */
+  val RpBands = 16
+  val RpBandBits = 8
+
+  /** Total hyperplanes. The ±1 component for plane `p`, dim `i` is the high
+    * bit of md5("rp:p:i") — a fixed public derivation BOTH engines compute
+    * themselves (the same md5-family trick as the MinHash oracle). Vector
+    * components are quantized to integer micro-units before the projection
+    * (`CAST(round(x*1e6) AS BIGINT)` — the k-means contract), so the dot is
+    * an integer SUM: exact, order-independent, no float-parity games. */
+  private val RpPlanes = RpBands * RpBandBits
+
+  /** In-engine ±1 derivation, shared literal text shape for both dialects
+    * (`cat` = the engine's string concat of 'rp:', p, ':', i). */
+  private def sgnCase(cat: String): String =
+    s"CASE WHEN substr(md5($cat), 1, 1) IN ('0','1','2','3','4','5','6','7') " +
+      "THEN 1 ELSE -1 END"
+
   val defs: Seq[QueryDef] = Seq(
+
+    /** Hyperplane-LSH near-dup candidates over the embeddings: each vector
+      * gets RpBands band codes from sign-random projections; same (band,
+      * code) ⇒ candidate pair, capped per bucket (graft.dedup.Dedup
+      * .MaxBucket — a degenerate corpus collapsing to few codes must not go
+      * quadratic), verified by exact cosine ≥ 0.35. Banded-candidate
+      * contract like dd_simhash_pairs: the oracle derives the SAME
+      * hyperplanes (md5 signs) and the same integer micro-unit dots, so
+      * both engines emit the same (recall-limited) pair set.
+      *
+      * Scale shape: the projection is a matrix-multiply-as-join — exploded
+      * (vec, dim) components against a broadcast 128×64 ±1 plane table,
+      * integer-summed per (vec, plane) with map-side combine, then packed
+      * into band codes. No training pass, no giant codegen expressions (a
+      * literal ±v[i] chain formulation stuffed 8k terms into one whole-stage
+      * codegen unit and OOM'd the compiler), no all-pairs. */
+    QueryDef(
+      "sim_rp_pairs",
+      (s, d) => {
+        val e = vecs(s, d).select(col("vec_id"), col("v"))
+        val planes = s.range(RpPlanes).selectExpr("id AS p")
+          .crossJoin(s.range(Dim).selectExpr("id AS i"))
+          .withColumn("sgn", expr("CAST(" +
+            sgnCase("concat('rp:', CAST(p AS STRING), ':', CAST(i AS STRING))") +
+            " AS BIGINT)"))
+        val comps = e
+          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            expr("CAST(round(x * 1000000) AS BIGINT)").as("xm"))
+        val dots = comps.join(broadcast(planes), "i")
+          .groupBy(col("vec_id"), col("p"))
+          .agg(sum(expr("xm * sgn")).as("dm"))
+        val codes = dots
+          .groupBy(col("vec_id"), expr("p div 8").as("bi"))
+          .agg(sum(expr("CASE WHEN dm >= 0 THEN shiftleft(1L, CAST(p % 8 AS INT)) " +
+            "ELSE 0L END")).as("bv"))
+        val buckets = codes.join(e, "vec_id")
+          .groupBy(col("bi"), col("bv"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ds"))
+          .filter(size(col("ds")) <= graft.dedup.Dedup.MaxBucket)
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
+              "y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb))))"))
+            .as("p"))
+          .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+            expr("round(cosine_sim(p.va, p.vb), 6)").as("cos6"))
+          .filter(col("cos6") >= 0.35)
+          .distinct()
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |planes AS (SELECT p.p, i.i,
+           |    ${sgnCase("'rp:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")} AS sgn
+           |  FROM (SELECT unnest(range(0, $RpPlanes)) AS p) p,
+           |       (SELECT unnest(range(0, $Dim)) AS i) i),
+           |comps AS (SELECT vec_id, i.i, CAST(round(v[i.i + 1] * 1000000) AS BIGINT) AS xm
+           |          FROM e, (SELECT unnest(range(0, $Dim)) AS i) i),
+           |dots AS (SELECT vec_id, p, SUM(xm * sgn) AS dm
+           |         FROM comps JOIN planes USING (i) GROUP BY vec_id, p),
+           |codes AS (SELECT vec_id, p // 8 AS bi,
+           |                 CAST(SUM(CASE WHEN dm >= 0 THEN (1 << (p % 8)) ELSE 0 END)
+           |                      AS BIGINT) AS bv
+           |          FROM dots GROUP BY vec_id, p // 8),
+           |keep AS (SELECT bi, bv FROM codes GROUP BY bi, bv
+           |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
+           |ev AS (SELECT c.vec_id, c.bi, c.bv, e.v FROM codes c JOIN e USING (vec_id))
+           |SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           |       ${duckCosOf("a.v", "c.v")} AS cos6
+           |FROM ev a JOIN keep k ON a.bi = k.bi AND a.bv = k.bv
+           |     JOIN ev c ON c.bi = a.bi AND c.bv = a.bv AND a.vec_id < c.vec_id
+           |WHERE ${duckCosOf("a.v", "c.v")} >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin)),
 
     /** Brute-force cosine top-5 for queries vec_id < 8 (self excluded). */
     QueryDef(

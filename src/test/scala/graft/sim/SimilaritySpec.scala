@@ -20,6 +20,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(t.filter(col("cos6") > 1.000001 || col("cos6") < -1.000001).count() == 0)
   }
 
+  test("hyperplane-LSH pairs: subset of exact >=0.35 pairs; duplicate vectors always collide") {
+    val rp = run("sim_rp_pairs").select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rp.nonEmpty, "banded candidates should exist on the fixture")
+    // every emitted pair really is >= 0.35 exact cosine (no false positives:
+    // candidates are VERIFIED with the same native cosine the brute path uses)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val l = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val exact = l.join(r, col("vec_a") < col("vec_b"))
+      .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
+      .filter(col("cos6") >= 0.35)
+      .select("vec_a", "vec_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(rp.subsetOf(exact), s"${(rp -- exact).size} emitted pairs are not real >=0.35 pairs")
+    // identical vectors agree on every sign bit, so they share ALL bands:
+    // recall on true duplicates is 1 by construction. Planted via a copy of
+    // vec 0 staged into a temp corpus.
+    val dir = java.nio.file.Files.createTempDirectory("rp_dup").toString
+    val dup = graft.Tables.embeddings(spark, sf)
+    dup.unionAll(dup.filter(col("vec_id") === 0)
+        .select(lit(900000L).as("vec_id"), col("embedding"), col("label")))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val found = Similarity.defs.find(_.name == "sim_rp_pairs").get.fn(spark, dir)
+      .filter(col("vec_a") === 0 && col("vec_b") === 900000L).count()
+    assert(found == 1L, "an exact duplicate vector must be found by every band")
+  }
+
   test("k-means training: K centroids of Dim components, deterministic") {
     // uncached path both times: determinism of the training itself, not memo
     val c1 = Similarity.trainKMeansUncached(spark, sf, Similarity.K, Similarity.Iters)
