@@ -300,6 +300,29 @@ object Analytics {
              |FROM base FULL JOIN changes ON base.k = changes.k
              |ORDER BY k""".stripMargin)),
 
+    /** Z-order (Morton) clustering value over (orderkey, partkey) folded to
+      * 10 bits each — the multi-dimensional layout key
+      * (graft.sources.Layout.zorderValue): sorting or partitioning by it
+      * keeps BOTH join/filter dimensions clustered, so a box predicate
+      * touches only overlapping quadtree cells (single-SORTKEY layouts prune
+      * one dimension only; ZorderSpec proves the partition pruning on a real
+      * write). Narrow integer bit math, no shuffle. */
+    QueryDef(
+      "an_zorder",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          graft.sources.Layout.zorderValue(
+            expr("l_orderkey % 1024"), expr("l_partkey % 1024"), bits = 10).as("zval"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some {
+        val terms = (0 until 10).flatMap(j => Seq(
+          s"((((l_orderkey % 1024) >> $j) & 1) << ${2 * j})",
+          s"((((l_partkey % 1024) >> $j) & 1) << ${2 * j + 1})"))
+        s"""SELECT l_orderkey, l_linenumber, l_partkey,
+           |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      }),
+
     /** Deterministic stratified sampling — the training-data mixing
       * primitive: per-source keep rates applied via a SHARED hash of the key
       * (md5 high bits mod 100), so the sample is reproducible in any engine

@@ -51,4 +51,21 @@ object Layout {
     val w = df.write.mode(SaveMode.Overwrite).bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
+
+  /** Morton (Z-order) value of two non-negative keys, `bits` bits each: bit
+    * j of `a` lands at position 2j, bit j of `b` at 2j+1. A single SORTKEY
+    * prunes one dimension; sorting/partitioning by the interleaved value
+    * keeps BOTH dimensions clustered — a box predicate on (a, b) touches
+    * only the quadtree cells it overlaps (the Delta/Iceberg OPTIMIZE ZORDER
+    * layout, and the reason it exists). Pure integer bit math: unrolled
+    * shift/mask sum, codegen'd, and exactly restatable in any engine. */
+  def zorderValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val (al, bl) = (a.cast("bigint"), b.cast("bigint"))
+    (0 until bits).flatMap { j =>
+      Seq(shiftleft(shiftright(al, j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(bl, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _)
+  }
 }
