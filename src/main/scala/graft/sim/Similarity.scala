@@ -205,6 +205,12 @@ object Similarity {
             sgnCase("concat('rp:', CAST(p AS STRING), ':', CAST(i AS STRING))") +
             " AS BIGINT)"))
         val comps = e
+          // the projection join multiplies work RpPlanes× past this point, so
+          // pay one corpus-sized shuffle to spread it over every core — the
+          // fixture's one-row-group files would otherwise run the whole
+          // multiply single-task (same logic on a cluster: compute-bound
+          // stages want full parallelism regardless of scan splits)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
           .select(col("vec_id"), col("i"),
             expr("CAST(round(x * 1000000) AS BIGINT)").as("xm"))
