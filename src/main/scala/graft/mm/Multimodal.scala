@@ -84,5 +84,38 @@ object Multimodal {
              |       CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height,
              |       'fake/rgb8' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /** Frame sampling over the binary payload — the video shape: treat the
+      * payload as fixed 32-byte frames, keep every 4th (stride sampling, the
+      * standard cheap keyframe proxy), emit per-frame byte length + content
+      * hash. All byte math on the BINARY column (substring/md5 over binary
+      * are codegen'd); a real pipeline would hand each sampled slice to the
+      * batched decoder above. Narrow: explode multiplies rows by nframes/4
+      * but nothing shuffles until the final sort. (Oracle note: the fixture
+      * text is pure ASCII, so DuckDB's string substr sees the same bytes the
+      * Spark side slices from the utf8 payload.) */
+    QueryDef(
+      "mm_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("nf", expr("(length(payload) + 31) div 32"))
+        .select(col("doc_id"), col("payload"),
+          explode(expr("sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT))"))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("length(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
+            .as("n_frame_bytes"),
+          expr("md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+             |           FROM documents),
+             |idx AS (SELECT doc_id, text, unnest(range(0, (nb + 31) // 32, 4)) AS frame_idx
+             |        FROM f)
+             |SELECT doc_id, frame_idx,
+             |       CAST(length(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32))
+             |            AS INTEGER) AS n_frame_bytes,
+             |       md5(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)) AS frame_md5
+             |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }
