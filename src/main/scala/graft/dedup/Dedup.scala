@@ -438,15 +438,15 @@ object Dedup {
         while (!converged) {
           val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
             .groupBy(sym("doc_a").as("nbr_key")).agg(min(col("cluster_id")).as("nbr_min"))
-          val next = ckpt(labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
-            .select(labels("doc_id"),
+          // carry old + new through ONE checkpointed frame: the convergence
+          // count then reads materialized blocks instead of re-joining
+          // labels↔next (which cost an extra shuffle per round)
+          val step = ckpt(labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
+            .select(labels("doc_id"), labels("cluster_id").as("old"),
               least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
                 .as("cluster_id")))
-          val changed = next
-            .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-            .filter(col("cluster_id") < col("old")).count()
-          converged = changed == 0
-          labels = next
+          converged = step.filter(col("cluster_id") < col("old")).count() == 0
+          labels = step.select(col("doc_id"), col("cluster_id"))
         }
         labels.orderBy("doc_id")
       },
