@@ -180,6 +180,41 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Distributed connected components by min-label propagation WITH pointer
+    * doubling: each round every node takes the min label among itself, its
+    * neighbors, and the label OF its current label (the doubling step —
+    * chains collapse in O(log diameter) rounds where a pure neighbor-min
+    * walk needs one round per hop). Each round is two joins + one groupBy
+    * over checkpointed frames ([[ckpt]]: RELIABLE when a checkpoint dir is
+    * configured — how GraphX/GraphFrames' CC survives executor loss); the
+    * convergence count reads the materialized step frame, costing no extra
+    * shuffle. Returns (labels, rounds): every node of `pairs`, labeled by
+    * the min node id of its component. */
+  private[dedup] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val p = ckpt(pairs)
+    val sym = p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = ckpt(sym.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")))
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
+        .groupBy(sym("doc_a").as("nbr_key")).agg(min(col("cluster_id")).as("nbr_min"))
+      val hop = labels.select(col("doc_id").as("hop_key"), col("cluster_id").as("hop_min"))
+      val step = ckpt(labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
+        .join(hop, labels("cluster_id") === hop("hop_key"), "left_outer")
+        .select(labels("doc_id"), labels("cluster_id").as("old"),
+          least(labels("cluster_id"),
+            least(coalesce(col("nbr_min"), labels("cluster_id")),
+              coalesce(col("hop_min"), labels("cluster_id")))).as("cluster_id")))
+      converged = step.filter(col("cluster_id") < col("old")).count() == 0
+      labels = step.select(col("doc_id"), col("cluster_id"))
+    }
+    (labels, rounds)
+  }
+
   private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
     val buckets = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
@@ -410,46 +445,19 @@ object Dedup {
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
               |ORDER BY doc_id""".stripMargin)),
 
-    /** Near-dup cluster assignment — connected components over the
+    /** Near-dup cluster assignment — [[connectedComponents]] over the
       * ≥0.5-Jaccard pair graph, the transitive step a production dedup
       * pipeline runs after candidate generation (pairwise "drop the higher
-      * id" under-merges chains A~B~C). Min-label propagation to fixpoint:
-      * each round, every node takes the min cluster id among itself and its
-      * neighbors; rounds = component diameter (near-dup components are short
-      * chains). Each round is one join + one groupBy, labels are
-      * checkpointed via [[ckpt]] so the plan stays flat — RELIABLE
-      * checkpoints whenever a checkpoint dir is configured, which is how
-      * GraphX/GraphFrames' connected components survives executor loss on a
-      * real cluster. Output: every doc appearing in a
+      * id" under-merges chains A~B~C). Output: every doc appearing in a
       * pair, labeled by the min doc_id of its component. The oracle computes
       * the same fixpoint as a DuckDB recursive-CTE transitive closure — an
       * independent algorithm, so agreement checks the semantics, not the
       * implementation. */
     QueryDef(
       "dd_dup_clusters",
-      (s, d) => {
-        val pairs = ckpt(jaccardPairs(s, d, permille = 500)
-          .select(col("doc_a"), col("doc_b")))
-        val sym = pairs.unionAll(
-          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        var labels = ckpt(sym.select(col("doc_a").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")))
-        var converged = false
-        while (!converged) {
-          val nbrMin = sym.join(labels, sym("doc_b") === labels("doc_id"))
-            .groupBy(sym("doc_a").as("nbr_key")).agg(min(col("cluster_id")).as("nbr_min"))
-          // carry old + new through ONE checkpointed frame: the convergence
-          // count then reads materialized blocks instead of re-joining
-          // labels↔next (which cost an extra shuffle per round)
-          val step = ckpt(labels.join(nbrMin, labels("doc_id") === nbrMin("nbr_key"), "left_outer")
-            .select(labels("doc_id"), labels("cluster_id").as("old"),
-              least(labels("cluster_id"), coalesce(col("nbr_min"), labels("cluster_id")))
-                .as("cluster_id")))
-          converged = step.filter(col("cluster_id") < col("old")).count() == 0
-          labels = step.select(col("doc_id"), col("cluster_id"))
-        }
-        labels.orderBy("doc_id")
-      },
+      (s, d) => connectedComponents(
+        jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b")))
+        ._1.orderBy("doc_id"),
       Some(s"""WITH RECURSIVE
              |${duckJaccard(500)},
              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac

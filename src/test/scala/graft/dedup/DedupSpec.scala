@@ -64,6 +64,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: 100-node chain collapses in O(log n) rounds via pointer doubling") {
+    import spark.implicits._
+    // path graph 0-1-2-...-100: worst case for pure neighbor-min propagation
+    // (diameter rounds = 100); pointer doubling must stay logarithmic
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 101 && got.values.forall(_ == 0L),
+      "every chain node must label to the min node 0")
+    assert(rounds <= 10, s"chain of 100 should collapse in ~log2 rounds, took $rounds")
+  }
+
   test("dup clusters run with RELIABLE checkpoints when a checkpoint dir is set") {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir configured")
