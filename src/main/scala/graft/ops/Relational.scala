@@ -287,6 +287,42 @@ object Relational {
              |                                 AND epoch_ms(l.o_orderdate) + 2592000000
              |ORDER BY o_custkey, a, b""".stripMargin)),
 
+    /** Fuzzy (edit-distance) join, blocked — approximate string matching
+      * without the quadratic cross product: exact equi-join on a blocking
+      * key (brand, size), in-block pair expansion capped at 1000 per block
+      * (the Dedup.MaxBucket discipline — a degenerate block must not go
+      * quadratic), then `levenshtein` ≤ 10 verification. Both engines
+      * implement standard Levenshtein, so the oracle is exact. At scale the
+      * blocking key is the whole game: the shuffle carries blocks, and
+      * distance runs only inside them. */
+    QueryDef(
+      "jn_fuzzy_name",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        val buckets = p.groupBy(col("p_brand"), col("p_size"))
+          .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ds"))
+          .filter(size(col("ds")) <= 1000)
+        buckets
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
+              "y -> struct(x.p_partkey AS part_a, y.p_partkey AS part_b, " +
+              "x.p_name AS na, y.p_name AS nb))))")).as("p"))
+          .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
+            levenshtein(col("p.na"), col("p.nb")).as("edit_dist"))
+          .filter(col("edit_dist") <= 10)
+          .orderBy("part_a", "part_b")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+             |keep AS (SELECT p_brand, p_size FROM p GROUP BY 1, 2 HAVING COUNT(*) <= 1000)
+             |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+             |FROM p a JOIN keep k ON a.p_brand = k.p_brand AND a.p_size = k.p_size
+             |     JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |              AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 10
+             |ORDER BY part_a, part_b""".stripMargin)),
+
     // ---- Aggregation family ----------------------------------------------
     QueryDef(
       "agg_groupby",
