@@ -300,6 +300,24 @@ object Analytics {
              |FROM base FULL JOIN changes ON base.k = changes.k
              |ORDER BY k""".stripMargin)),
 
+    /** Approximate percentiles via the KLL/GK-style sketch
+      * (`percentile_approx`) — the distributed-sketch path for quantiles
+      * over data too large to sort exactly: mergeable per-partition
+      * sketches, one shuffle of sketch state (not rows). No oracle by
+      * design (the estimate is engine-specific) — AnalyticsSpec bounds the
+      * estimate against the exact percentile at sf0.1, the same contract
+      * as an_approx_distinct. */
+    QueryDef(
+      "an_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+          .as("approx_p50_p95"))
+        .selectExpr("l_returnflag",
+          "approx_p50_p95[0] AS approx_p50", "approx_p50_p95[1] AS approx_p95")
+        .orderBy("l_returnflag"),
+      None),
+
     /** Z-order (Morton) clustering value over (orderkey, partkey) folded to
       * 10 bits each — the multi-dimensional layout key
       * (graft.sources.Layout.zorderValue): sorting or partitioning by it

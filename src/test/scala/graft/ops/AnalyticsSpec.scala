@@ -28,4 +28,22 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(err <= 0.05, s"group $k: approx=${approx(k)} exact=$n relErr=$err")
     }
   }
+
+  test("an_approx_percentile: sketch within 1% of the exact percentile per group at sf0.1") {
+    val sf = "/root/testdata/sf0.1"
+    val q = Analytics.defs.find(_.name == "an_approx_percentile").get
+    val approx = q.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("p"))
+      .selectExpr("l_returnflag", "p[0] AS p50", "p[1] AS p95")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / p50 <= 0.01, s"$k p50: approx=$a50 exact=$p50")
+      assert(math.abs(a95 - p95) / p95 <= 0.01, s"$k p95: approx=$a95 exact=$p95")
+    }
+  }
 }
