@@ -70,17 +70,25 @@ object Dedup {
     * hot-shingle property. */
   val MaxBucket = 1000
 
-  /** Expand each bucket's sorted doc list into its (a < b) pairs — the
-    * shared tail of every bucketed candidate generator, with the `cap`
-    * filter bounding the quadratic per-bucket expansion. */
-  private[dedup] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
+  /** Expand each bucket's sorted element list `ds` into its (x, y) element
+    * pairs (x before y in sort order) — the shared tail of EVERY bucketed
+    * candidate generator in the engine (shingle/minhash/simhash buckets
+    * here, hyperplane-LSH code buckets in graft.sim, fuzzy-join blocks in
+    * graft.ops), with the `cap` filter bounding the quadratic per-bucket
+    * expansion in ONE audited place. Elements may be scalars or structs;
+    * the result is `p.x` / `p.y` of the element type. */
+  def cappedElementPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     buckets
       .filter(size(col("ds")) <= cap)
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS doc_a, y AS doc_b))))"))
+          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS x, y AS y))))"))
         .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+
+  /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b). */
+  private[dedup] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
+    cappedElementPairs(buckets, cap)
+      .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
 
   /** Per-doc 32-bit SimHash: for each bit j, majority vote of distinct-token
     * hash bits (+1/-1), ties resolve to 1 (`>= 0`). One narrow pass via the
@@ -259,7 +267,11 @@ object Dedup {
         import org.apache.spark.sql.expressions.Window
         val ranked = Tables.documents(s, d)
           .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
-          .withColumn("src_rank", expr("CAST(substr(source, 4) AS INT)"))
+          // try_cast + sentinel: a source outside the 'srcN' scheme ranks
+          // LAST deterministically in both engines (a plain CAST returns
+          // NULL→NULLS FIRST in Spark but ERRORS in DuckDB)
+          .withColumn("src_rank",
+            expr("coalesce(try_cast(substr(source, 4) AS INT), 2147483647)"))
         val byFp = Window.partitionBy(col("fp"))
         ranked
           .withColumn("rn", row_number().over(byFp.orderBy(col("src_rank"), col("doc_id"))))
@@ -272,7 +284,7 @@ object Dedup {
       Some("""WITH r AS (
              |  SELECT doc_id, source,
              |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
-             |         CAST(substr(source, 4) AS INT) AS src_rank
+             |         COALESCE(TRY_CAST(substr(source, 4) AS INT), 2147483647) AS src_rank
              |  FROM documents)
              |SELECT fp, keeper, keeper_source, n_docs FROM (
              |  SELECT fp, doc_id AS keeper, source AS keeper_source,
@@ -378,15 +390,9 @@ object Dedup {
           .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
           .groupBy(col("bk"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-          .filter(size(col("ds")) <= MaxBucket)
-        buckets
-          .select(explode(expr(
-            "flatten(transform(ds, (x, i) -> " +
-              "transform(slice(ds, i + 2, size(ds) - i - 1), " +
-              "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
-              "x.simhash AS sa, y.simhash AS sb))))")).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            expr("CAST(bit_count(p.sa ^ p.sb) AS INTEGER)").as("hamming"))
+        cappedElementPairs(buckets)
+          .select(col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
+            expr("CAST(bit_count(p.x.simhash ^ p.y.simhash) AS INTEGER)").as("hamming"))
           .filter(col("hamming") <= 10)
           .distinct()
           .orderBy("doc_a", "doc_b")

@@ -19,7 +19,8 @@ object RunEtl {
   def resolve(args: Array[String]): (String, String, String) = {
     val (cfgPath, positional) = args.indexOf("--config") match {
       case -1 => (None, args.toSeq)
-      case i  => (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
+      case i if i + 1 < args.length => (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
+      case _ => sys.error("--config requires a path argument")
     }
     val cfg = cfgPath.map(GraftConfig.load).getOrElse(GraftConfig.Config(Map.empty))
     val sfDir = positional.headOption.orElse(cfg.get("GRAFT", "SF_DIR"))

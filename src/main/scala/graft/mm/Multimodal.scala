@@ -99,6 +99,9 @@ object Multimodal {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .withColumn("nf", expr("(length(payload) + 31) div 32"))
+        // empty payload ⇒ no frames (mirrors range(0,0,4) = ∅ in the oracle;
+        // Spark's sequence(0, -1, 4) would THROW on the step-sign check)
+        .filter(col("nf") >= 1)
         .select(col("doc_id"), col("payload"),
           explode(expr("sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT))"))
             .as("frame_idx"))

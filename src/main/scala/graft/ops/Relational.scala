@@ -302,14 +302,9 @@ object Relational {
           .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
         val buckets = p.groupBy(col("p_brand"), col("p_size"))
           .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ds"))
-          .filter(size(col("ds")) <= 1000)
-        buckets
-          .select(explode(expr(
-            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
-              "y -> struct(x.p_partkey AS part_a, y.p_partkey AS part_b, " +
-              "x.p_name AS na, y.p_name AS nb))))")).as("p"))
-          .select(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"),
-            levenshtein(col("p.na"), col("p.nb")).as("edit_dist"))
+        graft.dedup.Dedup.cappedElementPairs(buckets)
+          .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
+            levenshtein(col("p.x.p_name"), col("p.y.p_name")).as("edit_dist"))
           .filter(col("edit_dist") <= 10)
           .orderBy("part_a", "part_b")
       },

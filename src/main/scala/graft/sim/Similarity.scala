@@ -218,20 +218,15 @@ object Similarity {
           .groupBy(col("vec_id"), col("p"))
           .agg(sum(expr("xm * sgn")).as("dm"))
         val codes = dots
-          .groupBy(col("vec_id"), expr("p div 8").as("bi"))
-          .agg(sum(expr("CASE WHEN dm >= 0 THEN shiftleft(1L, CAST(p % 8 AS INT)) " +
+          .groupBy(col("vec_id"), expr(s"p div $RpBandBits").as("bi"))
+          .agg(sum(expr(s"CASE WHEN dm >= 0 THEN shiftleft(1L, CAST(p % $RpBandBits AS INT)) " +
             "ELSE 0L END")).as("bv"))
         val buckets = codes.join(e, "vec_id")
           .groupBy(col("bi"), col("bv"))
           .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ds"))
-          .filter(size(col("ds")) <= graft.dedup.Dedup.MaxBucket)
-        buckets
-          .select(explode(expr(
-            "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
-              "y -> struct(x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb))))"))
-            .as("p"))
-          .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-            expr("round(cosine_sim(p.va, p.vb), 6)").as("cos6"))
+        graft.dedup.Dedup.cappedElementPairs(buckets)
+          .select(col("p.x.vec_id").as("vec_a"), col("p.y.vec_id").as("vec_b"),
+            expr("round(cosine_sim(p.x.v, p.y.v), 6)").as("cos6"))
           .filter(col("cos6") >= 0.35)
           .distinct()
           .orderBy("vec_a", "vec_b")
@@ -246,10 +241,10 @@ object Similarity {
            |          FROM e, (SELECT unnest(range(0, $Dim)) AS i) i),
            |dots AS (SELECT vec_id, p, SUM(xm * sgn) AS dm
            |         FROM comps JOIN planes USING (i) GROUP BY vec_id, p),
-           |codes AS (SELECT vec_id, p // 8 AS bi,
-           |                 CAST(SUM(CASE WHEN dm >= 0 THEN (1 << (p % 8)) ELSE 0 END)
+           |codes AS (SELECT vec_id, p // $RpBandBits AS bi,
+           |                 CAST(SUM(CASE WHEN dm >= 0 THEN (1 << (p % $RpBandBits)) ELSE 0 END)
            |                      AS BIGINT) AS bv
-           |          FROM dots GROUP BY vec_id, p // 8),
+           |          FROM dots GROUP BY vec_id, p // $RpBandBits),
            |keep AS (SELECT bi, bv FROM codes GROUP BY bi, bv
            |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
            |ev AS (SELECT c.vec_id, c.bi, c.bv, e.v FROM codes c JOIN e USING (vec_id))

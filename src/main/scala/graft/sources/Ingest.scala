@@ -125,12 +125,13 @@ object Ingest {
   }
 
   /** S1 via an actual jsonpaths manifest: schema'd single-pass read of the
-    * source-named fields, then positional rename to the target columns. */
+    * source-named fields, then ONE positional rename to the target columns
+    * (`toDF` — field order already matches the target by construction;
+    * renaming one-at-a-time would corrupt any mapping where a source field
+    * name equals a DIFFERENT target column's name, e.g. swapped ids). */
   def readJsonViaJsonpaths(spark: SparkSession, dataPath: String,
       manifestJson: String, target: StructType): DataFrame = {
-    val (readSchema, renames) = jsonpathsMapping(manifestJson, target)
-    renames.foldLeft(spark.read.schema(readSchema).json(dataPath)) {
-      case (df, (src, dst)) => df.withColumnRenamed(src, dst)
-    }
+    val (readSchema, _) = jsonpathsMapping(manifestJson, target)
+    spark.read.schema(readSchema).json(dataPath).toDF(target.fieldNames: _*)
   }
 }

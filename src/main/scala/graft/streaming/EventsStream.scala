@@ -161,7 +161,12 @@ object EventsStream {
         evs.foreach { e =>
           open = open match {
             case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
-              Some(s.copy(n = s.n + 1, cents = s.cents + e.cents, lastMs = e.ms))
+              // max: a cross-batch late event (admitted by the watermark)
+              // must not REWIND the horizon — that would split sessions the
+              // batch (globally sorted) variant keeps whole, and expire the
+              // state early
+              Some(s.copy(n = s.n + 1, cents = s.cents + e.cents,
+                lastMs = math.max(s.lastMs, e.ms)))
             case Some(s) =>
               // closed by gap — this emission is final
               out += Sess(user, s.start, s.n, s.cents)

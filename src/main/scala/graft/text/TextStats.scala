@@ -234,11 +234,15 @@ object TextStats {
              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     /** Unigram-LM familiarity score — corpus-frequency scoring in integer
-      * nano-units, the quality-filter signal a real pipeline derives from a
+      * micro-units, the quality-filter signal a real pipeline derives from a
       * reference LM (here: the corpus's own unigram distribution; a doc of
       * common tokens scores high, rare-token noise scores low). Integer
-      * arithmetic only — (1e9 × count) div total per token, summed per doc —
+      * arithmetic only — (1e6 × count) div total per token, summed per doc —
       * so both engines agree bit-for-bit with no float log parity games.
+      * The 1e6 multiplier keeps `1e6 × cnt` inside BIGINT up to cnt ≈
+      * 9.2e12 — a single token occurring nine trillion times — so the
+      * arithmetic holds at the 100 TB (~1e13-token) target where a 1e9
+      * multiplier would overflow on stop words.
       *
       * Scale shape: token counts are ONE shuffle on the token (map-side
       * combined); the per-doc score joins tokens→counts on the token key
@@ -256,7 +260,7 @@ object TextStats {
           .crossJoin(broadcast(tot))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            sum(expr("(1000000000 * cnt) div tot")).as("familiarity_nano"))
+            sum(expr("(1000000 * cnt) div tot")).as("familiarity_micro"))
           .orderBy("doc_id")
       },
       Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
@@ -264,7 +268,7 @@ object TextStats {
              |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
              |tot AS (SELECT COUNT(*) AS tot FROM tk)
              |SELECT doc_id, COUNT(*) AS n_tokens,
-             |       CAST(SUM((1000000000 * cnt) // tot) AS BIGINT) AS familiarity_nano
+             |       CAST(SUM((1000000 * cnt) // tot) AS BIGINT) AS familiarity_micro
              |FROM tk JOIN freq USING (tok), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 

@@ -34,41 +34,14 @@ class SkewSpec extends AnyFunSuite {
   }
 
   test("saltedJoin beats the plain shuffle join's worst task on a hot key") {
-    // Model the regime the operator exists for: dim too big to broadcast
-    // (thresholds off) and partitions above AQE's coalesce target (coalesce
-    // off — at real scale partitions exceed the 64 MB advisory size, so
-    // coalescing wouldn't merge them; at spec scale it would merge
-    // EVERYTHING into one task and mask the skew law being tested).
-    val restore = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.shuffle.partitions")
-      .map(k => k -> spark.conf.getOption(k))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    // the test session runs 4 shuffle partitions (local[4]); salting spreads
-    // a hot key over min(buckets, partitions) reducers, so give it 32
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
-    try {
-      val fact = StressFixtures.skewedFact(spark)
-      val dim = StressFixtures.dim(spark)
-      val plainMax = TaskMetricsProbe.maxTaskShuffleRows(spark) {
-        noop(fact.join(dim, "k"))
-      }
-      val saltedMax = TaskMetricsProbe.maxTaskShuffleRows(spark) {
-        noop(Skew.saltedJoin(fact, dim, "k", "id", buckets = 32))
-      }
-      info(s"max task shuffle rows: plain=$plainMax salted=$saltedMax")
-      // 90% of the fact lands on one reducer unsalted…
-      assert(plainMax >= 150000L, s"hot key not concentrated? plainMax=$plainMax")
-      // …and spreads over ~32 reducers salted (≥4× headroom asserted)
-      assert(saltedMax * 4 < plainMax,
-        s"salting did not spread the hot key: plain=$plainMax salted=$saltedMax")
-    } finally restore.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+    // regime + measurement live in SkewHarness, shared with the PLANS.md
+    // appendix so the published numbers measure what this spec asserts
+    val (plainMax, saltedMax) = graft.tools.SkewHarness.measureSaltedVsPlain(spark)
+    info(s"max task shuffle rows: plain=$plainMax salted=$saltedMax")
+    // 90% of the fact lands on one reducer unsalted…
+    assert(plainMax >= 150000L, s"hot key not concentrated? plainMax=$plainMax")
+    // …and spreads over ~32 reducers salted (≥4× headroom asserted)
+    assert(saltedMax * 4 < plainMax,
+      s"salting did not spread the hot key: plain=$plainMax salted=$saltedMax")
   }
 }

@@ -58,6 +58,46 @@ class EventsStreamSpec extends AnyFunSuite {
       s"multi-batch stream diverged: ${stream.size} vs ${batch.size} sessions")
   }
 
+  test("cross-batch LATE event merges without rewinding the gap horizon (stream == batch)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("events_late").toString
+    val dir = s"$root/events.parquet" // a directory both Tables.events and readStream accept
+    new java.io.File(dir).mkdirs()
+    val t0 = 1600000000000L
+    val Min = 60000L
+    def stage(name: String, mtime: Long, rows: (Long, Long, Long)*): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ms, uid) =>
+          org.apache.spark.sql.Row(id, ms * 1000000L, uid, "play", 1.0, "{}") }, 1),
+        StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val tmp = s"$root/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    // user 1 opens a session; horizon = T+40min after batch 0
+    stage("f1", now - 120000, (1L, t0, 1L), (2L, t0 + 40 * Min, 1L))
+    // unrelated user advances the watermark (delay 6h keeps f3's late event admissible)
+    stage("f2", now - 60000, (3L, t0 + 6 * 60 * Min, 2L))
+    // batch 2: a LATE event inside the open span (T+20min) plus a continuation
+    // at T+85min. A lastMs rewind to T+20min would make the 65-min step exceed
+    // the 60-min gap and wrongly split; the true horizon (T+40min) keeps it.
+    stage("f3", now, (4L, t0 + 20 * Min, 1L), (5L, t0 + 85 * Min, 1L))
+    val batch = EventsStream.sessionizeBatch(spark, root).collect().toSeq
+    val stream = EventsStream.runSessionizeStream(spark, dir, "sessions_late",
+      maxFilesPerTrigger = 1, watermarkDelay = "6 hours").collect().toSeq
+    assert(stream == batch, s"late-event stream diverged: $stream vs $batch")
+    // and the late event really merged: user 1 has ONE 4-event session
+    assert(batch.count(_.getLong(0) == 1L) == 1 &&
+      batch.find(_.getLong(0) == 1L).get.getLong(2) == 4L)
+  }
+
   test("sessionizer state EXPIRES: idle user emits a final session and its state row is removed") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
