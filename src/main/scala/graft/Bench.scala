@@ -1,4 +1,7 @@
 package graft
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on
@@ -9,20 +12,28 @@ import org.apache.spark.sql.SparkSession
   *    plan (final sorts and projects included) without collecting or
   *    persisting anything — `.count()` would let Catalyst drop plan tails
   *    and undercount.
-  *  - Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
-  *    best run is reported, so JVM/codegen/file-index first-touch noise
-  *    doesn't masquerade as query cost (observed ~8x on identical shapes).
+  *  - Queries run in ROUND-ROBIN rounds: the whole suite once per round
+  *    (`SPARK_GRAFT_BENCH_RUNS` rounds, default 3), per-query time = min
+  *    across rounds. Round 3's back-to-back best-of-3 was vulnerable to a
+  *    transient noisy window (concurrent sbt/GC/IO) inflating ALL repeats of
+  *    the queries under it — BENCH_r03 reported 7 end-of-suite queries 4-9x
+  *    over the same binary's SCALING.md numbers. Interleaving means a noisy
+  *    window touches each query at most once per round, and the cross-round
+  *    min survives it.
+  *  - Between rounds: stray streaming queries are stopped, the Spark block
+  *    cache is cleared, and a full GC runs, so no state accumulated by round
+  *    N is billed to round N+1. (Driver-side memos of model state — the
+  *    k-means centroids — are plain Scala values and deliberately persist:
+  *    an ANN index is an artifact, not per-query cost.)
+  *  - Diagnostics on stderr: per-round wall + GC-time delta, plus any query
+  *    whose cross-round max/min exceeds 3x above 0.3 s — the signature of
+  *    external noise, distinguishing instrument problems from plan problems.
   *
   * Cost floor for narrow single-pass queries at local fixture scale
   * (profiled round 3, sf0.1, idle machine): ~0.19 s scan + noop job
   * constant, +~0.15-0.2 s when the query ends in a global ORDER BY (range
   * exchange = an extra sampling job — fixed latency, not per-row cost), and
-  * only then per-row compute (simhash32 over 5,000 docs: ~0.03 s). Round 1's
-  * 0.19-0.22 s readings for dd_simhash/tx_tokens were count()-harness
-  * artifacts (compute AND sort pruned); ~0.33-0.44 s is the honest
-  * plan-complete number, and the 0.84-0.96 s readings in BENCH_r02 do not
-  * reproduce idle (concurrent sbt/compile inflates timings badly — rerun
-  * before believing a regression).
+  * only then per-row compute (simhash32 over 5,000 docs: ~0.03 s).
   */
 object Bench {
   private def runOnce(spark: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -38,6 +49,19 @@ object Bench {
     }
   }
 
+  /** Drop cross-query session state so one round can't bill the next:
+    * stray streaming queries (none expected — the benched st_* entries are
+    * the batch variants — but defensive) and the block-manager cache. */
+  private def resetSessionState(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(q =>
+      try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+    spark.catalog.clearCache()
+  }
+
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,11 +74,30 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries
+    // Deterministic name order: every round (and every re-run) times the
+    // queries in the same sequence, so per-position effects are comparable.
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map(_ => runOnce(spark, fn, sfDir)).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    val samples = mutable.LinkedHashMap(
+      queryList.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
+    for (round <- 1 to runs) {
+      val w0 = System.nanoTime(); val g0 = gcMillis
+      queryList.foreach { case (name, fn) => samples(name) += runOnce(spark, fn, sfDir) }
+      resetSessionState(spark)
+      System.gc()
+      System.err.println(f"[bench] round $round/$runs wall=${(System.nanoTime() - w0) / 1e9}%.1fs " +
+        f"gc=${(gcMillis - g0) / 1000.0}%.1fs")
+    }
+    val results = samples.map { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // Noise signature: a query whose rounds disagree >3x (above the cost
+    // floor) was hit by external load — the min is still honest, but log it.
+    samples.foreach { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      if (ok.nonEmpty && ok.min > 0.3 && ok.max / ok.min > 3.0)
+        System.err.println(f"[bench] NOISY $name: rounds=${ok.map(t => f"$t%.2f").mkString(",")}")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
