@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   matters at the 100 TB target, harmless locally.
   * - shuffle.partitions from cpus: local mode wants ~#threads, not 200; on a
   *   real cluster this would scale with executors (AQE coalesces the rest).
+  * - RocksDB state store: streaming state (the sessionizer's pending
+  *   sessions, the landing-zone dedup's seen-keys) lives off-heap on local
+  *   disk instead of the default HDFSBackedStateStore's executor heap — at
+  *   hundreds of millions of users the heap provider OOMs long before the
+  *   watermark can expire anything. Every spec runs on this provider, so
+  *   the tested path IS the at-scale path.
   */
 object Sessions {
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
@@ -24,6 +30,8 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")

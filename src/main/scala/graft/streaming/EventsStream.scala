@@ -21,18 +21,29 @@ import graft.QueryDef
   *    At scale this is the same shuffle as the batch group-by, plus state
   *    store bookkeeping bounded by the watermark horizon.
   */
-object EventsStream {
+// Serializable: the sessionizer closure calls [[mergeSessions]], so executors
+// deserialize the (stateless) singleton with the task.
+object EventsStream extends Serializable {
 
   /** Event projection used by the stateful sessionizer. */
   final case class Ev(user_id: Long, event_id: Long, ms: Long, cents: Long)
 
-  /** Open-session state: carries the last-event time so the gap test works
-    * across micro-batch boundaries. */
-  final case class Open(start: Long, n: Long, cents: Long, lastMs: Long)
+  /** One pending session interval: [start, end] event-time span plus the
+    * running aggregate. Pending sessions are disjoint and gap-separated. */
+  final case class PendSess(start: Long, end: Long, n: Long, cents: Long)
 
-  /** Emitted session row. */
+  /** Sessionizer state: the user's pending sessions (sorted by start) and a
+    * per-user emission sequence number — compaction picks the LATEST row per
+    * session key, which mere n_events-max cannot do once a late event can
+    * rewind a key away (tombstone). */
+  final case class SessState(sessions: List[PendSess], seq: Long)
+
+  /** Emitted session row. `seq` orders emissions per user so downstream
+    * compaction keeps the latest row per (user_id, session_start_ms);
+    * `n_events = 0` rows are tombstones for keys superseded by a late-event
+    * rewind or bridge. */
   final case class Sess(user_id: Long, session_start_ms: Long, n_events: Long,
-      sum_cents: Long)
+      sum_cents: Long, seq: Long)
 
   /** Streaming-source schema: matches the fixture parquet read with
     * nanosAsLong (ts = BIGINT nanoseconds). */
@@ -106,31 +117,55 @@ object EventsStream {
       .orderBy("user_id", "session_start_ms")
   }
 
+  /** Normalize a pending-session list: sort by span, then merge any two
+    * sessions whose interval distance (next.start - cur.end) is within the
+    * gap. This is exactly the batch gaps-and-islands equivalence closure —
+    * two batch sessions are one session iff the gap between the last event
+    * of the first and the first event of the next is ≤ gap, and every
+    * event inside a span is within gap of its neighbours by construction —
+    * so inserting late events as singleton spans and re-merging reproduces
+    * the batch answer for ANY arrival order the watermark admits. */
+  private[streaming] def mergeSessions(ss: List[PendSess]): List[PendSess] =
+    ss.sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[PendSess]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start - h.end <= SessionGapMs =>
+            PendSess(h.start, math.max(h.end, s.end), h.n + s.n, h.cents + s.cents) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
   /** Streaming sessionization via flatMapGroupsWithState: per-user state
-    * carries the open session across micro-batches; a session is emitted as
-    * FINAL as soon as a gap-exceeding event proves it closed. State is O(1)
-    * per user — the 100 TB-scale shape for this computation (the batch
-    * window variant needs the full history resident; this needs one open
-    * session per key).
+    * carries the PENDING sessions across micro-batches — the open session
+    * plus any closed session the watermark hasn't yet certified untouchable.
+    * A late event admitted by the watermark can therefore do everything the
+    * batch (globally sorted) variant would do with it: extend a session
+    * forward, REWIND its start (e.ms < start), or BRIDGE two pending
+    * sessions into one. A session is emitted as FINAL only once
+    * `end + gap < watermark` — from then on every admissible event has
+    * `ms ≥ watermark > end + gap` and can never merge with it, so the final
+    * row provably equals the batch row. State is O(sessions inside the
+    * watermark horizon) per user — bounded, and still the 100 TB-scale
+    * shape (the batch window variant needs the full history resident).
     *
-    * State EXPIRES: the input carries a `watermarkDelay` event-time
-    * watermark and the state an `EventTimeTimeout` at lastMs + gap. When the
-    * watermark passes a user's gap horizon without new events, the open
-    * session is emitted as FINAL and the state row is REMOVED — without this
-    * a departed user's state lives forever (hundreds of millions of rows at
-    * the 100 TB target) and their last session never closes. Expiry cannot
-    * diverge from batch semantics: the timeout firing at watermark w implies
-    * any future non-late event (ms ≥ w ≥ lastMs + gap) starts a new session
-    * under the gap rule anyway.
+    * State EXPIRES: an `EventTimeTimeout` is armed at the earliest pending
+    * `end + gap + 1`; when the watermark passes it, certified sessions are
+    * emitted as FINAL and dropped, and a user with nothing pending has the
+    * state row REMOVED — without this a departed user's state lives forever
+    * (hundreds of millions of rows at the 100 TB target) and their last
+    * session never closes.
     *
-    * Emit contract: because an append sink cannot retract, the still-open
-    * session is re-emitted at the end of every micro-batch it received
-    * events in, as a PROVISIONAL row (n_events grows monotonically per
-    * emission); the timeout emission above is its final form. Downstream
-    * therefore compacts by (user_id, session_start_ms) keeping the row with
-    * the largest n_events — the standard upsert-by-key pattern for append
-    * streams; [[runSessionizeStream]] applies that compaction before
-    * returning, so multi-batch runs agree with [[sessionizeBatch]] exactly.
+    * Emit contract: because an append sink cannot retract, every batch that
+    * changes a pending session re-emits it as a PROVISIONAL row, and a key
+    * superseded by a rewind/bridge gets a TOMBSTONE row (`n_events = 0`).
+    * Rows carry a per-user emission sequence number; downstream compacts by
+    * (user_id, session_start_ms) keeping the max-`seq` row and dropping
+    * tombstones — the standard upsert-by-key pattern for append streams.
+    * [[runSessionizeStream]] applies that compaction before returning, so
+    * multi-batch runs agree with [[sessionizeBatch]] exactly whenever no
+    * event is dropped as too-late (disorder ≤ watermarkDelay); an event the
+    * watermark REJECTS is absent from the streaming answer by construction —
+    * that divergence is inherent to any bounded-state streaming engine.
     *
     * `maxFilesPerTrigger` > 0 bounds files per micro-batch (used by the
     * spec to force a genuine multi-batch run under AvailableNow). */
@@ -148,43 +183,37 @@ object EventsStream {
       .withColumn("et", expr("timestamp_millis(ms)"))
       .withWatermark("et", watermarkDelay)
       .as[Ev]
-    def fn(user: Long, it: Iterator[Ev], state: GroupState[Open]): Iterator[Sess] = {
-      if (state.hasTimedOut) {
-        // watermark passed lastMs + gap with no new events: close out
-        val fin = state.getOption.map(s => Sess(user, s.start, s.n, s.cents))
-        state.remove()
-        fin.iterator
-      } else {
-        val evs = it.toSeq.sortBy(e => (e.ms, e.event_id))
-        var open = state.getOption
-        val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
-        evs.foreach { e =>
-          open = open match {
-            case Some(s) if e.ms - s.lastMs <= SessionGapMs =>
-              // max: a cross-batch late event (admitted by the watermark)
-              // must not REWIND the horizon — that would split sessions the
-              // batch (globally sorted) variant keeps whole, and expire the
-              // state early
-              Some(s.copy(n = s.n + 1, cents = s.cents + e.cents,
-                lastMs = math.max(s.lastMs, e.ms)))
-            case Some(s) =>
-              // closed by gap — this emission is final
-              out += Sess(user, s.start, s.n, s.cents)
-              Some(Open(e.ms, 1, e.cents, e.ms))
-            case None =>
-              Some(Open(e.ms, 1, e.cents, e.ms))
-          }
-        }
-        // provisional emission of the open session (see emit contract above)
-        open.foreach { s =>
-          state.update(s)
-          // events passing the late filter have ms ≥ watermark, so this
-          // timestamp is always > watermark (Spark rejects stale timeouts)
-          state.setTimeoutTimestamp(s.lastMs + SessionGapMs)
-          out += Sess(user, s.start, s.n, s.cents)
-        }
-        out.iterator
+    def fn(user: Long, it: Iterator[Ev], state: GroupState[SessState]): Iterator[Sess] = {
+      val wm = state.getCurrentWatermarkMs()
+      val old = state.getOption.getOrElse(SessState(Nil, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Sess]
+      var seq = old.seq
+      def emit(s: PendSess): Unit = { seq += 1; out += Sess(user, s.start, s.n, s.cents, seq) }
+      val merged =
+        if (state.hasTimedOut) old.sessions
+        else mergeSessions(old.sessions ++ it.map(e => PendSess(e.ms, e.ms, 1, e.cents)))
+      // tombstone keys the merge erased (a rewind moves start earlier; a
+      // bridge keeps only the earlier key) — no admissible future event can
+      // recreate an erased key, since it now lies strictly inside a span
+      val newKeys = merged.map(_.start).toSet
+      old.sessions.map(_.start).filterNot(newKeys).sorted
+        .foreach { k => seq += 1; out += Sess(user, k, 0L, 0L, seq) }
+      // `end + gap < wm` strictly: an event AT the watermark is admissible
+      // and an event at exactly end + gap still merges under `≤ gap`
+      val (fin, live) = merged.partition(_.end + SessionGapMs < wm)
+      fin.foreach(emit) // final form — provably never touched again
+      // provisional re-emission of pending sessions this batch changed
+      val oldByKey = old.sessions.map(s => s.start -> s).toMap
+      live.filter(s => !oldByKey.get(s.start).contains(s)).foreach(emit)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessState(live, seq))
+        // +1: the timeout must be strictly later than the watermark when
+        // armed (live ⇒ end + gap ≥ wm), and firing means wm > end+gap+1,
+        // which satisfies the strict finality test above
+        state.setTimeoutTimestamp(live.head.end + SessionGapMs + 1)
       }
+      out.iterator
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
@@ -192,12 +221,13 @@ object EventsStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
-  /** Upsert-by-key compaction of the append-stream emissions: latest
-    * provisional/final row per (user, session_start). */
+  /** Upsert-by-key compaction of the append-stream emissions: keep the
+    * LATEST (max-seq) row per (user, session_start), drop tombstones. */
   def compactSessions(spark: SparkSession, queryName: String): DataFrame =
     spark.table(queryName)
       .groupBy(col("user_id"), col("session_start_ms"))
-      .agg(max(struct(col("n_events"), col("sum_cents"))).as("m"))
+      .agg(max(struct(col("seq"), col("n_events"), col("sum_cents"))).as("m"))
+      .filter(col("m.n_events") > 0)
       .select(col("user_id"), col("session_start_ms"),
         col("m.n_events").as("n_events"), col("m.sum_cents").as("sum_cents"))
       .orderBy("user_id", "session_start_ms")
