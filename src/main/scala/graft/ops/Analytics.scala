@@ -184,6 +184,28 @@ object Analytics {
         .orderBy("l_returnflag"),
       None),
 
+    /** Driver-visible error-bound companion to [[an_approx_distinct]]: the
+      * HLL estimate itself is engine-specific (no DuckDB analog), but its
+      * CONTRACT is portable — |approx − exact| ≤ 5% (the default rsd). The
+      * companion emits the exact count plus the computed verdict; the oracle
+      * emits the exact count plus literal TRUE, so a bound violation
+      * hash-mismatches. The exact count-distinct shuffle exists only in this
+      * verification query — production code keeps the one-pass sketch. */
+    QueryDef(
+      "an_approx_distinct_bound",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("within_bound"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
+             |       TRUE AS within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef(
       "an_regex_extract",
       (s, d) => Tables.customer(s, d)
@@ -317,6 +339,54 @@ object Analytics {
           "approx_p50_p95[0] AS approx_p50", "approx_p50_p95[1] AS approx_p95")
         .orderBy("l_returnflag"),
       None),
+
+    /** Driver-visible error-bound companion to [[an_approx_percentile]].
+      * "Exact" is the NEAREST-RANK percentile over integer cents — rank
+      * ceil(p·n) via integer arithmetic, no interpolation — because a
+      * continuous (interpolated) percentile is a double whose last-ulp
+      * depends on the engine's interpolation formula and would hash-
+      * mismatch spuriously. percentile_approx returns an actual element
+      * with rank error ≤ n/accuracy, so a 1% VALUE bound against the
+      * nearest-rank element is the sketch's documented contract
+      * (AnalyticsSpec). Oracle mirrors the rank rule and emits TRUE. */
+    QueryDef(
+      "an_approx_percentile_bound",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents("l_extendedprice").as("cts"))
+        val byFlag = Window.partitionBy(col("l_returnflag"))
+        val r = c
+          .withColumn("rn", row_number().over(byFlag.orderBy(col("cts"))))
+          .withColumn("n", count(lit(1)).over(byFlag))
+        val exact = r.groupBy(col("l_returnflag")).agg(
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cts")))
+            .as("exact_p50_cents"),
+          max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cts")))
+            .as("exact_p95_cents"))
+        val approx = c.groupBy(col("l_returnflag"))
+          .agg(expr("percentile_approx(cts, array(0.5D, 0.95D), 10000)").as("ap"))
+          .select(col("l_returnflag").as("rf2"),
+            expr("ap[0]").as("a50"), expr("ap[1]").as("a95"))
+        exact.join(approx, exact("l_returnflag") === approx("rf2"))
+          .select(col("l_returnflag"), col("exact_p50_cents"), col("exact_p95_cents"),
+            (abs(col("a50") - col("exact_p50_cents")) <= col("exact_p50_cents") * 0.01 &&
+             abs(col("a95") - col("exact_p95_cents")) <= col("exact_p95_cents") * 0.01)
+              .as("within_bound"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (SELECT l_returnflag,
+             |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cts
+             |           FROM lineitem),
+             |r AS (SELECT l_returnflag, cts,
+             |             row_number() OVER (PARTITION BY l_returnflag ORDER BY cts) AS rn,
+             |             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |      FROM c)
+             |SELECT l_returnflag,
+             |       MAX(CASE WHEN rn = (n + 1) // 2 THEN cts END) AS exact_p50_cents,
+             |       MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cts END) AS exact_p95_cents,
+             |       TRUE AS within_bound
+             |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     /** Z-order (Morton) clustering value over (orderkey, partkey) folded to
       * 10 bits each — the multi-dimensional layout key
