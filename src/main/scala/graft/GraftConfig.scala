@@ -17,21 +17,28 @@ import java.nio.file.{Files, Paths}
   * Parser semantics match Python `configparser` where the reference relies
   * on them: `[SECTION]` headers (trailing whitespace tolerated — the
   * reference's `[DWH] ` line has one), `KEY=value` pairs with whitespace
-  * trimmed, empty values allowed (`HOST=`), `#`/`;` comment lines, and the
-  * single quotes the reference writes around S3 URIs are stripped (psycopg2
-  * SQL interpolation needed them; a path loader does not).
+  * trimmed, keys LOWERCASED on store and lookup (configparser's default
+  * `optionxform`), a loud error on a key before any section header
+  * (configparser's MissingSectionHeaderError), empty values allowed
+  * (`HOST=`), `#`/`;` comment lines, and the single quotes the reference
+  * writes around S3 URIs are stripped (psycopg2 SQL interpolation needed
+  * them; a path loader does not).
   */
 object GraftConfig {
 
   final case class Config(sections: Map[String, Map[String, String]]) {
-    /** Lookup, case-insensitive in the section name (configparser keeps
-      * section case but the reference always matches exactly; keys are
-      * stored as written). Empty values read as absent — `HOST=` in the
-      * shipped dwh.cfg means "not configured", not "empty string host". */
+    /** Lookup: section name matched exactly first (configparser sections ARE
+      * case-sensitive), falling back to the lexicographically-first
+      * case-insensitive match — a deterministic convenience the reference's
+      * all-caps sections never need. Keys are case-insensitive (stored
+      * lowercased, configparser optionxform). Empty values read as absent —
+      * `HOST=` in the shipped dwh.cfg means "not configured", not "empty
+      * string host". */
     def get(section: String, key: String): Option[String] =
-      sections.collectFirst {
-        case (s, kv) if s.equalsIgnoreCase(section) => kv
-      }.flatMap(_.get(key)).filter(_.nonEmpty)
+      sections.get(section)
+        .orElse(sections.keys.filter(_.equalsIgnoreCase(section))
+          .toSeq.sorted.headOption.map(sections))
+        .flatMap(_.get(key.toLowerCase)).filter(_.nonEmpty)
 
     def getOr(section: String, key: String, default: String): String =
       get(section, key).getOrElse(default)
@@ -44,20 +51,23 @@ object GraftConfig {
     else v
 
   def parse(text: String): Config = {
-    var section = ""
+    var section: Option[String] = None
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-    text.linesIterator.foreach { raw =>
+    text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
         if (line.startsWith("[") && line.endsWith("]")) {
-          section = line.substring(1, line.length - 1).trim
-          if (!out.contains(section)) out(section) = Map.empty
+          val s = line.substring(1, line.length - 1).trim
+          section = Some(s)
+          if (!out.contains(s)) out(s) = Map.empty
         } else line.indexOf('=') match {
           case -1 => // configparser would raise; a config loader skips junk lines
           case i =>
-            val k = line.substring(0, i).trim
+            val s = section.getOrElse(throw new IllegalArgumentException(
+              s"line ${ln + 1}: key before any [section] header: '$line'"))
+            val k = line.substring(0, i).trim.toLowerCase
             val v = unquote(line.substring(i + 1).trim)
-            out(section) = out.getOrElse(section, Map.empty) + (k -> v)
+            out(s) = out(s) + (k -> v)
         }
       }
     }

@@ -308,15 +308,63 @@ object Relational {
           .filter(col("edit_dist") <= 10)
           .orderBy("part_a", "part_b")
       },
-      Some("""WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
-             |keep AS (SELECT p_brand, p_size FROM p GROUP BY 1, 2 HAVING COUNT(*) <= 1000)
-             |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-             |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-             |FROM p a JOIN keep k ON a.p_brand = k.p_brand AND a.p_size = k.p_size
-             |     JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-             |              AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) <= 10
-             |ORDER BY part_a, part_b""".stripMargin)),
+      Some(s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+              |keep AS (SELECT p_brand, p_size FROM p GROUP BY 1, 2
+              |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket})
+              |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+              |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+              |FROM p a JOIN keep k ON a.p_brand = k.p_brand AND a.p_size = k.p_size
+              |     JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              |              AND a.p_partkey < b.p_partkey
+              |WHERE levenshtein(a.p_name, b.p_name) <= 10
+              |ORDER BY part_a, part_b""".stripMargin)),
+
+    /** Multi-pass blocking for the fuzzy join: a typo in the BLOCKING KEY
+      * itself ((brand, size) above) escapes that block entirely — the
+      * standard fix is to union candidates from a second, independent key
+      * (here a name-prefix bucket) before the verify step, trading one more
+      * capped expansion for recall the single key cannot have. Same audited
+      * `cappedElementPairs` bound on both passes; candidates are deduped
+      * BEFORE the levenshtein verify so each pair is scored once. */
+    QueryDef(
+      "jn_fuzzy_multiblock",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        def pairs(buckets: org.apache.spark.sql.DataFrame) =
+          graft.dedup.Dedup.cappedElementPairs(buckets)
+            .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
+              col("p.x.p_name").as("na"), col("p.y.p_name").as("nb"))
+        val doc = struct(col("p_partkey"), col("p_name"))
+        val byKey = p.groupBy(col("p_brand"), col("p_size"))
+          .agg(sort_array(collect_list(doc)).as("ds"))
+        val byPrefix = p.groupBy(substring(col("p_name"), 1, 12).as("pfx"))
+          .agg(sort_array(collect_list(doc)).as("ds"))
+        pairs(byKey).union(pairs(byPrefix)).distinct()
+          .select(col("part_a"), col("part_b"),
+            levenshtein(col("na"), col("nb")).as("edit_dist"))
+          .filter(col("edit_dist") <= 10)
+          .orderBy("part_a", "part_b")
+      },
+      Some(s"""WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+              |k1 AS (SELECT p_brand, p_size FROM p GROUP BY 1, 2
+              |       HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
+              |c1 AS (SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+              |              a.p_name AS na, b.p_name AS nb
+              |       FROM p a JOIN k1 k ON a.p_brand = k.p_brand AND a.p_size = k.p_size
+              |            JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              |                     AND a.p_partkey < b.p_partkey),
+              |k2 AS (SELECT substring(p_name, 1, 12) AS pfx FROM p GROUP BY 1
+              |       HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
+              |c2 AS (SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+              |              a.p_name AS na, b.p_name AS nb
+              |       FROM p a JOIN k2 k ON substring(a.p_name, 1, 12) = k.pfx
+              |            JOIN p b ON substring(b.p_name, 1, 12) = k.pfx
+              |                     AND a.p_partkey < b.p_partkey),
+              |u AS (SELECT * FROM c1 UNION SELECT * FROM c2)
+              |SELECT part_a, part_b, CAST(levenshtein(na, nb) AS INTEGER) AS edit_dist
+              |FROM u WHERE levenshtein(na, nb) <= 10
+              |ORDER BY part_a, part_b""".stripMargin)),
 
     // ---- Aggregation family ----------------------------------------------
     QueryDef(

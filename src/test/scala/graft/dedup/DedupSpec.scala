@@ -79,21 +79,20 @@ class DedupSpec extends AnyFunSuite {
   test("dup clusters run with RELIABLE checkpoints when a checkpoint dir is set") {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir configured")
+    // local-checkpoint baseline FIRST, while no dir is configured
     val baseline = run("dd_dup_clusters").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     sc.setCheckpointDir(dir)
-    try {
-      val reliable = run("dd_dup_clusters").collect().toSeq
-      assert(reliable == baseline, "checkpoint mode changed the fixpoint")
-      // the loop actually wrote cluster-store checkpoints (executor-loss-safe)
-      val written = new java.io.File(dir).listFiles()
-      assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
-    } finally {
-      // restore local-mode behavior for the rest of the suite
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
-    }
+    val reliable = run("dd_dup_clusters").collect().toSeq
+    assert(reliable == baseline, "checkpoint mode changed the fixpoint")
+    // the loop actually wrote cluster-store checkpoints (executor-loss-safe)
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
+    // The dir deliberately STAYS set for the rest of the JVM: reliable mode
+    // is result-equivalent (just asserted) and un-setting it is impossible
+    // without reflecting into SparkContext private state — the previous
+    // reflective reset was version-brittle and, on failure, would poison
+    // every later test in the shared session instead of failing here.
   }
 
   test("bucket cap drops adversarial hot-key buckets from pair expansion") {

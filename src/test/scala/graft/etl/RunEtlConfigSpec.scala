@@ -10,13 +10,15 @@ class RunEtlConfigSpec extends AnyFunSuite {
 
   // Byte-for-byte the shapes in the reference's dwh.cfg: empty values,
   // trailing space after a section header, quoted S3 URIs.
+  // ${" "}: a REAL trailing space after [DWH], kept visible (and safe from
+  // editor trailing-whitespace stripping) via interpolation.
   private val dwhCfg =
-    """[DB]
+    s"""[DB]
       |HOST=
       |DB_NAME=
       |DB_PORT=5439
       |
-      |[DWH]
+      |[DWH]${" "}
       |DWH_CLUSTER_TYPE=multi-node
       |DWH_NUM_NODES=4
       |
@@ -40,6 +42,26 @@ class RunEtlConfigSpec extends AnyFunSuite {
       "section lookup is case-insensitive")
     assert(cfg.get("S3", "SONG_DATA").isEmpty)
     assert(cfg.getOr("GRAFT", "CPUS", "4") == "8")
+  }
+
+  test("configparser quirk surface: key case-folding, pre-section error, section-case determinism") {
+    val cfg = GraftConfig.parse(dwhCfg)
+    // keys are case-insensitive (configparser optionxform lowercases)
+    assert(cfg.get("DB", "db_port").contains("5439"))
+    assert(cfg.get("DB", "Db_Port").contains("5439"))
+    // a key before any [section] is a loud error (MissingSectionHeaderError),
+    // not a silent "" section
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.parse("ORPHAN=1\n[DB]\nHOST=x\n")
+    }
+    assert(e.getMessage.contains("line 1"))
+    // sections that differ only by case stay distinct (configparser
+    // semantics); exact lookup wins, and a case-insensitive fallback picks
+    // the lexicographically-first name — deterministically
+    val dual = GraftConfig.parse("[DWH]\nK=upper\n[dwh]\nK=lower\n")
+    assert(dual.get("DWH", "k").contains("upper"))
+    assert(dual.get("dwh", "k").contains("lower"))
+    assert(dual.get("Dwh", "k").contains("upper"), "fallback: 'DWH' < 'dwh' lexicographically")
   }
 
   test("RunEtl resolution: config supplies defaults, argv overrides") {
