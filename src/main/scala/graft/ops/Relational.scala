@@ -27,6 +27,25 @@ object Relational {
 
   private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
 
+  /** Candidate pairs for the multi-pass fuzzy join (see `jn_fuzzy_multiblock`
+    * below for the recall contract). Factored out so RelationalSpec can drive
+    * it with a planted hot block. Input: (p_partkey, p_name, p_brand,
+    * p_size). Output: deduped (part_a, part_b, na, nb) candidates from the
+    * union of the (brand, size) and (name-prefix-12, size) passes, each
+    * capped per-block by [[graft.dedup.Dedup.cappedElementPairs]]. */
+  def fuzzyMultiblockPairs(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def pairs(buckets: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.cappedElementPairs(buckets)
+        .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
+          col("p.x.p_name").as("na"), col("p.y.p_name").as("nb"))
+    val doc = struct(col("p_partkey"), col("p_name"))
+    val byKey = p.groupBy(col("p_brand"), col("p_size"))
+      .agg(sort_array(collect_list(doc)).as("ds"))
+    val byPrefixSize = p.groupBy(substring(col("p_name"), 1, 12).as("pfx"), col("p_size"))
+      .agg(sort_array(collect_list(doc)).as("ds"))
+    pairs(byKey).union(pairs(byPrefixSize)).distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- S1/S2 scans -----------------------------------------------------
@@ -321,26 +340,37 @@ object Relational {
 
     /** Multi-pass blocking for the fuzzy join: a typo in the BLOCKING KEY
       * itself ((brand, size) above) escapes that block entirely — the
-      * standard fix is to union candidates from a second, independent key
-      * (here a name-prefix bucket) before the verify step, trading one more
-      * capped expansion for recall the single key cannot have. Same audited
-      * `cappedElementPairs` bound on both passes; candidates are deduped
-      * BEFORE the levenshtein verify so each pair is scored once. */
+      * standard fix is to union candidates from a second key that EXCLUDES
+      * the suspect field before the verify step. Pass 1 blocks on
+      * (brand, size) and so tolerates any name corruption; pass 2 blocks on
+      * (name-prefix-12, size) and so tolerates any brand corruption.
+      *
+      * RECALL CONTRACT: a true pair is found iff at least one pass keeps it,
+      * i.e. iff (brand AND size agree) OR (name-prefix-12 AND size agree) for
+      * a block of ≤ MaxBucket members. Lost, by design: (a) pairs where two
+      * of the three fields are corrupted at once (no pass's key survives),
+      * (b) pairs whose first 12 name chars differ AND brand differs, and
+      * (c) pairs inside a block larger than MaxBucket — dropped entirely,
+      * like every banded-LSH generator here. Round 4 used name-prefix ALONE
+      * as the second key; the fixture has only 64 distinct names, so every
+      * block held n/64 docs (313 at sf0.1, ~3.1 M pairs, 11 s — and at 3×
+      * more data every block would cross the cap and pass-2 recall would
+      * drop to exactly 0). Compounding with size multiplies key cardinality
+      * by 50: measured blocks at sf0.1 are max 17 / p99 13 vs cap 1000 —
+      * the cap is ~60× of p99 away instead of 3×, and cost is ~62 k capped
+      * candidates instead of 3.1 M.
+      *
+      * Same audited `cappedElementPairs` bound on both passes; candidates
+      * are deduped BEFORE the levenshtein verify so each pair is scored
+      * once. RelationalSpec proves the cap fires on a planted hot
+      * (prefix, size) block and that a brand-typo pair is recovered by
+      * pass 2. */
     QueryDef(
       "jn_fuzzy_multiblock",
       (s, d) => {
         val p = Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-        def pairs(buckets: org.apache.spark.sql.DataFrame) =
-          graft.dedup.Dedup.cappedElementPairs(buckets)
-            .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
-              col("p.x.p_name").as("na"), col("p.y.p_name").as("nb"))
-        val doc = struct(col("p_partkey"), col("p_name"))
-        val byKey = p.groupBy(col("p_brand"), col("p_size"))
-          .agg(sort_array(collect_list(doc)).as("ds"))
-        val byPrefix = p.groupBy(substring(col("p_name"), 1, 12).as("pfx"))
-          .agg(sort_array(collect_list(doc)).as("ds"))
-        pairs(byKey).union(pairs(byPrefix)).distinct()
+        fuzzyMultiblockPairs(p)
           .select(col("part_a"), col("part_b"),
             levenshtein(col("na"), col("nb")).as("edit_dist"))
           .filter(col("edit_dist") <= 10)
@@ -354,12 +384,14 @@ object Relational {
               |       FROM p a JOIN k1 k ON a.p_brand = k.p_brand AND a.p_size = k.p_size
               |            JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
               |                     AND a.p_partkey < b.p_partkey),
-              |k2 AS (SELECT substring(p_name, 1, 12) AS pfx FROM p GROUP BY 1
+              |k2 AS (SELECT substring(p_name, 1, 12) AS pfx, p_size FROM p GROUP BY 1, 2
               |       HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
               |c2 AS (SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
               |              a.p_name AS na, b.p_name AS nb
               |       FROM p a JOIN k2 k ON substring(a.p_name, 1, 12) = k.pfx
+              |                         AND a.p_size = k.p_size
               |            JOIN p b ON substring(b.p_name, 1, 12) = k.pfx
+              |                     AND b.p_size = k.p_size
               |                     AND a.p_partkey < b.p_partkey),
               |u AS (SELECT * FROM c1 UNION SELECT * FROM c2)
               |SELECT part_a, part_b, CAST(levenshtein(na, nb) AS INTEGER) AS edit_dist
