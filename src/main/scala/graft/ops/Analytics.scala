@@ -186,11 +186,16 @@ object Analytics {
 
     /** Driver-visible error-bound companion to [[an_approx_distinct]]: the
       * HLL estimate itself is engine-specific (no DuckDB analog), but its
-      * CONTRACT is portable — |approx − exact| ≤ 5% (the default rsd). The
-      * companion emits the exact count plus the computed verdict; the oracle
-      * emits the exact count plus literal TRUE, so a bound violation
-      * hash-mismatches. The exact count-distinct shuffle exists only in this
-      * verification query — production code keeps the one-pass sketch. */
+      * CONTRACT is portable. The default rsd=0.05 is a relative STANDARD
+      * DEVIATION, not a hard bound — ~32% of estimates sit outside 1σ by
+      * definition, so testing |approx − exact| ≤ rsd would flake at some
+      * cardinality. The companion asserts the realistic envelope, 3σ = 15%
+      * (≳99.7% of estimates; a violation indicates a broken sketch, not
+      * routine estimator noise). The oracle emits the exact count plus
+      * literal TRUE, so a bound violation hash-mismatches. The exact
+      * count-distinct shuffle exists only in this verification query —
+      * production code keeps the one-pass sketch, so this companion's
+      * SCALING curve is the exact operator's, not the production path's. */
     QueryDef(
       "an_approx_distinct_bound",
       (s, d) => Tables.lineitem(s, d)
@@ -199,7 +204,7 @@ object Analytics {
           approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("n_exact"))
         .select(col("l_returnflag"), col("n_exact"),
-          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.05)
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * 0.15)
             .as("within_bound"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
@@ -345,10 +350,19 @@ object Analytics {
       * ceil(p·n) via integer arithmetic, no interpolation — because a
       * continuous (interpolated) percentile is a double whose last-ulp
       * depends on the engine's interpolation formula and would hash-
-      * mismatch spuriously. percentile_approx returns an actual element
-      * with rank error ≤ n/accuracy, so a 1% VALUE bound against the
-      * nearest-rank element is the sketch's documented contract
-      * (AnalyticsSpec). Oracle mirrors the rank rule and emits TRUE. */
+      * mismatch spuriously. The verdict tests percentile_approx's DOCUMENTED
+      * contract, which is a RANK guarantee, not a value guarantee: the
+      * returned element's rank is within ±n/accuracy of the target rank
+      * (QuantileSummaries / Greenwald-Khanna, relative error 1/accuracy).
+      * A value-percentage bound would silently depend on the data's local
+      * density and on partition-count-sensitive merge order; instead the
+      * verdict checks the estimate lies between the VALUES at ranks
+      * target ± ceil(n/accuracy) — translation of the rank window through
+      * the sorted data, valid under any partitioning (AnalyticsSpec).
+      * Oracle mirrors the rank rule and emits TRUE. SCALING note: this
+      * companion's growth curve is the EXACT operator's (full per-group
+      * window sort), not the sketch's — it is a verification query; the
+      * production path is [[an_approx_percentile]]'s one-pass sketch. */
     QueryDef(
       "an_approx_percentile_bound",
       (s, d) => {
@@ -359,19 +373,29 @@ object Analytics {
         val r = c
           .withColumn("rn", row_number().over(byFlag.orderBy(col("cts"))))
           .withColumn("n", count(lit(1)).over(byFlag))
+        // Rank slack from the documented guarantee: accuracy=10000 → the
+        // estimate's rank is within ceil(n/10000) of the target rank.
         val exact = r.groupBy(col("l_returnflag")).agg(
           max(when(col("rn") === expr("(n + 1) div 2"), col("cts")))
             .as("exact_p50_cents"),
           max(when(col("rn") === expr("(19 * n + 19) div 20"), col("cts")))
-            .as("exact_p95_cents"))
+            .as("exact_p95_cents"),
+          max(when(col("rn") === expr("greatest(1L, (n + 1) div 2 - (n + 9999) div 10000)"),
+            col("cts"))).as("lo50"),
+          max(when(col("rn") === expr("least(n, (n + 1) div 2 + (n + 9999) div 10000)"),
+            col("cts"))).as("hi50"),
+          max(when(col("rn") === expr("greatest(1L, (19 * n + 19) div 20 - (n + 9999) div 10000)"),
+            col("cts"))).as("lo95"),
+          max(when(col("rn") === expr("least(n, (19 * n + 19) div 20 + (n + 9999) div 10000)"),
+            col("cts"))).as("hi95"))
         val approx = c.groupBy(col("l_returnflag"))
           .agg(expr("percentile_approx(cts, array(0.5D, 0.95D), 10000)").as("ap"))
           .select(col("l_returnflag").as("rf2"),
             expr("ap[0]").as("a50"), expr("ap[1]").as("a95"))
         exact.join(approx, exact("l_returnflag") === approx("rf2"))
           .select(col("l_returnflag"), col("exact_p50_cents"), col("exact_p95_cents"),
-            (abs(col("a50") - col("exact_p50_cents")) <= col("exact_p50_cents") * 0.01 &&
-             abs(col("a95") - col("exact_p95_cents")) <= col("exact_p95_cents") * 0.01)
+            (col("a50").between(col("lo50"), col("hi50")) &&
+             col("a95").between(col("lo95"), col("hi95")))
               .as("within_bound"))
           .orderBy("l_returnflag")
       },

@@ -137,12 +137,22 @@ object Ingest {
 
   /** Deterministic staging dir holding a JSON-serialized copy of the fixture
     * events table — the landing-zone shape the reference's S1 COPY actually
-    * reads (newline-delimited JSON objects). Written once per fixture dir
-    * (keyed by a digest of its path, `_SUCCESS`-guarded) so repeated bench
-    * rounds and verify runs reuse it. */
+    * reads (newline-delimited JSON objects). Written once per fixture
+    * CONTENT, `_SUCCESS`-guarded, so repeated bench rounds and verify runs
+    * reuse it. The cache key digests the fixture's file names, sizes, and
+    * mtimes — not just the path — so a regenerated fixture under the same
+    * path gets a fresh staging dir instead of silently serving stale JSON
+    * (which would hash-mismatch the fresh-parquet oracle and present as a
+    * phantom engine bug). */
   def stagedEventsJson(spark: SparkSession, sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val sigFiles =
+      if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
+      else Seq(src)
+    val sig = sfDir +
+      sigFiles.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-events-json-$key")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       graft.Tables.events(spark, sfDir).write.mode("overwrite").json(dir.toString)

@@ -83,16 +83,22 @@ class DedupSpec extends AnyFunSuite {
     val baseline = run("dd_dup_clusters").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     sc.setCheckpointDir(dir)
-    val reliable = run("dd_dup_clusters").collect().toSeq
-    assert(reliable == baseline, "checkpoint mode changed the fixpoint")
-    // the loop actually wrote cluster-store checkpoints (executor-loss-safe)
-    val written = new java.io.File(dir).listFiles()
-    assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
-    // The dir deliberately STAYS set for the rest of the JVM: reliable mode
-    // is result-equivalent (just asserted) and un-setting it is impossible
-    // without reflecting into SparkContext private state — the previous
-    // reflective reset was version-brittle and, on failure, would poison
-    // every later test in the shared session instead of failing here.
+    try {
+      val reliable = run("dd_dup_clusters").collect().toSeq
+      assert(reliable == baseline, "checkpoint mode changed the fixpoint")
+      // the loop actually wrote cluster-store checkpoints (executor-loss-safe)
+      val written = new java.io.File(dir).listFiles()
+      assert(written != null && written.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      // Restore the shared session's no-checkpoint-dir default so no later
+      // suite runs in reliable mode only when this test happened to run
+      // first. setCheckpointDir(null) is a supported reset — the body is
+      // `checkpointDir = Option(directory).map(...)` and the non-local-path
+      // warning branch is skipped entirely under isLocal — no reflection
+      // into private state needed.
+      sc.setCheckpointDir(null)
+    }
+    assert(sc.getCheckpointDir.isEmpty, "checkpoint dir must not leak past this test")
   }
 
   test("bucket cap drops adversarial hot-key buckets from pair expansion") {

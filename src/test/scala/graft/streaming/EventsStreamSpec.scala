@@ -206,4 +206,65 @@ class EventsStreamSpec extends AnyFunSuite {
     val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
     assert(removed >= 1, "no state rows were ever removed")
   }
+
+  test("TIMEOUT branch: hasTimedOut with an empty batch iterator finalizes from old.sessions only, under RocksDB") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // The branch under test (EventsStream.fn): when `state.hasTimedOut`,
+    // the batch iterator is EMPTY and `merged = old.sessions` — finals must
+    // come from state alone. Planting TWO pending sessions for one user and
+    // expiring them across two separate timeout firings proves the branch
+    // (a) emits only watermark-certified sessions, (b) keeps the rest live.
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"), "sessionizer spec must run on the at-scale state store")
+    val dir = java.nio.file.Files.createTempDirectory("events_timeout").toString
+    val t0 = 1600000000000L
+    val Min = 60000L; val Hour = 3600000L
+    def stage(name: String, mtime: Long, rows: (Long, Long, Long)*): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ms, uid) =>
+          org.apache.spark.sql.Row(id, ms * 1000000L, uid, "play", 1.0, "{}") }, 1),
+        StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+      val tmp = s"$dir/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    // f1: user 1 has TWO pending sessions, 3 h apart (> 1 h gap). User 1
+    // never appears again — every later invocation for it is a timeout one.
+    stage("f1", now - 120000, (1L, t0, 1L), (2L, t0 + 3 * Hour, 1L))
+    // f2: only user 2. Its batch runs with wm = t0+3h-10min, which is past
+    // session A's horizon (t0+1h+1) but NOT session B's (t0+4h+1): the
+    // timeout fires with an empty iterator and must finalize A alone.
+    stage("f2", now - 60000, (3L, t0 + 5 * Hour, 2L))
+    // f3: only user 3. Its batch runs with wm = t0+5h-10min > t0+4h+1:
+    // the second timeout firing finalizes B and removes user 1's state.
+    stage("f3", now, (4L, t0 + 100 * Hour, 3L))
+    val q = EventsStream.sessionizeStreamQuery(spark, dir, "sessions_timeout",
+      maxFilesPerTrigger = 1, watermarkDelay = "10 minutes")
+    q.awaitTermination()
+    val raw = spark.table("sessions_timeout")
+      .filter(col("user_id") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._3) // (start, n, seq)
+    // b1 emits both provisional; the two timeout firings re-emit each as
+    // final from state alone (user 1 had zero input rows after f1).
+    assert(raw.length == 4, s"expected 2 provisional + 2 timeout-finals, got ${raw.toSeq}")
+    assert(raw.map(t => (t._1, t._2)).toSeq ==
+      Seq((t0, 1L), (t0 + 3 * Hour, 1L), (t0, 1L), (t0 + 3 * Hour, 1L)),
+      s"timeout finals must replay old.sessions content exactly: ${raw.toSeq}")
+    // Partial expiry order: A's final (3rd emission) precedes B's final
+    // (4th) — two separate hasTimedOut firings, not one bulk flush.
+    assert(raw.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L), s"seq order broken: ${raw.toSeq}")
+    val sessions = EventsStream.compactSessions(spark, "sessions_timeout")
+      .filter(col("user_id") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(sessions == Seq((t0, 1L), (t0 + 3 * Hour, 1L)))
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 1, "user 1's state row was never removed after its last timeout")
+  }
 }
