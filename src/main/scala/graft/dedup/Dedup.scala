@@ -510,5 +510,51 @@ object Dedup {
              |SELECT vec_a, vec_b, cell, round(dot / sqrt(na * nb), 6) AS cos6
              |FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    /** DECONTAMINATION: flag corpus documents that share any word 3-gram
+      * with a benchmark/eval set (stand-in: the src0 documents) — the
+      * GPT-3-style n-gram overlap scrub every pretraining pipeline runs so
+      * eval answers don't leak into training data. Shape at 100 TB: the
+      * benchmark side is first PRE-AGGREGATED to a shingle → distinct-doc-
+      * count dictionary (one row per shingle — bounded by the eval suite's
+      * vocabulary, tiny) and BROADCAST to the corpus shingle stream, so the
+      * join emits at most one match per corpus shingle row; joining the raw
+      * per-bench-doc shingle rows instead would fan out |bench docs| copies
+      * of every stop-shingle — the hot-key explosion the MaxBucket cap
+      * guards elsewhere, avoided here by construction since dropping hot
+      * shingles would cost decontamination RECALL (eval leakage). The
+      * shared shingle subtree is computed once (ReuseExchange, same as
+      * dd_ngram_jaccard). Output per contaminated doc: distinct overlapping
+      * shingles and total bench-doc incidences (sum over shared shingles of
+      * the bench docs containing each). */
+    QueryDef(
+      "dd_decontaminate",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val sh = shingleRows(s, d)
+        val benchDict = sh.join(src.filter(col("source") === "src0"), "doc_id")
+          .groupBy(col("sng")).agg(countDistinct(col("doc_id")).as("nb"))
+        val corpus = sh.join(src.filter(col("source") =!= "src0"), "doc_id")
+          .select(col("doc_id"), col("sng"))
+        corpus.join(broadcast(benchDict), "sng")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_shingles"),
+            sum(col("nb")).as("n_bench_incidences"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |               FROM documents),
+             |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+             |          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh0),
+             |benchdict AS (SELECT e.sng, COUNT(DISTINCT e.doc_id) AS nb FROM ex e
+             |              JOIN documents d ON d.doc_id = e.doc_id
+             |              WHERE d.source = 'src0' GROUP BY e.sng),
+             |corpus AS (SELECT e.doc_id, e.sng FROM ex e
+             |           JOIN documents d ON d.doc_id = e.doc_id WHERE d.source <> 'src0')
+             |SELECT c.doc_id, COUNT(*) AS n_shared_shingles,
+             |       CAST(SUM(b.nb) AS BIGINT) AS n_bench_incidences
+             |FROM corpus c JOIN benchdict b ON c.sng = b.sng
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
   )
 }

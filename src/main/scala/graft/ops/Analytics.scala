@@ -463,6 +463,33 @@ object Analytics {
              |   OR (source NOT IN ('src0', 'src1') AND bucket < 50)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    /** Deterministic stratified TRAIN/VAL/TEST split (80/10/10 by md5
+      * bucket of doc_id) — the assignment every training pipeline needs to
+      * be reproducible across reruns and engines (no RNG: the same doc
+      * lands in the same split on any cluster, any partitioning, any day).
+      * One narrow pass + one small aggregation; the per-doc split column is
+      * the production output, the per-(source, split) counts emitted here
+      * keep the oracle result compact. */
+    QueryDef(
+      "an_train_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          expr("CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source", "split"),
+      Some("""WITH b AS (SELECT *,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+             |  FROM documents),
+             |sp AS (SELECT source, n_chars,
+             |         CASE WHEN bucket < 80 THEN 'train'
+             |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+             |       FROM b)
+             |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
     /** Multi-join analytic through the SQL surface (join-reorder +
       * broadcast-hint showcase; Catalyst plans the dim chain as broadcasts). */
     QueryDef(

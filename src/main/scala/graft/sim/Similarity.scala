@@ -373,5 +373,43 @@ object Similarity {
            |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
            |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
       }),
+
+    /** EMBEDDING QUANTIZATION (asymmetric per-vector uint8) — the 4x
+      * memory/IO compression step before an ANN index ships to serving:
+      * q_i = (v_i + m) * 127 / (2m) with m = max|v_i|, mapping [-m, m] to
+      * [0, 127]. All arithmetic in integer micro-units (the sim_rp_pairs
+      * discipline): floats become `round(v * 1e6)` BIGINTs first, so both
+      * engines compute bit-identical codes — no float division anywhere,
+      * and Spark `div` truncation equals DuckDB `//` floor because every
+      * operand is non-negative. A narrow one-pass map (no shuffle, no model
+      * state); emitted checksums (sum/min/max of codes) keep the oracle
+      * row compact while pinning every code. */
+    QueryDef(
+      "sim_quantize_u8",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("vm"))
+        .withColumn("m",
+          expr("greatest(aggregate(vm, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))), CAST(1 AS BIGINT))"))
+        .withColumn("q", expr("transform(vm, x -> ((x + m) * 127) div (2 * m))"))
+        .select(col("vec_id"), col("m").as("scale_micro"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"))
+        .orderBy("vec_id"),
+      Some("""WITH vm AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+             |  FROM embeddings),
+             |mm AS (SELECT vec_id, vm,
+             |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m
+             |       FROM vm),
+             |q AS (SELECT vec_id, m,
+             |        list_transform(vm, x -> ((x + m) * 127) // (2 * m)) AS q
+             |      FROM mm)
+             |SELECT vec_id, CAST(m AS BIGINT) AS scale_micro,
+             |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |       CAST(list_min(q) AS BIGINT) AS q_min,
+             |       CAST(list_max(q) AS BIGINT) AS q_max
+             |FROM q ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -283,5 +283,75 @@ object TextStats {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /** SEQUENCE PACKING: lay each source's documents end-to-end (ordered by
+      * doc_id) into fixed 256-token training windows — the concat-and-cut
+      * packing every LLM pretraining pipeline runs before batching. Emits,
+      * per doc, its first/last window index and offset; `is_split` marks a
+      * doc straddling a window boundary. One window shuffle partitioned by
+      * source — the packing unit IS the parallelism unit, so at 100 TB the
+      * pipeline packs per (source, shard) to keep partitions bounded; the
+      * per-source prefix sum itself is the standard sequential scan within a
+      * partition (no cross-partition dependency). Integer-only arithmetic:
+      * Spark `div` truncation equals DuckDB `//` floor on these non-negative
+      * operands. */
+    QueryDef(
+      "tx_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            expr("(cum - n_tokens) div 256").as("win_first"),
+            expr("(cum - 1) div 256").as("win_last"),
+            expr("(cum - n_tokens) % 256").as("offset_in_win"),
+            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256").as("is_split"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+             |           FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM t)
+             |SELECT source, doc_id, n_tokens,
+             |       (cum - n_tokens) // 256 AS win_first,
+             |       (cum - 1) // 256 AS win_last,
+             |       (cum - n_tokens) % 256 AS offset_in_win,
+             |       (cum - n_tokens) // 256 <> (cum - 1) // 256 AS is_split
+             |FROM c ORDER BY source, doc_id""".stripMargin)),
+
+    /** BLOCKLIST MASKING: count, per document, the tokens that belong to a
+      * corpus-derived blocklist (here: the 5 most frequent tokens, ties
+      * broken by token — the PII-scrub / vocabulary-filter plumbing; the
+      * fixture text has no PII patterns, so the blocklist is derived so the
+      * masking actually fires). At scale the blocklist is tiny and rides a
+      * BROADCAST to the token stream — one corpus-count shuffle to build it,
+      * one doc_id shuffle to re-aggregate, no join shuffle. */
+    QueryDef(
+      "tx_mask_blocklist",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        val top = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(5)
+          .select(col("tok"), lit(1).as("hit"))
+        tk.join(broadcast(top), Seq("tok"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(col("hit")).as("n_masked"), count(lit(1)).as("n_total"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+             |            FROM documents),
+             |top AS (SELECT tok FROM tk GROUP BY tok
+             |        ORDER BY COUNT(*) DESC, tok LIMIT 5)
+             |SELECT tk.doc_id, COUNT(top.tok) AS n_masked, COUNT(*) AS n_total
+             |FROM tk LEFT JOIN top ON tk.tok = top.tok
+             |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin)),
   )
 }
