@@ -411,5 +411,62 @@ object Similarity {
              |       CAST(list_min(q) AS BIGINT) AS q_min,
              |       CAST(list_max(q) AS BIGINT) AS q_max
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    /** QUANTIZED MIPS top-k — the serving path over [[sim_quantize_u8]]'s
+      * codes: rank candidates by the DEQUANTIZED inner product
+      * ma·mb·Σ(2qa_i−127)(2qb_i−127) (each code dequantizes to
+      * m·(2q/127 − 1); the constant 1/127² divisor cannot change ranks and
+      * is dropped, so every score is an exact BIGINT and both engines rank
+      * identically — no float ulp anywhere, the property the float cosine
+      * path can't give the oracle). Same distributed shape as
+      * sim_topk_brute: queries broadcast, one window per query for the
+      * top-k; at scale the scan reads 64-byte codes instead of 256-byte
+      * floats — the 4× IO cut is the point of quantized serving. */
+    QueryDef(
+      "sim_topk_q8",
+      (s, d) => {
+        val q8 = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+              .as("vm"))
+          .withColumn("m",
+            expr("greatest(aggregate(vm, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))), CAST(1 AS BIGINT))"))
+          .select(col("vec_id"), col("m"),
+            expr("transform(vm, x -> ((x + m) * 127) div (2 * m))").as("q"))
+        val qs = q8.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("m").as("ma"), col("q").as("qa"))
+        val cs = q8.select(col("vec_id").as("cand_id"), col("m").as("mb"), col("q").as("qb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("cand_id").asc)
+        cs.crossJoin(broadcast(qs))
+          .filter(col("cand_id") =!= col("q_id"))
+          .withColumn("score", expr(
+            "ma * mb * aggregate(zip_with(qa, qb, (a, b) -> (2 * a - 127) * (2 * b - 127)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH vm AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+             |  FROM embeddings),
+             |q8 AS (SELECT vec_id,
+             |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m,
+             |         list_transform(vm, x ->
+             |           ((x + greatest(list_max(list_transform(vm, y -> abs(y))), 1)) * 127)
+             |             // (2 * greatest(list_max(list_transform(vm, y -> abs(y))), 1))) AS q
+             |       FROM vm),
+             |sc AS (SELECT qq.vec_id AS q_id, c.vec_id AS cand_id,
+             |         CAST(qq.m * c.m * list_sum(list_transform(range(1, len(qq.q) + 1),
+             |           i -> (2 * qq.q[i] - 127) * (2 * c.q[i] - 127))) AS BIGINT) AS score
+             |       FROM (SELECT * FROM q8 WHERE vec_id < 8) qq, q8 c
+             |       WHERE c.vec_id <> qq.vec_id)
+             |SELECT q_id, cand_id, score, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT q_id, cand_id, score,
+             |         row_number() OVER (PARTITION BY q_id
+             |                            ORDER BY score DESC, cand_id ASC) AS rank
+             |  FROM sc)
+             |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
   )
 }
