@@ -98,10 +98,13 @@ object Bench {
       order.foreach { case (name, fn) =>
         val t = runOnce(spark, fn, sfDir)
         samples(name) += t
-        // A multi-second query leaves real debt (young-gen full of pair
-        // structs, shuffle files pending cleanup). Pay it here, not in the
-        // next query's measurement.
-        if (t > 2.0) System.gc()
+        // A multi-second query leaves real debt: young-gen full of pair
+        // structs, and shuffle files whose ContextCleaner removal is
+        // NON-blocking (spark.cleaner.referenceTracking.blocking.shuffle
+        // defaults false) — the GC enqueues the cleanup, the sleep lets the
+        // cleaner thread's IO finish, so the debt is paid here instead of
+        // inside the next query's measurement.
+        if (t > 2.0) { System.gc(); Thread.sleep(200) }
       }
       resetSessionState(spark)
       System.gc()

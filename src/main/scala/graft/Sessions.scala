@@ -30,6 +30,12 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ~100-query workloads generate several codegen units per query; the
+      // default 100-entry generated-class cache churns completely within one
+      // pass, so every re-execution pays Janino compilation again. Sized to
+      // hold the whole library's generated classes (a few MB of classes —
+      // model-state scale, not data scale).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
