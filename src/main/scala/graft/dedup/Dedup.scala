@@ -556,5 +556,63 @@ object Dedup {
              |       CAST(SUM(b.nb) AS BIGINT) AS n_bench_incidences
              |FROM corpus c JOIN benchdict b ON c.sng = b.sng
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    /** BLOOM-FILTER build + probe, SQL-native: the broadcast pre-join
+      * pruning structure a 100 TB pipeline puts in front of an expensive
+      * join (probe the filter, ship only probable members). The filter over
+      * the src0 members' fingerprints is k=4 md5-derived 12-bit positions
+      * (the Kirsch-Mitzenmacher trick the MinHash family already uses;
+      * 12 bits rather than a production 2^30+ so the false-positive path
+      * actually FIRES on the fixture and the oracle pins its exact count) —
+      * its DISTINCT position set is ≤ 4·|members| rows of one SMALLINT-
+      * range value, broadcastable at any corpus size that has a bounded
+      * member side. A doc probes positive iff ALL 4 of its positions are
+      * set. Because both engines derive identical positions from identical
+      * md5s, the exact false-positive count is DETERMINISTIC and the oracle
+      * hash-checks it (not just a bound) — and n_false_neg must be zero by
+      * construction in any correct Bloom filter, which the oracle states as
+      * a literal 0. */
+    QueryDef(
+      "dd_bloom_probe",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        def positions(df: DataFrame) = (0 until 4).map(i =>
+          df.select(col("doc_id"), col("source"),
+            expr(s"CAST(conv(substr(md5(fp), ${1 + 4 * i}, 3), 16, 10) AS BIGINT)").as("pos")))
+          .reduce(_ unionAll _)
+        val filterSet = positions(fp.filter(col("source") === "src0"))
+          .select(col("pos")).distinct()
+        val probed = positions(fp)
+          .join(broadcast(filterSet.withColumn("set1", lit(1))), Seq("pos"), "left_outer")
+          .groupBy(col("doc_id"), col("source"))
+          .agg((count(col("set1")) === 4).as("bloom_hit"))
+        probed
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+            sum(when(col("bloom_hit") && col("source") =!= "src0", 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(!col("bloom_hit") && col("source") === "src0", 1L).otherwise(0L))
+              .as("n_false_neg"))
+          .orderBy("source")
+      },
+      Some("""WITH fp AS (SELECT doc_id, source,
+             |              md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |            FROM documents),
+             |pos AS (SELECT doc_id, source,
+             |          CAST(('0x' || substr(md5(fp), 1 + 4 * i, 3)) AS BIGINT) AS pos
+             |        FROM fp, range(0, 4) r(i)),
+             |fset AS (SELECT DISTINCT pos FROM pos WHERE source = 'src0'),
+             |probed AS (SELECT p.doc_id, p.source, COUNT(f.pos) = 4 AS bloom_hit
+             |           FROM pos p LEFT JOIN fset f ON p.pos = f.pos
+             |           GROUP BY p.doc_id, p.source)
+             |SELECT source, COUNT(*) AS n_docs,
+             |       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+             |       CAST(SUM(CASE WHEN bloom_hit AND source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_false_pos,
+             |       CAST(0 AS BIGINT) AS n_false_neg
+             |FROM probed GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

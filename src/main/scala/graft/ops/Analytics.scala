@@ -490,6 +490,31 @@ object Analytics {
              |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
              |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin)),
 
+    /** COHORT RETENTION: users bucketed by first-seen epoch-week, distinct
+      * users per (cohort, week offset) — the engagement matrix behind every
+      * product-analytics dashboard. Two shuffles: the per-user min (partial
+      * aggregate pushes map-side) and the cohort×offset distinct count; the
+      * first-week frame joins back user-keyed, so at scale both shuffles
+      * hash on user_id and the join is co-partitioned (no extra exchange
+      * under AQE). Integer epoch-week arithmetic only. */
+    QueryDef(
+      "an_retention",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), expr("(ts div 1000000) div 604800000").as("wk"))
+        val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+             |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+             |SELECT f.cohort_wk, e.wk - f.cohort_wk AS offset_wk,
+             |       COUNT(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     /** Multi-join analytic through the SQL surface (join-reorder +
       * broadcast-hint showcase; Catalyst plans the dim chain as broadcasts). */
     QueryDef(
