@@ -90,6 +90,45 @@ object Dedup {
     cappedElementPairs(buckets, cap)
       .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
 
+  /** Per-doc 64-component MinHash signature (columns mh0..mh63).
+    *
+    * Kirsch-Mitzenmacher family: hash_i(s) = (h1 + i*h2m) mod P derived
+    * from ONE md5 per shingle (h1 = hex[1..15], h2m = hex[17..31] mod P)
+    * — 64 minhashes for the md5 cost of one, and every operation is
+    * plain BIGINT math the oracle reproduces exactly. P = 2^31-1 keeps
+    * h1 + 63*h2m < 2^61 (no overflow in either engine).
+    *
+    * Shaped as explode → partial-aggregated `min` per (doc, seed) → band
+    * keys from the grouped rows, NOT as nested array HOFs: the HOF form
+    * lets CollapseProject inline the 1280-md5 signature expression into
+    * every band-key reference (observed ~80× recompute), while this form
+    * computes each md5 once inside codegen and gets map-side combine on
+    * the min — the formulation that also scales out (the shuffle key is
+    * (doc, seed), perfectly distributed). */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val hs = shingleRows(s, d).select(col("doc_id"), md5(col("sng")).as("m"))
+    val hh = hs.select(col("doc_id"),
+      expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+      expr("CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT) % 2147483647").as("h2m"))
+    val minAggs = (0 until NumHashes).map(i =>
+      min(expr(s"(h1 + $i * h2m) % 2147483647")).as(s"mh$i"))
+    hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs from [[minhashSig]]: 16 bands × 4 rows,
+    * capped band buckets, deduped across bands. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSig(s, d)
+    val bandKeys = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val buckets = bands.groupBy(col("bk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    bucketPairs(buckets).distinct()
+  }
+
   /** Per-doc 32-bit SimHash: for each bit j, majority vote of distinct-token
     * hash bits (+1/-1), ties resolve to 1 (`>= 0`). One narrow pass via the
     * native simhash32 expression (graft.functions.SimHash32) — the exploded
@@ -292,40 +331,10 @@ object Dedup {
              |         row_number() OVER (PARTITION BY fp ORDER BY src_rank, doc_id) AS rn
              |  FROM r) WHERE rn = 1 ORDER BY fp""".stripMargin)),
 
-    /** MinHash-LSH candidate pairs: 64 md5-derived min hashes, 16 bands × 4
-      * rows (NumHashes/NumBands/RowsPerBand above).
-      *
-      * Shaped as explode → partial-aggregated `min` per (doc, seed) → band
-      * keys from the grouped rows, NOT as nested array HOFs: the HOF form
-      * lets CollapseProject inline the 1280-md5 signature expression into
-      * every band-key reference (observed ~80× recompute), while this form
-      * computes each md5 once inside codegen and gets map-side combine on
-      * the min — the formulation that also scales out (the shuffle key is
-      * (doc, seed), perfectly distributed). */
+    /** MinHash-LSH candidate pairs — see [[minhashPairs]] for the shape. */
       QueryDef(
       "dd_minhash_lsh",
-      (s, d) => {
-        // Kirsch-Mitzenmacher family: hash_i(s) = (h1 + i*h2m) mod P derived
-        // from ONE md5 per shingle (h1 = hex[1..15], h2m = hex[17..31] mod P)
-        // — 64 minhashes for the md5 cost of one, and every operation is
-        // plain BIGINT math the oracle reproduces exactly. P = 2^31-1 keeps
-        // h1 + 63*h2m < 2^61 (no overflow in either engine).
-        val hs = shingleRows(s, d).select(col("doc_id"), md5(col("sng")).as("m"))
-        val hh = hs.select(col("doc_id"),
-          expr("CAST(conv(substr(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
-          expr("CAST(conv(substr(m, 17, 15), 16, 10) AS BIGINT) % 2147483647").as("h2m"))
-        val minAggs = (0 until NumHashes).map(i =>
-          min(expr(s"(h1 + $i * h2m) % 2147483647")).as(s"mh$i"))
-        val sig = hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-        val bandKeys = (0 until NumBands).map { b =>
-          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-          expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
-        }
-        val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-        val buckets = bands.groupBy(col("bk"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        bucketPairs(buckets).distinct().orderBy("doc_a", "doc_b")
-      },
+      (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some {
         val mins = (0 until NumHashes)
           .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i").mkString(",\n|          ")

@@ -353,5 +353,54 @@ object TextStats {
              |SELECT tk.doc_id, COUNT(top.tok) AS n_masked, COUNT(*) AS n_total
              |FROM tk LEFT JOIN top ON tk.tok = top.tok
              |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin)),
+
+    /** CORPUS MIXING to a token budget: downsample the corpus to 1/4 of its
+      * tokens while EQUALIZING sources — each source gets an equal share of
+      * the budget, so over-represented sources are cut hard and small
+      * sources keep everything (rate capped at 1000‰). This is the
+      * source-weighting step every pretraining data pipeline runs before
+      * packing. Sampling is the deterministic md5-permille discipline
+      * (an_hash_sample): reproducible across engines, partitionings and
+      * reruns. Distributed shape: one per-source token count (map-side
+      * partial), two scalar aggregates broadcast back, then a narrow
+      * filter — the corpus is never shuffled. All-integer rate arithmetic,
+      * identically nested in both engines. */
+    QueryDef(
+      "tx_mix_budget",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000")
+              .as("bucket"))
+        val perSource = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))
+        val global = perSource.agg(
+          sum(col("t_s")).as("total"), count(lit(1)).as("nsrc"))
+        val rates = perSource.crossJoin(broadcast(global))
+          .select(col("source"),
+            expr("least(CAST(1000 AS BIGINT), (1000 * ((total div 4) div nsrc)) div t_s)")
+              .as("rate_permille"))
+        docs.join(broadcast(rates), "source")
+          .filter(col("bucket") < col("rate_permille"))
+          .groupBy(col("source"), col("rate_permille"))
+          .agg(count(lit(1)).as("n_docs_sampled"), sum(col("n_tokens")).as("n_tokens_sampled"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source,
+             |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+             |  FROM documents),
+             |per_source AS (SELECT source, SUM(n_tokens) AS t_s FROM docs GROUP BY source),
+             |g AS (SELECT SUM(t_s) AS total, COUNT(*) AS nsrc FROM per_source),
+             |rates AS (SELECT source,
+             |    CAST(least(CAST(1000 AS BIGINT), (1000 * ((total // 4) // nsrc)) // t_s) AS BIGINT)
+             |      AS rate_permille
+             |  FROM per_source, g)
+             |SELECT d.source, r.rate_permille,
+             |       COUNT(*) AS n_docs_sampled,
+             |       CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens_sampled
+             |FROM docs d JOIN rates r ON d.source = r.source
+             |WHERE d.bucket < r.rate_permille
+             |GROUP BY d.source, r.rate_permille ORDER BY d.source""".stripMargin)),
   )
 }
