@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A ~100-query suite generates thousands of codegen classes; once HotSpot's
+  // code cache (default 240m on JDK 17) fills, the JIT shuts off and tight
+  // generated loops run interpreted (~5x on integer-dense queries — BENCH_r05
+  // measured sim_rp_pairs at 10.7s in-suite vs 2.0s isolated). Size it so the
+  // whole suite's compiled code fits; UseCodeCacheFlushing stays default-on
+  // as a backstop.
+  "-XX:ReservedCodeCacheSize=512m",
 )

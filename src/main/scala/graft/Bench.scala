@@ -68,6 +68,20 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
 
+  /** HotSpot code-cache occupancy in MB (used/max). When `used` approaches
+    * `max` the JIT stops compiling and generated code runs INTERPRETED — the
+    * mechanism behind BENCH_r05's sim_rp_pairs 5x in-suite tax. Logged per
+    * round and persisted in bench_last.json so cache-pressure growth is
+    * visible in the artifact, not just a judge re-run. Sums the segmented
+    * CodeHeap pools (non-nmethods / profiled / non-profiled). */
+  private def codeCacheMb: (Double, Double) = {
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+    val used = pools.map(_.getUsage.getUsed).sum / 1048576.0
+    val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum / 1048576.0
+    (used, max)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -92,6 +106,7 @@ object Bench {
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
     val samples = mutable.LinkedHashMap(
       queryList.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
+    val codeCacheByRound = mutable.ArrayBuffer.empty[Double]
     for (round <- 1 to runs) {
       val w0 = System.nanoTime(); val g0 = gcMillis
       val order = new scala.util.Random(round.toLong).shuffle(queryList)
@@ -108,8 +123,10 @@ object Bench {
       }
       resetSessionState(spark)
       System.gc()
+      val (ccUsed, ccMax) = codeCacheMb
+      codeCacheByRound += ccUsed
       System.err.println(f"[bench] round $round/$runs wall=${(System.nanoTime() - w0) / 1e9}%.1fs " +
-        f"gc=${(gcMillis - g0) / 1000.0}%.1fs")
+        f"gc=${(gcMillis - g0) / 1000.0}%.1fs codecache=$ccUsed%.0f/$ccMax%.0fMB")
     }
     val results = samples.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
@@ -132,11 +149,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}"""
     println(jsonLine)
     // The driver's log capture truncates long tails (BENCH_r04 lost the total
-    // and 25 per-query entries); the file copy is the durable artifact.
+    // and 25 per-query entries); the file copy is the durable artifact. It
+    // additionally carries ALL per-round samples (a state-dependent tax like
+    // BENCH_r05's sim_rp_pairs is invisible in a min-only number — the min
+    // hides which round grew) and the per-round code-cache occupancy.
     try {
+      val samplesJson = samples.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val ccJson = codeCacheByRound.map(c => f"$c%.1f").mkString("[", ",", "]")
+      val fileLine = jsonLine.dropRight(1) +
+        s""","samples":$samplesJson,"code_cache_mb":$ccJson}"""
       val out = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (jsonLine + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (fileLine + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write target/bench_last.json: $e") }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))

@@ -47,4 +47,56 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Hadoop-FS configs derived from a dwh.cfg-style [[GraftConfig]] so the
+    * reference's cloud entry point (`COPY … FROM 's3://…'` with `[AWS]`
+    * credentials, sql_queries.py:122-136 / dwh.cfg) maps onto Spark's
+    * s3a:// read path. Pure mapping — no network, no session — so the
+    * wiring is testable in this sandbox:
+    *
+    *  - `[AWS] KEY/SECRET`  → `fs.s3a.access.key` / `fs.s3a.secret.key`
+    *    plus the static-credentials provider (`SimpleAWSCredentialsProvider`;
+    *    with `TOKEN` also set, the temporary-session provider).
+    *  - no credentials at all → `AnonymousAWSCredentialsProvider` — the
+    *    reference's source bucket is public, exactly this case.
+    *  - `[AWS] ENDPOINT/REGION` → `fs.s3a.endpoint` / `fs.s3a.endpoint.region`
+    *    (S3-compatible stores, region pinning).
+    *  - `[AWS] CREDENTIALS_PROVIDER` overrides the inferred provider.
+    *  - `[HADOOP] <key> = <value>` passes through verbatim for any other
+    *    filesystem knob (fs.gs.*, fs.abfs.*, fs.s3a.connection.*, …).
+    *
+    * The s3a connector itself (hadoop-aws + SDK bundle) ships on real
+    * clusters' classpaths, not in this zero-egress sandbox; the contract
+    * here is that a user's existing dwh.cfg yields a session whose
+    * hadoopConfiguration can open `s3a://` without further wiring. */
+  def cloudFsConf(cfg: GraftConfig.Config): Map[String, String] = {
+    val aws = Seq(
+      "KEY" -> "fs.s3a.access.key",
+      "SECRET" -> "fs.s3a.secret.key",
+      "TOKEN" -> "fs.s3a.session.token",
+      "ENDPOINT" -> "fs.s3a.endpoint",
+      "REGION" -> "fs.s3a.endpoint.region",
+    ).flatMap { case (k, h) => cfg.get("AWS", k).map(h -> _) }.toMap
+    val provider = cfg.get("AWS", "CREDENTIALS_PROVIDER").getOrElse {
+      (aws.contains("fs.s3a.access.key"), aws.contains("fs.s3a.session.token")) match {
+        case (true, true) => "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        case (true, false) => "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        case _ => "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+      }
+    }
+    val hadoop = cfg.sections.find(_._1.equalsIgnoreCase("HADOOP"))
+      .map(_._2).getOrElse(Map.empty)
+    aws + ("fs.s3a.aws.credentials.provider" -> provider) ++ hadoop
+  }
+
+  /** Land [[cloudFsConf]] on a LIVE session's hadoopConfiguration. Hadoop
+    * `FileSystem` instances are created lazily at first access per scheme,
+    * so setting these after `getOrCreate()` still governs every subsequent
+    * `s3a://` open — and, unlike `spark.hadoop.*` builder configs, this
+    * works when an earlier suite already owns the shared SparkContext. */
+  def applyCloudFs(spark: SparkSession, cfg: GraftConfig.Config): Map[String, String] = {
+    val confs = cloudFsConf(cfg)
+    confs.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
+    confs
+  }
 }

@@ -17,6 +17,15 @@ object RunEtl {
   /** (sfDir, outDir, cpus) from config + argv; argv wins. Exposed for the
     * spec — no SparkSession involved. */
   def resolve(args: Array[String]): (String, String, String) = {
+    val (sfDir, outDir, cpus, _) = resolveCfg(args)
+    (sfDir, outDir, cpus)
+  }
+
+  /** [[resolve]] plus the parsed config itself, which `main` threads into
+    * the session's cloud-FS wiring ([[Sessions.applyCloudFs]]) so a dwh.cfg
+    * with `[AWS]` credentials makes `s3a://` locations readable — the
+    * reference's COPY-from-S3 run shape (sql_queries.py:122-136). */
+  def resolveCfg(args: Array[String]): (String, String, String, GraftConfig.Config) = {
     val (cfgPath, positional) = args.indexOf("--config") match {
       case -1 => (None, args.toSeq)
       case i if i + 1 < args.length => (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
@@ -29,12 +38,13 @@ object RunEtl {
     val outDir = positional.lift(1).orElse(cfg.get("GRAFT", "OUT_DIR"))
       .getOrElse(sys.error("outDir missing: pass it or set [GRAFT] OUT_DIR"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cfg.getOr("GRAFT", "CPUS", "4"))
-    (sfDir, outDir, cpus)
+    (sfDir, outDir, cpus, cfg)
   }
 
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir, cpus) = resolve(args)
+    val (sfDir, outDir, cpus, cfg) = resolveCfg(args)
     val spark = Sessions.local(cpus)
+    Sessions.applyCloudFs(spark, cfg)
     try {
       // create_tables.py analog: reset the catalog before loading
       StarCatalog.reset(spark)

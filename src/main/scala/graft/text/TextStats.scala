@@ -326,6 +326,72 @@ object TextStats {
              |       (cum - n_tokens) // 256 <> (cum - 1) // 256 AS is_split
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
+    /** SHARDED SEQUENCE PACKING — the 100 TB shape of tx_pack_sequences.
+      * The unsharded variant's window puts an entire source in ONE task; a
+      * popular source is terabytes, a straggler/OOM at scale. Two-level scan
+      * instead: shard = doc_id div 64 (width is a tunable — at scale it grows
+      * with the corpus so the shard COUNT stays bounded and the carry table
+      * stays broadcastable);
+      *  level 1: per-(source, shard) prefix sum — every window partition is
+      *           bounded by the shard width, never by a source's size;
+      *  level 2: per-shard token totals (n_docs/64 rows), an exclusive
+      *           running sum per source = each shard's carry-in offset,
+      *           broadcast-joined back.
+      * cum = carry_in + cum_in_shard reproduces the unsharded cumulative sum
+      * EXACTLY (same oracle output shape as tx_pack_sequences), because
+      * shard order is doc_id order. This is the classic two-level parallel
+      * prefix scan expressed in pure DataFrame ops. */
+    QueryDef(
+      "tx_pack_sequences_sharded",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            expr("doc_id div 64").as("shard"))
+        val wShard = Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inShard = docs.withColumn("cum_in_shard", sum(col("n_tokens")).over(wShard))
+        // Exclusive running sum over shard totals = carry-in; the frame is
+        // shard-count-sized (model state, not data scale) so the per-source
+        // single-partition window here is over ~N/64 rows, and the join back
+        // to the corpus rides a broadcast.
+        val wCarry = Window.partitionBy(col("source")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carries = docs.groupBy(col("source"), col("shard"))
+          .agg(sum(col("n_tokens")).as("shard_tokens"))
+          .withColumn("carry_in", coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)))
+          .select(col("source"), col("shard"), col("carry_in"))
+        inShard.join(broadcast(carries), Seq("source", "shard"))
+          .withColumn("cum", col("carry_in") + col("cum_in_shard"))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            expr("(cum - n_tokens) div 256").as("win_first"),
+            expr("(cum - 1) div 256").as("win_last"),
+            expr("(cum - n_tokens) % 256").as("offset_in_win"),
+            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256").as("is_split"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+             |                  doc_id // 64 AS shard
+             |           FROM documents),
+             |s AS (SELECT source, shard, doc_id, n_tokens,
+             |             CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in_shard
+             |      FROM t),
+             |c AS (SELECT source, shard,
+             |             COALESCE(CAST(SUM(SUM(n_tokens)) OVER (PARTITION BY source ORDER BY shard
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS carry_in
+             |      FROM t GROUP BY source, shard)
+             |SELECT s.source, s.doc_id, s.n_tokens,
+             |       (carry_in + cum_in_shard - n_tokens) // 256 AS win_first,
+             |       (carry_in + cum_in_shard - 1) // 256 AS win_last,
+             |       (carry_in + cum_in_shard - n_tokens) % 256 AS offset_in_win,
+             |       (carry_in + cum_in_shard - n_tokens) // 256
+             |         <> (carry_in + cum_in_shard - 1) // 256 AS is_split
+             |FROM s JOIN c USING (source, shard) ORDER BY source, doc_id""".stripMargin)),
+
     /** BLOCKLIST MASKING: count, per document, the tokens that belong to a
       * corpus-derived blocklist (here: the 5 most frequent tokens, ties
       * broken by token — the PII-scrub / vocabulary-filter plumbing; the

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cloud-filesystem wiring: a reference-shaped dwh.cfg must yield a session
+  * whose hadoopConfiguration can open `s3a://` paths without further setup
+  * (the COPY-from-S3 entry point, reference sql_queries.py:122-136 /
+  * dwh.cfg:20-22). No network involved — the contract under test is that
+  * the right fs.s3a.* keys LAND, which is exactly what a zero-egress
+  * sandbox can verify. */
+class SessionsCloudSpec extends AnyFunSuite {
+
+  private def cfg(text: String) = GraftConfig.parse(text)
+
+  test("static [AWS] credentials map to fs.s3a keys + the simple provider") {
+    val c = Sessions.cloudFsConf(cfg(
+      """[AWS]
+        |KEY=AKIDEXAMPLE
+        |SECRET=wJalrXUtnFEMI
+        |""".stripMargin))
+    assert(c("fs.s3a.access.key") == "AKIDEXAMPLE")
+    assert(c("fs.s3a.secret.key") == "wJalrXUtnFEMI")
+    assert(c("fs.s3a.aws.credentials.provider") ==
+      "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+  }
+
+  test("a session TOKEN upgrades the provider to temporary credentials") {
+    val c = Sessions.cloudFsConf(cfg(
+      "[AWS]\nKEY=k\nSECRET=s\nTOKEN=t\n"))
+    assert(c("fs.s3a.session.token") == "t")
+    assert(c("fs.s3a.aws.credentials.provider") ==
+      "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+  }
+
+  test("no credentials falls back to anonymous access (public source bucket)") {
+    val c = Sessions.cloudFsConf(cfg("[S3]\nLOG_DATA='s3://example-logs/log_data'\n"))
+    assert(c("fs.s3a.aws.credentials.provider") ==
+      "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    assert(!c.contains("fs.s3a.access.key"))
+  }
+
+  test("ENDPOINT/REGION and an explicit provider override are honored") {
+    val c = Sessions.cloudFsConf(cfg(
+      """[AWS]
+        |KEY=k
+        |SECRET=s
+        |ENDPOINT=minio.internal:9000
+        |REGION=us-west-2
+        |CREDENTIALS_PROVIDER=com.example.CustomProvider
+        |""".stripMargin))
+    assert(c("fs.s3a.endpoint") == "minio.internal:9000")
+    assert(c("fs.s3a.endpoint.region") == "us-west-2")
+    assert(c("fs.s3a.aws.credentials.provider") == "com.example.CustomProvider")
+  }
+
+  test("[HADOOP] passes any filesystem knob through verbatim and wins ties") {
+    val c = Sessions.cloudFsConf(cfg(
+      """[AWS]
+        |KEY=k
+        |SECRET=s
+        |[HADOOP]
+        |fs.s3a.connection.maximum=96
+        |fs.s3a.aws.credentials.provider=com.example.Chain
+        |""".stripMargin))
+    assert(c("fs.s3a.connection.maximum") == "96")
+    assert(c("fs.s3a.aws.credentials.provider") == "com.example.Chain")
+  }
+
+  test("applyCloudFs lands the configs on a LIVE session's hadoopConfiguration") {
+    val spark = TestSpark.spark
+    val hc = spark.sparkContext.hadoopConfiguration
+    val before = Option(hc.get("fs.s3a.access.key"))
+    try {
+      Sessions.applyCloudFs(spark, cfg("[AWS]\nKEY=live-key\nSECRET=live-secret\n"))
+      assert(hc.get("fs.s3a.access.key") == "live-key")
+      assert(hc.get("fs.s3a.secret.key") == "live-secret")
+      assert(hc.get("fs.s3a.aws.credentials.provider") ==
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+    } finally {
+      // shared-session hygiene: no fake creds leaking into later suites
+      before match {
+        case Some(v) => hc.set("fs.s3a.access.key", v)
+        case None => hc.unset("fs.s3a.access.key")
+      }
+      hc.unset("fs.s3a.secret.key")
+      hc.unset("fs.s3a.aws.credentials.provider")
+    }
+  }
+
+  test("the reference's dwh.cfg shape wires end to end through resolveCfg") {
+    val tmp = java.nio.file.Files.createTempFile("dwh", ".cfg")
+    java.nio.file.Files.write(tmp,
+      """[AWS]
+        |KEY=AKIDEXAMPLE
+        |SECRET=shhh
+        |
+        |[S3]
+        |LOG_DATA='s3://example-logs/log_data'
+        |LOG_JSONPATH='s3://example-logs/log_json_path.json'
+        |SONG_DATA='s3://example-logs/song_data'
+        |
+        |[GRAFT]
+        |SF_DIR=/data/in
+        |OUT_DIR=s3a://example-out/star
+        |""".stripMargin.getBytes("UTF-8"))
+    val (sfDir, outDir, _, parsed) =
+      graft.etl.RunEtl.resolveCfg(Array("--config", tmp.toString))
+    assert(sfDir == "/data/in")
+    assert(outDir == "s3a://example-out/star")
+    val c = Sessions.cloudFsConf(parsed)
+    assert(c("fs.s3a.access.key") == "AKIDEXAMPLE")
+    assert(c("fs.s3a.aws.credentials.provider") ==
+      "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider")
+  }
+}

@@ -41,6 +41,33 @@ class TextStatsSpec extends AnyFunSuite {
     })
   }
 
+  test("pack_sequences_sharded: equals the unsharded packing; no task owns a whole source") {
+    val s = spark; import s.implicits._
+    // One source with 200 docs — more than 3x the shard width of 64 — so
+    // the two-level scan is actually exercised: the per-shard windows must
+    // each see at most 64 rows while the SOURCE has 200.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("pack_shard_docs").toString
+    (0L until 200L).map(i => (i, words((i % 13 + 1).toInt), "en", "s0", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val unsharded = TextStats.defs.find(_.name == "tx_pack_sequences").get
+      .fn(spark, dir).collect().map(_.toSeq).toSeq
+    val sharded = TextStats.defs.find(_.name == "tx_pack_sequences_sharded").get
+      .fn(spark, dir).collect().map(_.toSeq).toSeq
+    assert(sharded == unsharded,
+      "two-level scan must reproduce the single-partition cumulative sum exactly")
+    // The scale property itself: every level-1 window partition is bounded
+    // by the shard width (64), never by the source's size (200).
+    val perShard = graft.Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("doc_id div 64").as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(perShard.length >= 4, "200 docs over width-64 shards must make 4 shards")
+    assert(perShard.forall(_.getAs[Long]("n") <= 64),
+      "a level-1 partition larger than the shard width defeats the sharding")
+  }
+
   test("quantize_u8: codes stay in [0,127] and dequantize within m/127 per element") {
     val s = spark; import s.implicits._
     // Drive the REAL query over the fixture embeddings, then reconstruct
