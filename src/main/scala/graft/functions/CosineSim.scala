@@ -96,6 +96,8 @@ object GraftFunctions {
       "simhash32", exprs => SimHash32(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rp_band_codes", exprs => RpBandCodes(exprs.head), "built-in")
   }
 }
 
@@ -120,5 +122,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("rp_band_codes"),
+      new ExpressionInfo(classOf[RpBandCodes].getName, "rp_band_codes"),
+      (exprs: Seq[Expression]) => RpBandCodes(exprs.head)))
   }
 }

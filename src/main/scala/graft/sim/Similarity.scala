@@ -161,8 +161,8 @@ object Similarity {
     * bit is 1 − θ/π (θ = the pair's angle), so same-band candidates skew
     * toward high cosine; candidates are verified with the exact native
     * cosine like every other near-dup path. */
-  val RpBands = 16
-  val RpBandBits = 8
+  val RpBands: Int = graft.functions.RpBandCodesImpl.Bands
+  val RpBandBits: Int = graft.functions.RpBandCodesImpl.BandBits
 
   /** Total hyperplanes. The ±1 component for plane `p`, dim `i` is the high
     * bit of md5("rp:p:i") — a fixed public derivation BOTH engines compute
@@ -189,39 +189,27 @@ object Similarity {
       * hyperplanes (md5 signs) and the same integer micro-unit dots, so
       * both engines emit the same (recall-limited) pair set.
       *
-      * Scale shape: the projection is a matrix-multiply-as-join — exploded
-      * (vec, dim) components against a broadcast 128×64 ±1 plane table,
-      * integer-summed per (vec, plane) with map-side combine, then packed
-      * into band codes. No training pass, no giant codegen expressions (a
-      * literal ±v[i] chain formulation stuffed 8k terms into one whole-stage
-      * codegen unit and OOM'd the compiler), no all-pairs. */
+      * Scale shape: the projection is a NARROW MAP — the codegen'd native
+      * kernel (graft.functions.RpBandCodes) computes all RpPlanes signed
+      * integer dots per row against a per-JVM constant ±1 matrix and packs
+      * them into band codes in one pass. The earlier matrix-multiply-as-join
+      * formulation (exploded components × broadcast plane table → two wide
+      * aggregations) shuffled N×Dim×RpPlanes intermediate rows for what is
+      * per-row arithmetic with a constant operand; the kernel removes that
+      * exchange entirely, leaving the (band, code) bucket groupBy as the
+      * LSH path's only shuffle — the one the algorithm inherently needs.
+      * Quantization stays in SQL (`CAST(round(x*1e6) AS BIGINT)`) so float
+      * rounding parity with the oracle is untouched; the kernel is pure
+      * integer arithmetic and bit-identical to the SUM(xm*sgn) form (spec:
+      * RpBandCodesSpec proves equality against the exploded formulation). */
     QueryDef(
       "sim_rp_pairs",
       (s, d) => {
         val e = vecs(s, d).select(col("vec_id"), col("v"))
-        val planes = s.range(RpPlanes).selectExpr("id AS p")
-          .crossJoin(s.range(Dim).selectExpr("id AS i"))
-          .withColumn("sgn", expr("CAST(" +
-            sgnCase("concat('rp:', CAST(p AS STRING), ':', CAST(i AS STRING))") +
-            " AS BIGINT)"))
-        val comps = e
-          // the projection join multiplies work RpPlanes× past this point, so
-          // pay one corpus-sized shuffle to spread it over every core — the
-          // fixture's one-row-group files would otherwise run the whole
-          // multiply single-task (same logic on a cluster: compute-bound
-          // stages want full parallelism regardless of scan splits)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"),
-            expr("CAST(round(x * 1000000) AS BIGINT)").as("xm"))
-        val dots = comps.join(broadcast(planes), "i")
-          .groupBy(col("vec_id"), col("p"))
-          .agg(sum(expr("xm * sgn")).as("dm"))
-        val codes = dots
-          .groupBy(col("vec_id"), expr(s"p div $RpBandBits").as("bi"))
-          .agg(sum(expr(s"CASE WHEN dm >= 0 THEN shiftleft(1L, CAST(p % $RpBandBits AS INT)) " +
-            "ELSE 0L END")).as("bv"))
-        val buckets = codes.join(e, "vec_id")
+        val buckets = e
+          .select(col("vec_id"), col("v"), posexplode(
+            expr("rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT)))"))
+            .as(Seq("bi", "bv")))
           .groupBy(col("bi"), col("bv"))
           .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ds"))
         graft.dedup.Dedup.cappedElementPairs(buckets)
