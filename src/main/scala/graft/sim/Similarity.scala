@@ -34,6 +34,15 @@ object Similarity {
   val Iters = 3
   val NProbe = 3
 
+  /** At-scale IVF sizing: K = ⌊√N⌋ cells, so cell population and centroid
+    * count grow together (~√N each) — the standard IVF knob. NProbe stays a
+    * fixed probe budget: as K grows with the corpus the probed FRACTION
+    * K⁻¹·NProbe shrinks, which is exactly how a 100 TB index keeps per-query
+    * work sublinear. Both engines derive K from the same COUNT, so the
+    * oracle replays the √N-sized training verbatim. */
+  val SqrtNProbe = 8
+  def sqrtK(n: Long): Int = math.max(2, math.sqrt(n.toDouble).toInt)
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
@@ -124,11 +133,12 @@ object Similarity {
   /** DuckDB WITH-fragment replaying k-means training and the final
     * assignment — `assign` ends as (vec_id, cell, cos6). Shared by every
     * oracle that consumes trained cells (also graft.dedup's embedding
-    * near-dup). */
-  def duckKmeansChain(k: Int = K, iters: Int = Iters): String = {
+    * near-dup). `kExpr` is a SQL expression for the cell count, so the
+    * √N-scaled variant can derive K from the corpus itself. */
+  def duckKmeansChain(kExpr: String = K.toString, iters: Int = Iters): String = {
     val sb = new StringBuilder
     sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
-    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < $k),\n"
+    sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < ($kExpr)),\n"
     for (i <- 1 to iters) {
       val cos = duckCosOf("e.v", "c.cv")
       sb ++= s"a$i AS (SELECT vec_id, cid FROM (\n"
@@ -151,6 +161,54 @@ object Similarity {
     sb ++= s"                            ORDER BY $cos DESC, c.cid ASC) AS rn\n"
     sb ++= s"  FROM e, c$iters c) WHERE rn = 1)"
     sb.toString
+  }
+
+  /** IVF probe/search shape shared by `sim_ann_ivf` and the √N-scaled
+    * variant: assign the corpus to trained cells, probe each query's
+    * `nprobe` nearest cells (centroids broadcast, corpus never shuffled by
+    * the probe), exact-cosine re-rank the union of probed cells to top-3. */
+  private def annIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
+    val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cdf))
+      .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
+    val c = e.join(asg, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos6").desc, col("cand_id").asc)
+    c.join(broadcast(probes),
+        c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
+      .withColumn("cos6", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle for [[annIvfSearch]] over a given training chain + probe budget. */
+  private def duckAnnIvfSql(chain: String, nprobe: Int): String = {
+    val pcos = duckCosOf("e.v", "c.cv")
+    s"""WITH $chain,
+       |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
+       |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
+       |  FROM e, c${Iters} c WHERE e.vec_id < 8) WHERE rn <= $nprobe),
+       |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
+       |          FROM assign a JOIN e USING (vec_id))
+       |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT p.q_id, c.cand_id, ${duckCosOf("p.va", "c.vb")} AS cos6,
+       |         row_number() OVER (PARTITION BY p.q_id
+       |                            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
+       |  FROM probes p JOIN cands c
+       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Random-hyperplane (sign-random-projection) LSH shape: RpBands bands of
@@ -320,47 +378,22 @@ object Similarity {
       * SimilaritySpec. */
     QueryDef(
       "sim_ann_ivf",
-      (s, d) => {
-        val e = vecs(s, d).select(col("vec_id"), col("v"))
-        val cdf = centroidsDf(s, trainKMeans(s, d))
-        val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
-        val wq = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
-        val probes = e.filter(col("vec_id") < 8)
-          .crossJoin(broadcast(cdf))
-          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= NProbe)
-          .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
-        val c = e.join(asg, "vec_id")
-          .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos6").desc, col("cand_id").asc)
-        c.join(broadcast(probes),
-            c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
-          .withColumn("cos6", expr(cosExpr))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
-          .orderBy("q_id", "rank")
-      },
-      Some {
-        val pcos = duckCosOf("e.v", "c.cv")
-        s"""WITH ${duckKmeansChain()},
-           |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
-           |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
-           |  FROM e, c${Iters} c WHERE e.vec_id < 8) WHERE rn <= $NProbe),
-           |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
-           |          FROM assign a JOIN e USING (vec_id))
-           |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
-           |  SELECT p.q_id, c.cand_id, ${duckCosOf("p.va", "c.vb")} AS cos6,
-           |         row_number() OVER (PARTITION BY p.q_id
-           |                            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
-           |  FROM probes p JOIN cands c
-           |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
-           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-      }),
+      (s, d) => annIvfSearch(s, d, K, NProbe),
+      Some(duckAnnIvfSql(duckKmeansChain(), NProbe))),
+
+    /** ANN over a √N-SIZED IVF index: K = ⌊√N⌋ cells (22 at sf0.01, 44 at
+      * sf0.1 — vs the fixture-cluster-count K=5 above), fixed NProbe probe
+      * budget. This is the configuration the at-scale tuning note on [[K]]
+      * promises: cells and centroids both grow ~√N, the probed fraction
+      * NProbe/K SHRINKS as the corpus grows, and the oracle derives the
+      * same K from COUNT(*) and replays the larger training run verbatim.
+      * Recall vs brute force asserted in SimilaritySpec. */
+    QueryDef(
+      "sim_ann_ivf_sqrtn",
+      (s, d) => annIvfSearch(s, d, sqrtK(vecs(s, d).count()), SqrtNProbe),
+      Some(duckAnnIvfSql(
+        duckKmeansChain("SELECT greatest(2, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM e"),
+        SqrtNProbe))),
 
     /** EMBEDDING QUANTIZATION (asymmetric per-vector uint8) — the 4x
       * memory/IO compression step before an ANN index ships to serving:

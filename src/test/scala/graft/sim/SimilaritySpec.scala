@@ -82,6 +82,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall below 0.9 (${brute.size} truth pairs)")
   }
 
+  test("ANN(IVF, K=sqrt(N)) recall >= 0.8 vs brute force at top-3") {
+    // the at-scale configuration: K grows with the corpus, probe budget
+    // fixed, so the probed fraction shrinks — recall is the contract
+    val brute = run("sim_topk_brute").filter(col("rank") <= 3)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = run("sim_ann_ivf_sqrtn")
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"sqrt-N ANN recall $recall below 0.8 (${brute.size} truth pairs)")
+    // K really is sqrt-sized (not the fixture K=5)
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(Similarity.sqrtK(n) > Similarity.K)
+  }
+
   test("ANN rank-1 cosine never exceeds brute-force rank-1 cosine") {
     val ann = run("sim_ann_ivf")
     assert(ann.count() > 0)
