@@ -546,5 +546,39 @@ object Analytics {
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    /** BALANCED (exact-count) per-stratum subsample — 30 documents per
+      * language, deterministically (no RNG: md5 hash order, so any engine,
+      * any partitioning, any rerun picks the same rows — the class-balanced
+      * eval-set builder). Two-level shape for scale: a NARROW coarse filter
+      * (md5 bucket < 500‰) shrinks each stratum ~2× before the total-order
+      * window ranks it, so the per-stratum sort never sees the whole
+      * stratum — at 100 TB the bucket threshold drops with corpus size
+      * (expected survivors a small multiple of the target count) and the
+      * window cost stays O(target), not O(stratum). Both engines apply the
+      * same threshold, so the pick is identical. */
+    QueryDef(
+      "an_balanced_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("hkey").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("hkey", expr("md5(CAST(doc_id AS STRING))"))
+          .withColumn("bucket",
+            expr("CAST(conv(substr(hkey, 1, 15), 16, 10) AS BIGINT) % 1000"))
+          .filter(col("bucket") < 500)
+          .withColumn("pick", row_number().over(w))
+          .filter(col("pick") <= 30)
+          .select(col("lang"), col("doc_id"), col("pick").cast("int").as("pick"))
+          .orderBy("lang", "pick")
+      },
+      Some("""WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey
+             |  FROM documents
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |        % 1000 < 500)
+             |SELECT lang, doc_id, CAST(pick AS INTEGER) AS pick
+             |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |        ORDER BY hkey ASC, doc_id ASC) AS pick FROM h)
+             |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin)),
   )
 }

@@ -489,5 +489,52 @@ object Similarity {
              |                            ORDER BY score DESC, cand_id ASC) AS rank
              |  FROM sc)
              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    /** EMBEDDING OUTLIER DETECTION — the data-quality pass that flags
+      * mislabeled / off-distribution vectors before they poison training:
+      * per-label mean embedding (integer micro-unit component sums, the
+      * k-means discipline, so the oracle replays the centroid exactly),
+      * then the 3 LOWEST cosine-to-own-centroid vectors per label. Shape:
+      * one explode+groupBy for the centroids (a label-count-sized frame,
+      * broadcast back), a narrow scoring pass over the corpus, and a
+      * per-label bottom-k window — the corpus is never shuffled except for
+      * that final k-row-per-label ranking. */
+    QueryDef(
+      "sim_centroid_outliers",
+      (s, d) => {
+        val e = vecs(s, d)
+        val cent = e.select(col("label"), posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy(col("label"), col("j"))
+          .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sm"),
+            count(lit(1)).as("c"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(j, " +
+            "CAST(sm AS DOUBLE) / (c * 1000000.0) AS comp))), p -> p.comp)").as("cv"))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos6").asc, col("vec_id").asc)
+        e.join(broadcast(cent), "label")
+          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("label"), col("vec_id"), col("cos6"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("label", "rank")
+      },
+      Some {
+        val cos = duckCosOf("e.v", "c.cv")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+           |cent AS (SELECT label, list(comp ORDER BY jj) AS cv FROM (
+           |  SELECT label, jj,
+           |         CAST(SUM(CAST(round(v[jj] * 1000000) AS BIGINT)) AS DOUBLE)
+           |           / (COUNT(*) * 1000000.0) AS comp
+           |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS jj)
+           |  GROUP BY label, jj) GROUP BY label),
+           |sc AS (SELECT e.label, e.vec_id, $cos AS cos6
+           |       FROM e JOIN cent c USING (label))
+           |SELECT label, vec_id, cos6, CAST(rank AS INTEGER) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY label
+           |        ORDER BY cos6 ASC, vec_id ASC) AS rank FROM sc)
+           |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+      }),
   )
 }

@@ -468,5 +468,49 @@ object TextStats {
              |FROM docs d JOIN rates r ON d.source = r.source
              |WHERE d.bucket < r.rate_permille
              |GROUP BY d.source, r.rate_permille ORDER BY d.source""".stripMargin)),
+
+    /** TF-IDF-style term salience: top-5 terms per document scored by
+      * `tf/df` in integer parts-per-million (reciprocal document frequency
+      * instead of log-idf, so the score is EXACT integer arithmetic both
+      * engines compute identically — log() ulp differences could flip ranks
+      * at rounding boundaries; 1/df preserves the idf ordering for a fixed
+      * corpus). Shape: one shuffle for per-doc term counts, one vocab-sized
+      * aggregate for document frequencies, a term-keyed join (NOT broadcast
+      * — at 100 TB the vocabulary is arbitrarily large and Zipf-skewed, the
+      * tx_unigram_lm discipline; AQE splits the hot stopword keys), and a
+      * per-doc top-k window. */
+    QueryDef(
+      "tx_tfidf",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(toks)).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tok.distinct().groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_ppm").desc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("score_ppm", expr("(tf * 1000000) div df"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score_ppm"), col("rank").cast("int").as("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(text), ' +')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(*) AS df
+             |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+             |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             |         (t.tf * 1000000) // d.df AS score_ppm
+             |       FROM tf t JOIN df d USING (term))
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |       CAST(score_ppm AS BIGINT) AS score_ppm, CAST(rank AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY score_ppm DESC, term ASC) AS rank FROM sc)
+             |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
   )
 }

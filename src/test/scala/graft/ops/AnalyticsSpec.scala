@@ -46,4 +46,25 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(a95 - p95) / p95 <= 0.01, s"$k p95: approx=$a95 exact=$p95")
     }
   }
+
+  test("an_balanced_sample: exactly 30 per stratum, deterministic, coarse-filter-consistent") {
+    val sf = TestSpark.sf
+    val q = Analytics.defs.find(_.name == "an_balanced_sample").get
+    val rows = q.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val perLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.nonEmpty && perLang.values.forall(_ == 30),
+      s"every stratum must yield exactly its target count: $perLang")
+    // determinism: a second run picks the identical rows (no RNG anywhere)
+    val again = q.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+    // every picked doc really is in the coarse half the window ranked
+    val picked = rows.map(_._2).toSet
+    val inBucket = graft.Tables.documents(spark, sf)
+      .filter(expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000 < 500"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.subsetOf(inBucket))
+  }
 }

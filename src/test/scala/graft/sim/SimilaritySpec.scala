@@ -107,4 +107,29 @@ class SimilaritySpec extends AnyFunSuite {
     val bad = a1.join(b1, "q_id").filter(col("acos") > col("bcos")).count()
     assert(bad == 0)
   }
+
+  test("centroid outliers: 3 per label, and they are the true per-label minima") {
+    val out = run("sim_centroid_outliers")
+    val perLabel = out.groupBy("label").count().collect()
+    assert(perLabel.nonEmpty && perLabel.forall(_.getLong(1) == 3))
+    // recompute every vector's cosine to its own-label mean; the query's
+    // rank-1 row must BE the label's global minimum (not just a low value)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(expr("CAST(round(x * 1000000) AS BIGINT)")).as("sm"),
+        count(lit(1)).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, " +
+        "CAST(sm AS DOUBLE) / (c * 1000000.0) AS comp))), p -> p.comp)").as("cv"))
+    val minPerLabel = e.join(cent, "label")
+      .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+      .groupBy("label").agg(min("cos6").as("true_min"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    out.filter(col("rank") === 1).collect().foreach { r =>
+      assert(r.getDouble(2) == minPerLabel(r.getInt(0)),
+        s"label ${r.getInt(0)} rank-1 outlier is not the true minimum")
+    }
+  }
 }

@@ -94,4 +94,27 @@ class TextStatsSpec extends AnyFunSuite {
         s"dequantization error beyond one step: x=$x m=$m q=$q8")
     }
   }
+
+  test("tx_tfidf: rare term outranks frequent-everywhere term; score is exact tf*1e6 div df") {
+    val s = spark; import s.implicits._
+    // df: apple 1, banana 2, cherry 2, the 3
+    val dir = java.nio.file.Files.createTempDirectory("tfidf_docs").toString
+    Seq(
+      (1L, "the apple apple banana", "en", "s0", 22L),
+      (2L, "the banana cherry", "en", "s0", 17L),
+      (3L, "the cherry cherry cherry", "en", "s0", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.defs.find(_.name == "tx_tfidf").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    // doc 1: apple tf=2 df=1 -> 2_000_000 beats banana 500_000 and the 333_333
+    val d1 = got.filter(_._1 == 1L).sortBy(_._6)
+    assert(d1.head == ((1L, "apple", 2L, 1L, 2000000L, 1)))
+    assert(d1.map(_._2).toSeq == Seq("apple", "banana", "the"))
+    // doc 3: cherry tf=3 df=2 -> 1_500_000 top despite "the" being everywhere
+    assert(got.filter(_._1 == 3L).minBy(_._6)._2 == "cherry")
+    // every row's score is exactly tf*1e6 div df
+    assert(got.forall(r => r._5 == r._3 * 1000000L / r._4))
+  }
 }
