@@ -580,5 +580,33 @@ object Analytics {
              |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
              |        ORDER BY hkey ASC, doc_id ASC) AS pick FROM h)
              |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin)),
+
+    /** Equi-width HISTOGRAM of document length — the stats-collection pass
+      * behind length-based quality filters and planner NDV/skew estimates.
+      * Two-pass shape: pass 1 computes the global max (one scalar, the
+      * partial-agg tree makes it a map-side reduce), pass 2 buckets every
+      * row against the broadcast scalar — integer arithmetic only
+      * (`(n_chars * 10) div (max+1)` ∈ [0,9]), so bucket edges are
+      * bit-identical in both engines. Neither pass shuffles more than the
+      * 10-key final aggregate. */
+    QueryDef(
+      "an_histogram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(max(col("n_chars")).as("max_chars"))
+        docs.crossJoin(broadcast(mx))
+          .withColumn("bucket", expr("(n_chars * 10) div (max_chars + 1)"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH g AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+             |SELECT (n_chars * 10) // (g.max_chars + 1) AS bucket,
+             |       COUNT(*) AS n_docs,
+             |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents, g
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 }

@@ -536,5 +536,35 @@ object Similarity {
            |        ORDER BY cos6 ASC, vec_id ASC) AS rank FROM sc)
            |WHERE rank <= 3 ORDER BY label, rank""".stripMargin
       }),
+
+    /** PER-DIMENSION feature statistics over the embedding corpus — the
+      * drift/collapse monitor run before training (a dead or exploding
+      * dimension shows up as degenerate sum/sumsq). Component sums in
+      * exact integer micro-units (sumsq ≤ N·10¹² stays far inside BIGINT
+      * at fixture scale; at 100 TB this becomes a DECIMAL(38) or per-shard
+      * partial, same plan), so both engines agree bit-for-bit; the mean is
+      * the one IEEE-exact double division both compute identically. Shape:
+      * explode + ONE partial-aggregated shuffle of Dim keys — map-side
+      * combine reduces every partition to Dim rows before the exchange. */
+    QueryDef(
+      "sim_dim_stats",
+      (s, d) => vecs(s, d)
+        .select(posexplode(col("v")).as(Seq("j", "x")))
+        .select(col("j"), expr("CAST(round(x * 1000000) AS BIGINT)").as("xm"))
+        .groupBy(col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("xm")).as("sum_micro"),
+          sum(expr("xm * xm")).as("sumsq_micro2"))
+        .withColumn("mean", expr("CAST(sum_micro AS DOUBLE) / (n * 1000000.0)"))
+        .select(col("j").cast("int").as("j"), col("n"), col("sum_micro"),
+          col("sumsq_micro2"), col("mean"))
+        .orderBy("j"),
+      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |x AS (SELECT jj, CAST(round(v[jj] * 1000000) AS BIGINT) AS xm
+              |      FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS jj))
+              |SELECT CAST(jj - 1 AS INTEGER) AS j, COUNT(*) AS n,
+              |       CAST(SUM(xm) AS BIGINT) AS sum_micro,
+              |       CAST(SUM(xm * xm) AS BIGINT) AS sumsq_micro2,
+              |       CAST(SUM(xm) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean
+              |FROM x GROUP BY jj ORDER BY j""".stripMargin)),
   )
 }

@@ -512,5 +512,53 @@ object TextStats {
              |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
              |        ORDER BY score_ppm DESC, term ASC) AS rank FROM sc)
              |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
+    /** WINNOWING-STYLE robust fingerprints (the MOSS near-copy detector
+      * shape): hash every 4-token shingle, slide a 5-window over the hash
+      * sequence taking each window's MINIMUM, and keep the distinct minima
+      * — guarantees any shared run of ≥ 8 tokens contributes at least one
+      * common fingerprint, at ~1/w the storage of the full shingle set.
+      * Entirely array higher-order functions over each row (one narrow
+      * codegen pass, zero shuffles before the final ORDER BY); emitted as
+      * per-doc checksums (count/min/max/sum of the distinct minima, 12 hex
+      * digits per hash so the sum stays far inside BIGINT) pinning every
+      * fingerprint for the oracle. Docs under 8 tokens have no full window
+      * and are filtered identically in both engines. */
+    QueryDef(
+      "tx_winnowing",
+      (s, d) => {
+        val grams = s"transform(sequence(0, size($toks) - 4), i -> " +
+          s"CAST(conv(substr(md5(array_join(slice($toks, i + 1, 4), ' ')), 1, 12), 16, 10) AS BIGINT))"
+        Tables.documents(s, d)
+          .filter(expr(s"size($toks) >= 8"))
+          .withColumn("grams", expr(grams))
+          .withColumn("mins",
+            expr("transform(sequence(0, size(grams) - 5), i -> array_min(slice(grams, i + 1, 5)))"))
+          .withColumn("fps", expr("array_distinct(mins)"))
+          .select(col("doc_id"),
+            expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+            expr("CAST(size(fps) AS BIGINT)").as("n_fps"),
+            expr("array_min(fps)").as("fp_min"),
+            expr("array_max(fps)").as("fp_max"),
+            expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+             |          FROM documents),
+             |g AS (SELECT doc_id,
+             |        list_transform(range(0, len(tk) - 4 + 1), i ->
+             |          CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 12))
+             |               AS BIGINT)) AS grams
+             |      FROM t WHERE len(tk) >= 8),
+             |m AS (SELECT doc_id, grams,
+             |        list_distinct(list_transform(range(0, len(grams) - 5 + 1), i ->
+             |          list_min(grams[i+1:i+5]))) AS fps
+             |      FROM g)
+             |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+             |       CAST(len(fps) AS BIGINT) AS n_fps,
+             |       CAST(list_min(fps) AS BIGINT) AS fp_min,
+             |       CAST(list_max(fps) AS BIGINT) AS fp_max,
+             |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+             |FROM m ORDER BY doc_id""".stripMargin)),
   )
 }

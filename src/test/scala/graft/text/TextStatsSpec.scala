@@ -117,4 +117,38 @@ class TextStatsSpec extends AnyFunSuite {
     // every row's score is exactly tf*1e6 div df
     assert(got.forall(r => r._5 == r._3 * 1000000L / r._4))
   }
+
+  test("tx_winnowing: docs sharing an 8+-token run share a fingerprint; disjoint docs don't") {
+    val s = spark; import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("winnow_docs").toString
+    Seq(
+      (1L, s"one two $shared three four five six", "en", "s0", 0L),
+      (2L, s"seven eight nine ten $shared eleven", "en", "s0", 0L),
+      (3L, "all words here differ from both other docs entirely today", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // recompute the fingerprint SETS with the same expressions the query
+    // checksums, so set intersection is directly assertable
+    val toks = "split(trim(text), ' +')"
+    val fps = graft.Tables.documents(spark, dir)
+      .withColumn("grams", expr(s"transform(sequence(0, size($toks) - 4), i -> " +
+        s"CAST(conv(substr(md5(array_join(slice($toks, i + 1, 4), ' ')), 1, 12), 16, 10) AS BIGINT))"))
+      .withColumn("fps",
+        expr("array_distinct(transform(sequence(0, size(grams) - 5), i -> array_min(slice(grams, i + 1, 5))))"))
+      .select(col("doc_id"), col("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: any shared run of >= k + w - 1 = 8 tokens
+    // yields at least one common selected fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty, "10-token shared run must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no 4-gram is shared with the disjoint doc")
+    // and the registered query's checksums agree with these sets
+    val q = TextStats.defs.find(_.name == "tx_winnowing").get.fn(spark, dir)
+      .select("doc_id", "n_fps", "fp_sum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    q.foreach { case (id, n, sum) =>
+      assert(n == fps(id).size && sum == fps(id).sum)
+    }
+  }
 }
