@@ -91,6 +91,51 @@ object EventsStream extends Serializable {
     spark.table(queryName).orderBy("hour_ts", "event_type")
   }
 
+  /** Stream-static ENRICHMENT: purchase events joined to the static
+    * `customer` dimension on user_id = c_custkey, then hourly revenue per
+    * market segment — the classic landing-zone enrichment rollup. The
+    * static side is broadcast (re-read per micro-batch by Structured
+    * Streaming, so dim updates between batches are picked up); the join
+    * itself holds NO streaming state — only the windowed aggregate does,
+    * bounded by the watermark horizon. */
+  private def enrichSegment(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withColumn("start_time", timestamp_seconds(expr("(ts div 1000000) div 1000")))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(
+        date_trunc("hour", col("start_time")).as("hour_ts"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+
+  def enrichSegmentBatch(spark: SparkSession, sfDir: String): DataFrame =
+    enrichSegment(graft.Tables.events(spark, sfDir), graft.Tables.customer(spark, sfDir))
+      .orderBy("hour_ts", "segment")
+
+  /** The same enrichment as an incremental stream over an arriving-files
+    * directory, with the customer dim read as a static batch table. */
+  def runEnrichSegmentStream(spark: SparkSession, eventsDir: String, sfDir: String,
+      queryName: String = "enrich_stream"): DataFrame = {
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir)
+    val agg = enrichSegment(
+      events
+        .withColumn("ts_watermark", timestamp_seconds(expr("(ts div 1000000) div 1000")))
+        .withWatermark("ts_watermark", "1 hour"),
+      graft.Tables.customer(spark, sfDir))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("hour_ts", "segment")
+  }
+
   /** Session gap: a new session starts after 60 minutes of user inactivity. */
   val SessionGapMs = 3600000L
 
@@ -272,5 +317,16 @@ object EventsStream extends Serializable {
              |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2
              |ORDER BY hour_ts, event_type""".stripMargin)),
+    QueryDef(
+      "st_enrich_segment",
+      (s, d) => enrichSegmentBatch(s, d),
+      Some("""SELECT CAST(date_trunc('hour', make_timestamp((epoch_ms(ts) // 1000) * 1000000))
+             |            AS TIMESTAMP) AS hour_ts,
+             |       c_mktsegment AS segment, COUNT(*) AS n,
+             |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events JOIN customer ON user_id = c_custkey
+             |WHERE event_type = 'purchase'
+             |GROUP BY 1, 2
+             |ORDER BY hour_ts, segment""".stripMargin)),
   )
 }

@@ -20,6 +20,20 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment (customer dim join) equals the batch rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("events_enrich").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = EventsStream.enrichSegmentBatch(spark, sf).collect().toSeq
+    val stream = EventsStream.runEnrichSegmentStream(spark, dir, sf, "enrich_spec")
+      .collect().toSeq
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+    // every market segment present in the dim that has purchases shows up
+    assert(batch.map(_.getString(1)).distinct.size > 1)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) equals the batch gaps-and-islands") {
     val dir = java.nio.file.Files.createTempDirectory("events_sess").toString
     java.nio.file.Files.copy(
