@@ -373,6 +373,36 @@ object Dedup {
               |SELECT doc_a, doc_b, jaccard_permille FROM jac
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    /** WINNOWED near-dup candidates: the inverted index is built over the
+      * tx_winnowing fingerprints instead of the full shingle posting list —
+      * ~1/5 the index size (one selected hash per 5-gram window) while the
+      * winnowing guarantee still surfaces every pair sharing a run of ≥ 8
+      * tokens. Same audited bucket shape as every other candidate
+      * generator (capped buckets, sorted pair expansion); pairs must share
+      * ≥ 2 selected fingerprints, which drops the single-window accidental
+      * collisions. This is the index you ship when the shingle index
+      * itself is the storage problem at 100 TB. */
+    QueryDef(
+      "dd_winnow_pairs",
+      (s, d) => {
+        val buckets = graft.text.TextStats.winnowedFpRows(s, d)
+          .select(col("doc_id"), col("fp"))
+          .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        bucketPairs(buckets)
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${graft.text.TextStats.duckWinnowChain},
+              |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+              |keep AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= $MaxBucket),
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              |          FROM f a JOIN keep k ON a.fp = k.fp
+              |               JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     /** Per-doc 32-bit SimHash code. */
     QueryDef(
       "dd_simhash",

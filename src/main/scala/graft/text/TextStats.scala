@@ -526,34 +526,16 @@ object TextStats {
       * and are filtered identically in both engines. */
     QueryDef(
       "tx_winnowing",
-      (s, d) => {
-        val grams = s"transform(sequence(0, size($toks) - 4), i -> " +
-          s"CAST(conv(substr(md5(array_join(slice($toks, i + 1, 4), ' ')), 1, 12), 16, 10) AS BIGINT))"
-        Tables.documents(s, d)
-          .filter(expr(s"size($toks) >= 8"))
-          .withColumn("grams", expr(grams))
-          .withColumn("mins",
-            expr("transform(sequence(0, size(grams) - 5), i -> array_min(slice(grams, i + 1, 5)))"))
-          .withColumn("fps", expr("array_distinct(mins)"))
-          .select(col("doc_id"),
-            expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
-            expr("CAST(size(fps) AS BIGINT)").as("n_fps"),
-            expr("array_min(fps)").as("fp_min"),
-            expr("array_max(fps)").as("fp_max"),
-            expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_sum"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
-             |          FROM documents),
-             |g AS (SELECT doc_id,
-             |        list_transform(range(0, len(tk) - 4 + 1), i ->
-             |          CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 12))
-             |               AS BIGINT)) AS grams
-             |      FROM t WHERE len(tk) >= 8),
-             |m AS (SELECT doc_id, grams,
-             |        list_distinct(list_transform(range(0, len(grams) - 5 + 1), i ->
-             |          list_min(grams[i+1:i+5]))) AS fps
-             |      FROM g)
+      (s, d) =>
+        winnowedFpRows(s, d)
+          .groupBy(col("doc_id"), col("n_grams"))
+          .agg(count(lit(1)).as("n_fps"),
+            min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"),
+            sum(col("fp")).as("fp_sum"))
+          .select(col("doc_id"), col("n_grams"), col("n_fps"),
+            col("fp_min"), col("fp_max"), col("fp_sum"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $duckWinnowChain
              |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
              |       CAST(len(fps) AS BIGINT) AS n_fps,
              |       CAST(list_min(fps) AS BIGINT) AS fp_min,
@@ -561,4 +543,50 @@ object TextStats {
              |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
              |FROM m ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Winnowed fingerprints as DISTINCT (doc_id, n_grams, fp) rows — shared
+    * by [[tx_winnowing]]'s checksums and graft.dedup's winnowed candidate
+    * generator. RELATIONAL formulation on purpose: 4-grams are assembled
+    * from exploded tokens with three lead()s and winnowed with a 5-row
+    * frame min, all over ONE doc_id window shuffle, so each gram md5 is
+    * computed exactly once inside codegen. The nested-array-HOF form
+    * (transform over slices of a grams array) lets CollapseProject inline
+    * the whole gram array into every window reference — the minhashSig
+    * lesson (graft.dedup.Dedup): measured ~25× slower under a generator at
+    * sf0.1. */
+  def winnowedFpRows(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val wMin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, 4)
+    Tables.documents(s, d)
+      .filter(expr(s"size($toks) >= 8"))
+      .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT) - 3").as("n_grams"),
+        posexplode(expr(toks)).as(Seq("pos", "tok")))
+      .withColumn("g4", concat_ws(" ", col("tok"),
+        lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
+      .filter(col("pos") <= col("n_grams") - 1)
+      .withColumn("ghash", expr("CAST(conv(substr(md5(g4), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("fp", min(col("ghash")).over(wMin))
+      .filter(col("pos") <= col("n_grams") - 5)
+      .select(col("doc_id"), col("n_grams"), col("fp"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `m(doc_id, grams, fps)` — the oracle replay
+    * of [[winnowed]], shared by the tx_winnowing and dd_winnow_pairs
+    * oracles. (`lazy`: referenced from `defs`, which initializes first.) */
+  lazy val duckWinnowChain: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+      |          FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(0, len(tk) - 4 + 1), i ->
+      |          CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 12))
+      |               AS BIGINT)) AS grams
+      |      FROM t WHERE len(tk) >= 8),
+      |m AS (SELECT doc_id, grams,
+      |        list_distinct(list_transform(range(0, len(grams) - 5 + 1), i ->
+      |          list_min(grams[i+1:i+5]))) AS fps
+      |      FROM g)""".stripMargin
 }
