@@ -553,7 +553,15 @@ object TextStats {
     * (transform over slices of a grams array) lets CollapseProject inline
     * the whole gram array into every window reference — the minhashSig
     * lesson (graft.dedup.Dedup): measured ~25× slower under a generator at
-    * sf0.1. */
+    * sf0.1.
+    *
+    * Tokenization is materialized as an array column BEFORE the explode
+    * (round 9): with `posexplode(split(text))` in one select, the sibling
+    * `size(split(text))` projection lands ABOVE the Generate and re-runs
+    * the regex split once per exploded ROW (~54× per doc — 270k splits in
+    * a single pre-shuffle task at sf0.1, ~7 s of the measured 11 s).
+    * Exploding a pre-computed `tk` array keeps the split per-DOC; the
+    * post-Generate `size(tk)` is O(1) against the carried array pointer. */
   def winnowedFpRows(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -561,9 +569,10 @@ object TextStats {
     val wMin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, 4)
     Tables.documents(s, d)
-      .filter(expr(s"size($toks) >= 8"))
-      .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT) - 3").as("n_grams"),
-        posexplode(expr(toks)).as(Seq("pos", "tok")))
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 8"))
+      .select(col("doc_id"), expr("CAST(size(tk) AS BIGINT) - 3").as("n_grams"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
       .withColumn("g4", concat_ws(" ", col("tok"),
         lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
       .filter(col("pos") <= col("n_grams") - 1)
