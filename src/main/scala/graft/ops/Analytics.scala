@@ -550,35 +550,26 @@ object Analytics {
     /** BALANCED (exact-count) per-stratum subsample — 30 documents per
       * language, deterministically (no RNG: md5 hash order, so any engine,
       * any partitioning, any rerun picks the same rows — the class-balanced
-      * eval-set builder). Two-level shape for scale: a NARROW coarse filter
-      * (md5 bucket < 500‰) shrinks each stratum ~2× before the total-order
-      * window ranks it, so the per-stratum sort never sees the whole
-      * stratum — at 100 TB the bucket threshold drops with corpus size
-      * (expected survivors a small multiple of the target count) and the
-      * window cost stays O(target), not O(stratum). Both engines apply the
-      * same threshold, so the pick is identical. */
+      * eval-set builder). See [[balancedSamplePhase1]] for the two-phase
+      * rank that bounds every task at O(k·groups-per-task), never
+      * O(stratum). Strata smaller than k yield all their rows (no coarse
+      * prefilter to under-deliver on small strata). */
     QueryDef(
       "an_balanced_sample",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
+        val wGlobal = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang")).orderBy(col("hkey").asc, col("doc_id").asc)
-        Tables.documents(s, d)
-          .withColumn("hkey", expr("md5(CAST(doc_id AS STRING))"))
-          .withColumn("bucket",
-            expr("CAST(conv(substr(hkey, 1, 15), 16, 10) AS BIGINT) % 1000"))
-          .filter(col("bucket") < 500)
-          .withColumn("pick", row_number().over(w))
+        balancedSamplePhase1(
+          Tables.documents(s, d).select(col("lang"), col("doc_id")), 30)
+          .withColumn("pick", row_number().over(wGlobal))
           .filter(col("pick") <= 30)
           .select(col("lang"), col("doc_id"), col("pick").cast("int").as("pick"))
           .orderBy("lang", "pick")
       },
-      Some("""WITH h AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey
-             |  FROM documents
-             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-             |        % 1000 < 500)
-             |SELECT lang, doc_id, CAST(pick AS INTEGER) AS pick
+      Some("""SELECT lang, doc_id, CAST(pick AS INTEGER) AS pick
              |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-             |        ORDER BY hkey ASC, doc_id ASC) AS pick FROM h)
+             |        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pick
+             |      FROM documents)
              |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin)),
 
     /** Equi-width HISTOGRAM of document length — the stats-collection pass
@@ -609,4 +600,28 @@ object Analytics {
              |FROM documents, g
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
+
+  /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),
+    * doc_id) within each (lang, input-partition) group and keep the top
+    * `k`. The global per-lang top-k is a subset of the union of
+    * per-partition top-ks (the standard top-k merge property), so phase 2's
+    * per-lang window ranks at most k·numPartitions rows per stratum — no
+    * task ever sorts O(stratum), whatever the skew. The result is invariant
+    * to the physical partitioning (any superset of the global top-k yields
+    * the same phase-2 pick), so task retries and repartitioned reruns
+    * produce identical output even though `spark_partition_id` itself is
+    * not stable. */
+  private[ops] def balancedSamplePhase1(
+      docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("pid"))
+      .orderBy(col("hkey").asc, col("doc_id").asc)
+    docs
+      .withColumn("hkey", expr("md5(CAST(doc_id AS STRING))"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lpick", row_number().over(wLocal))
+      .filter(col("lpick") <= k)
+      .drop("pid", "lpick")
+  }
 }

@@ -59,12 +59,31 @@ class AnalyticsSpec extends AnyFunSuite {
     val again = q.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(rows.toSeq == again.toSeq)
-    // every picked doc really is in the coarse half the window ranked
-    val picked = rows.map(_._2).toSet
-    val inBucket = graft.Tables.documents(spark, sf)
-      .filter(expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000 < 500"))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(picked.subsetOf(inBucket))
+  }
+
+  test("an_balanced_sample: one giant stratum — global window input stays O(k·partitions)") {
+    import spark.implicits._
+    // 50k-row single-language stratum spread over 8 partitions: the naive
+    // per-stratum window would sort all 50k rows in ONE task. Phase 1 must
+    // cap its output at k rows per (lang, partition) — the bound the global
+    // window then ranks — while still containing the true global top-k.
+    val giant = spark.range(0, 50000).toDF("doc_id")
+      .withColumn("lang", lit("xx")).repartition(8)
+    val p1 = Analytics.balancedSamplePhase1(giant.select($"lang", $"doc_id"), 30)
+    val survivors = p1.count()
+    assert(survivors <= 30L * 8, s"phase 1 must emit <= k rows per partition: $survivors")
+    // superset-safety: phase 1 survivors contain the exact global top-30,
+    // so the two-phase pick equals the naive single-window pick.
+    val naive = giant
+      .withColumn("hkey", md5(col("doc_id").cast("string")))
+      .orderBy($"hkey".asc, $"doc_id".asc).limit(30)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val picked = p1.orderBy($"hkey".asc, $"doc_id".asc).limit(30)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == naive)
+    // a stratum smaller than k yields ALL its rows (the contract the old
+    // coarse-bucket prefilter silently broke on small strata)
+    val tiny = Seq.tabulate(7)(i => ("yy", i.toLong)).toDF("lang", "doc_id")
+    assert(Analytics.balancedSamplePhase1(tiny, 30).count() == 7)
   }
 }
