@@ -3,8 +3,8 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Shared sign-random-projection kernel: all `Planes` signed dot products
@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Semantics are bit-identical to the relational formulation it replaces
   * (explode components × broadcast plane table → SUM(xm*sgn) per plane →
-  * band-code packing aggregate): the hyperplane sign for (plane p, dim i)
+  * band-code packing aggregate) — for inputs whose dimensionality equals
+  * the plane table's. The sign derivation is dim-parametric (signs rebuild
+  * per distinct vector length), so the kernel is self-consistent at any
+  * uniform dim, but a ragged corpus would hash different-length vectors
+  * against different sign sets where the fixed-dim relational plane table
+  * would zero-pad or drop — callers own enforcing uniform dimensionality
+  * (graft.sim.Similarity vectors are all `Dim`): the hyperplane sign for (plane p, dim i)
   * is +1 iff the first hex char of md5("rp:p:i") is in '0'..'7' (i.e. the
   * high bit of the first digest byte is 0) — the same fixed public
   * derivation the DuckDB oracle computes for itself — and the dot is an
@@ -91,7 +97,9 @@ object RpBandCodesImpl {
       if (dm >= 0L) out(p / BandBits) |= (1L << (p % BandBits))
       p += 1
     }
-    new GenericArrayData(out)
+    // Unsafe packing: GenericArrayData would box all Bands longs per row in
+    // the hot path this kernel exists to keep narrow.
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 

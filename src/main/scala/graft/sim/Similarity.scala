@@ -102,6 +102,15 @@ object Similarity {
   private val trained =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double])]]
 
+  /** Corpus cardinality per dataset dir, memoized with the same discipline
+    * as [[trained]]: `sim_ann_ivf_sqrtn` sizes its index from N on every
+    * invocation, and an uncached count() would re-scan the corpus before
+    * the query even plans. */
+  def corpusSize(s: SparkSession, d: String): Long =
+    corpusN.getOrElseUpdate(d, vecs(s, d).count())
+
+  private val corpusN = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private[sim] def trainKMeansUncached(s: SparkSession, d: String, k: Int, iters: Int)
       : Seq[(Int, Seq[Double])] = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
@@ -390,7 +399,7 @@ object Similarity {
       * Recall vs brute force asserted in SimilaritySpec. */
     QueryDef(
       "sim_ann_ivf_sqrtn",
-      (s, d) => annIvfSearch(s, d, sqrtK(vecs(s, d).count()), SqrtNProbe),
+      (s, d) => annIvfSearch(s, d, sqrtK(corpusSize(s, d)), SqrtNProbe),
       Some(duckAnnIvfSql(
         duckKmeansChain("SELECT greatest(2, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM e"),
         SqrtNProbe))),
