@@ -104,6 +104,15 @@ object Bench {
     // must follow a query through 3 unrelated neighborhoods to survive.
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+    // Streaming queries pay a one-off micro-batch bootstrap (state-store
+    // init, checkpoint dir, query-execution thread spin-up) that is session
+    // setup, not query cost — BENCH_r08 showed it landing in whichever round
+    // ran an st_* query first (st_enrich_segment samples 0.75/3.55/0.50).
+    // One untimed pass over the st_* entries bills it to warm-up.
+    queryList.filter(_._1.startsWith("st_")).foreach { case (_, fn) =>
+      runOnce(spark, fn, sfDir)
+    }
+    resetSessionState(spark)
     val samples = mutable.LinkedHashMap(
       queryList.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
     val codeCacheByRound = mutable.ArrayBuffer.empty[Double]

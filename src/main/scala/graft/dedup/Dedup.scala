@@ -403,6 +403,43 @@ object Dedup {
               |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    /** CROSS-SHARD INCREMENTAL dedup — the production 100 TB loop: the
+      * already-ingested corpus is represented ONLY by its persisted
+      * winnowed-fingerprint index (the artifact [[graft.text.TextStats
+      * .winnowedFpRows]] pins; built once per dataset dir and reused, the
+      * same artifact discipline as the k-means model), and each NEW batch
+      * is screened against that index without touching the old documents.
+      * Fixture split: docs with doc_id % 5 ≠ 0 are the indexed corpus,
+      * % 5 = 0 the incoming batch (the batch predicate pushes through the
+      * fingerprint window to the scan, so only batch docs are tokenized).
+      * A batch doc sharing ≥ 2 winnowed fingerprints with the index is a
+      * near-dup of the corpus — the dd_winnow_pairs threshold. Unlike pair
+      * expansion, probing is LINEAR: the index side is distinct on fp, so a
+      * hot fingerprint matches each batch posting once and no bucket cap is
+      * needed. At scale the index outweighs the batch by orders of
+      * magnitude; the inner probe join lets AQE broadcast the batch side so
+      * the index is only streamed, never shuffled (persisting the index
+      * bucketed by fp makes even rebuild-free merges co-located). */
+    QueryDef(
+      "dd_incremental",
+      (s, d) => {
+        val idx = s.read.parquet(winnowFpIndexPath(s, d))
+        val batch = graft.text.TextStats.winnowedFpRows(s, d)
+          .filter(expr("doc_id % 5 = 0"))
+          .select(col("doc_id"), col("fp"))
+        incrementalNearDup(batch, idx)
+      },
+      Some(s"""WITH ${graft.text.TextStats.duckWinnowChain},
+              |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+              |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+              |newb AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+              |hits AS (SELECT n.doc_id, COUNT(*) AS n_fps, COUNT(i.fp) AS n_hits
+              |         FROM newb n LEFT JOIN idx i ON n.fp = i.fp GROUP BY 1)
+              |SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
+              |       CAST(n_hits AS BIGINT) AS n_hits,
+              |       CASE WHEN n_hits >= 2 THEN 'dup_corpus' ELSE 'keep' END AS status
+              |FROM hits ORDER BY doc_id""".stripMargin)),
+
     /** Per-doc 32-bit SimHash code. */
     QueryDef(
       "dd_simhash",
@@ -654,4 +691,44 @@ object Dedup {
              |       CAST(0 AS BIGINT) AS n_false_neg
              |FROM probed GROUP BY source ORDER BY source""".stripMargin)),
   )
+
+  /** Screen a batch of (doc_id, fp) fingerprint postings against a
+    * persisted DISTINCT-fp index: per doc, how many of its fingerprints the
+    * corpus already contains, and the ≥ `minShared` near-dup verdict.
+    * Consumes ONLY the batch postings and the index — never the corpus
+    * documents (DedupSpec proves it by running against an index file with
+    * the old corpus absent). The probe is an inner join on fp with the
+    * per-doc totals aggregated separately, so every batch fp survives into
+    * `n_fps` while the (corpus-sized) index side is only streamed. */
+  def incrementalNearDup(batchFps: DataFrame, fpIndex: DataFrame,
+      minShared: Int = 2): DataFrame = {
+    val perDoc = batchFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val hits = batchFps.join(fpIndex.select(col("fp")).distinct(), Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    perDoc.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_fps"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("status",
+        when(col("n_hits") >= minShared, "dup_corpus").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowed-fingerprint index of the already-ingested shard (doc_id
+    * % 5 ≠ 0) as a parquet artifact, built once per dataset dir (same
+    * TrieMap discipline as the k-means model: an index is an artifact, not
+    * per-query cost). Returns the path; [[incrementalNearDup]] consumers
+    * read the corpus only through this file. */
+  def winnowFpIndexPath(s: SparkSession, d: String): String =
+    winnowIdx.getOrElseUpdate(d, {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_winnow_idx_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.text.TextStats.winnowedFpRows(s, d)
+        .filter(expr("doc_id % 5 <> 0"))
+        .select(col("fp")).distinct()
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private val winnowIdx = scala.collection.concurrent.TrieMap.empty[String, String]
 }

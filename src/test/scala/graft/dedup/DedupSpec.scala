@@ -125,4 +125,26 @@ class DedupSpec extends AnyFunSuite {
     val keys = p.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("dd_incremental: old corpus is read only through its fingerprint index") {
+    // Reconstruct the registered query's result from (a) the persisted
+    // index parquet and (b) a dataset dir containing ONLY the new batch —
+    // the old corpus documents are physically absent from every input the
+    // operator touches, so agreement proves the index file carries all the
+    // corpus knowledge the screen needs.
+    val registered = run("dd_incremental").collect().toSeq
+    val batchDir = java.nio.file.Files.createTempDirectory("graft_batch_only")
+    graft.Tables.documents(spark, sf).filter(expr("doc_id % 5 = 0"))
+      .write.mode("overwrite").parquet(batchDir.resolve("documents.parquet").toString)
+    val batchFps = graft.text.TextStats.winnowedFpRows(spark, batchDir.toString)
+      .select(col("doc_id"), col("fp"))
+    val idx = spark.read.parquet(Dedup.winnowFpIndexPath(spark, sf))
+    val fromIndexOnly = Dedup.incrementalNearDup(batchFps, idx).collect().toSeq
+    assert(fromIndexOnly == registered)
+    assert(registered.nonEmpty)
+    // verdicts are complete: every batch doc with >= 8 tokens is screened
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(expr("doc_id % 5 = 0 AND size(split(trim(text), ' +')) >= 8")).count()
+    assert(registered.size.toLong == expected)
+  }
 }
