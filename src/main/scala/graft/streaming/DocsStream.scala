@@ -64,4 +64,99 @@ object DocsStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Winnowed fingerprints as a PER-ROW array column — the stream-safe
+    * form of [[graft.text.TextStats.winnowedFpRows]] (same 4-token grams,
+    * 5-window minima, 12-hex-digit hashes; identical values), for landing
+    * zones where the relational form's doc_id window is unavailable
+    * (window functions are not supported on streaming DataFrames).
+    *
+    * The 5-wide rolling minimum is a zip_with TOURNAMENT (pair minima →
+    * span-4 minima → span-5), not a transform-over-slices: each level
+    * references its input array 3× (two slices + a size), which is exactly
+    * what stops CollapseProject from inlining the md5 gram computation into
+    * every window position (the O(n²)-md5 trap the relational form's doc
+    * comment records). Every column is computed once per row; the whole
+    * chain is one narrow codegen pass. Docs under 8 tokens get an empty
+    * array — the landing contract screens every arriving doc. */
+  def withWinnowFps(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", expr("split(trim(text), ' +')"))
+      .withColumn("grams", expr(
+        """CASE WHEN size(tk) >= 8 THEN
+          |  transform(sequence(0, size(tk) - 4), i ->
+          |    CAST(conv(substr(md5(array_join(slice(tk, i + 1, 4), ' ')), 1, 12),
+          |         16, 10) AS BIGINT))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .withColumn("m2", expr(
+        """CASE WHEN size(grams) > 0 THEN
+          |  zip_with(slice(grams, 1, size(grams) - 1),
+          |           slice(grams, 2, size(grams) - 1), (x, y) -> least(x, y))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .withColumn("m4", expr(
+        """CASE WHEN size(m2) > 0 THEN
+          |  zip_with(slice(m2, 1, size(m2) - 2),
+          |           slice(m2, 3, size(m2) - 2), (x, y) -> least(x, y))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .withColumn("fps", expr(
+        """CASE WHEN size(m4) > 0 THEN
+          |  array_distinct(zip_with(slice(m4, 1, size(m4) - 1),
+          |    slice(grams, 5, size(m4) - 1), (x, y) -> least(x, y)))
+          |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .drop("tk", "grams", "m2", "m4")
+
+  /** Landing-zone near-dup screen: every arriving doc gets a verdict
+    * against the persisted corpus fingerprint index — `dup_corpus` when ≥ 2
+    * of its winnowed fingerprints are already indexed (the dd_winnow_pairs
+    * threshold), `keep` otherwise (short docs: 0 fingerprints, keep). The
+    * shape is stream-legal end to end: narrow fps projection, explode,
+    * stream-static left-outer join (index on the static side), ONE
+    * aggregation — and identical for batch input, which is how the spec and
+    * the oracle pin it. */
+  def landingVerdicts(docs: DataFrame, fpIndex: DataFrame): DataFrame =
+    withWinnowFps(docs)
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .join(fpIndex.select(col("fp")).distinct().withColumn("hit", lit(1)),
+        Seq("fp"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(col("fp")).as("n_fps"), count(col("hit")).as("n_hits"))
+      .withColumn("status",
+        when(col("n_hits") >= 2, "dup_corpus").otherwise("keep"))
+      .select(col("doc_id"), col("n_fps"), col("n_hits"), col("status"))
+
+  /** [[landingVerdicts]] as an incremental stream over an arriving-files
+    * directory, screened against the index parquet (static side re-read per
+    * micro-batch — at scale, the index a nightly batch job maintains).
+    * Complete-mode memory sink, AvailableNow. */
+  def runIncrementalScreenStream(spark: SparkSession, docsDir: String,
+      idxPath: String, queryName: String = "incremental_screen"): DataFrame = {
+    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = landingVerdicts(docs, spark.read.parquet(idxPath))
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("doc_id")
+  }
+
+  /** Registered batch variant (the st_* convention: batch semantics under
+    * the oracle, stream ≡ batch pinned by DocsStreamSpec). */
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef(
+      "st_incremental_dedup",
+      (s, d) => landingVerdicts(
+        graft.Tables.documents(s, d).filter(expr("doc_id % 5 = 0")),
+        s.read.parquet(graft.dedup.Dedup.winnowFpIndexPath(s, d)))
+        .orderBy("doc_id"),
+      Some(s"""WITH ${graft.text.TextStats.duckWinnowChain},
+              |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+              |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 <> 0),
+              |newb AS (SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0),
+              |hits AS (SELECT n.doc_id, COUNT(*) AS n_fps, COUNT(i.fp) AS n_hits
+              |         FROM newb n LEFT JOIN idx i ON n.fp = i.fp GROUP BY 1)
+              |SELECT d.doc_id, CAST(coalesce(h.n_fps, 0) AS BIGINT) AS n_fps,
+              |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              |       CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 'dup_corpus'
+              |            ELSE 'keep' END AS status
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+              |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)))
 }

@@ -71,4 +71,25 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(fps.toSet == batchFps)
     assert(afterRun1 < fps.size, "run 2 appended nothing — not incremental")
   }
+
+  test("streaming incremental near-dup screen equals the registered batch variant") {
+    // The stream sees ONLY a landing dir of new-batch docs plus the index
+    // parquet — the old corpus is absent from every streaming input — and
+    // must produce the batch st_incremental_dedup verdicts exactly.
+    val land = java.nio.file.Files.createTempDirectory("docs_screen").toString
+    graft.Tables.documents(spark, sf).filter(expr("doc_id % 5 = 0"))
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val idxPath = graft.dedup.Dedup.winnowFpIndexPath(spark, sf)
+    val streamed = DocsStream.runIncrementalScreenStream(
+      spark, s"$land/arrivals", idxPath, "incr_screen_spec")
+      .collect().toSeq
+    val batch = graft.streaming.DocsStream.defs
+      .find(_.name == "st_incremental_dedup").get.fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the screen covers EVERY arriving doc, including sub-8-token ones
+    val arrivals = graft.Tables.documents(spark, sf)
+      .filter(expr("doc_id % 5 = 0")).count()
+    assert(batch.size.toLong == arrivals)
+  }
 }
