@@ -57,6 +57,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Positional 8-token shingles, one row per (doc_id, pos, gh) — the
+    * repeated-substring index grain. Same relational discipline as
+    * [[shingleRows]] (posexplode + leads over ONE doc_id window, every md5
+    * computed once in codegen), with the token array materialized BEFORE
+    * the explode (the winnowedFpRows round-9 lesson: a sibling projection
+    * above the Generate re-runs the split per exploded row). Positions are
+    * kept (no distinct): the mass numerator counts POSITIONS, so a doc
+    * that repeats boilerplate internally weighs each occurrence. */
+  private def gram8Rows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 8"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w0")))
+      .withColumn("g8", concat_ws(" ",
+        col("w0") +: (1 to 7).map(i => lead(col("w0"), i).over(w)): _*))
+      .withColumn("w7", lead(col("w0"), 7).over(w))
+      .filter(col("w7").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        expr("substr(md5(g8), 1, 16)").as("gh"))
+  }
+
   /** Bucket-size cap for candidate generation. A stop-shingle or hot band
     * otherwise collects one huge doc list whose pair expansion is quadratic
     * — the 100 TB killer. A key shared by more than this many docs carries
@@ -439,6 +462,51 @@ object Dedup {
               |       CAST(n_hits AS BIGINT) AS n_hits,
               |       CASE WHEN n_hits >= 2 THEN 'dup_corpus' ELSE 'keep' END AS status
               |FROM hits ORDER BY doc_id""".stripMargin)),
+
+    /** REPEATED-SUBSTRING MASS — the signal behind substring-level dedup
+      * (repeated long runs across documents are memorization fuel even when
+      * whole docs are unique): per doc, the share of its 8-token shingle
+      * positions whose shingle occurs in ≥ 2 DISTINCT documents. A full
+      * near-dup scores 1000‰; templated boilerplate shows up as a partial
+      * mass long before any whole-doc detector fires. Shape at scale: one
+      * doc_id window builds the positional 8-gram stream (7 leads, one
+      * sort, each md5 computed once — hashes truncated to 16 hex chars to
+      * halve shuffle width), the cross-doc df aggregates BEFORE the probe
+      * join (≤ 1 match per posting against the distinct repeated-gram set —
+      * linear, no fan-out, no bucket cap, same discipline as
+      * dd_decontaminate), and the gram subtree feeds both sides of the
+      * probe so exchange reuse computes it once. The repeated-gram set is
+      * corpus-derived and corpus-sized, so it is deliberately NOT
+      * broadcast. */
+    QueryDef(
+      "dd_substring_mass",
+      (s, d) => {
+        val g = gram8Rows(s, d)
+        val rep = g.select(col("doc_id"), col("gh")).distinct()
+          .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("gh"), lit(1).as("rep"))
+        g.join(rep, Seq("gh"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"), count(col("rep")).as("n_repeated"))
+          .withColumn("mass_permille", expr("(1000 * n_repeated) div n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+             |           FROM documents),
+             |g AS (SELECT doc_id, i AS pos,
+             |             substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 16) AS gh
+             |      FROM t, unnest(range(0, len(tk) - 8 + 1)) AS u(i)
+             |      WHERE len(tk) >= 8),
+             |rep AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd
+             |                        FROM g GROUP BY gh) WHERE nd >= 2)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |       CAST(SUM(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_repeated,
+             |       (1000 * CAST(SUM(CASE WHEN r.gh IS NOT NULL THEN 1 ELSE 0 END)
+             |                    AS BIGINT)) // COUNT(*) AS mass_permille
+             |FROM g LEFT JOIN rep r USING (gh)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     /** Per-doc 32-bit SimHash code. */
     QueryDef(

@@ -138,6 +138,38 @@ object DocsStream {
     spark.table(queryName).orderBy("doc_id")
   }
 
+  /** Landing-zone QUALITY GATE rollup: the tx_quality verdict (same
+    * expression, stream and batch — graft.text.TextStats owns the
+    * stop-list) aggregated to a per-source pass-rate, the monitor a
+    * continuously-fed pipeline watches to catch a crawl source going bad
+    * BEFORE its documents hit training shards. Stream-legal: one narrow
+    * verdict projection, ONE aggregation over a handful of source keys —
+    * state is O(sources), not O(docs). */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        expr("size(split(trim(text), ' +'))").as("n_tokens"),
+        expr("size(filter(split(trim(text), ' +'), t -> t IN " +
+          graft.text.TextStats.stopList + "))").as("n_stop"))
+      .withColumn("quality_ok",
+        expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_permille", expr("(1000 * n_pass) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_pass"), col("pass_permille"))
+
+  /** [[qualityGate]] as an incremental stream over an arriving-files
+    * directory (complete-mode memory sink, AvailableNow). */
+  def runQualityGateStream(spark: SparkSession, docsDir: String,
+      queryName: String = "quality_gate"): DataFrame = {
+    val q = qualityGate(spark.readStream.schema(docsSchema).parquet(docsDir))
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("source")
+  }
+
   /** Registered batch variant (the st_* convention: batch semantics under
     * the oracle, stream ≡ batch pinned by DocsStreamSpec). */
   val defs: Seq[graft.QueryDef] = Seq(
@@ -158,5 +190,23 @@ object DocsStream {
               |       CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 'dup_corpus'
               |            ELSE 'keep' END AS status
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-              |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)))
+              |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    graft.QueryDef(
+      "st_quality_gate",
+      (s, d) => qualityGate(graft.Tables.documents(s, d)).orderBy("source"),
+      Some(s"""WITH v AS (
+              |  SELECT source,
+              |         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+              |         len(list_filter(string_split_regex(trim(text), ' +'),
+              |                         t -> t IN ${graft.text.TextStats.stopList})) AS n_stop
+              |  FROM documents)
+              |SELECT source, COUNT(*) AS n_docs,
+              |       CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 1000
+              |                      AND (100 * n_stop) // n_tokens < 40
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              |       (1000 * CAST(SUM(CASE WHEN n_tokens BETWEEN 10 AND 1000
+              |                              AND (100 * n_stop) // n_tokens < 40
+              |                             THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+              |         AS pass_permille
+              |FROM v GROUP BY source ORDER BY source""".stripMargin)))
 }

@@ -22,7 +22,9 @@ object TextStats {
     * estimate): split on runs of spaces after trim. */
   private val toks = "split(trim(text), ' +')"
 
-  private val stopList = "('the', 'a', 'of', 'and', 'to')"
+  /** Shared with graft.streaming.DocsStream's landing-zone quality gate —
+    * the gate's verdict must be the same expression batch and stream. */
+  private[graft] val stopList = "('the', 'a', 'of', 'and', 'to')"
 
   val defs: Seq[QueryDef] = Seq(
 

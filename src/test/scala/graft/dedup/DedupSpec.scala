@@ -126,6 +126,20 @@ class DedupSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("dd_substring_mass: winnow-pair docs carry repeated mass; bounds hold") {
+    val mass = run("dd_substring_mass").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(mass.values.forall(m => m >= 0 && m <= 1000))
+    assert(mass.values.exists(_ > 0), "fixture plants near-dups — some doc must carry mass")
+    // any pair sharing >= 2 winnowed fingerprints shares a run of >= 8
+    // tokens, i.e. at least one cross-doc repeated 8-gram on each side
+    val paired = run("dd_winnow_pairs").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val zeroMassPaired = paired.filter(d => mass.getOrElse(d, 0L) == 0L)
+    assert(zeroMassPaired.isEmpty,
+      s"winnow-paired docs with zero substring mass: $zeroMassPaired")
+  }
+
   test("dd_incremental: old corpus is read only through its fingerprint index") {
     // Reconstruct the registered query's result from (a) the persisted
     // index parquet and (b) a dataset dir containing ONLY the new batch —

@@ -92,4 +92,21 @@ class DocsStreamSpec extends AnyFunSuite {
       .filter(expr("doc_id % 5 = 0")).count()
     assert(batch.size.toLong == arrivals)
   }
+
+  test("streaming quality gate equals the registered batch variant") {
+    val land = java.nio.file.Files.createTempDirectory("docs_gate").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = DocsStream.runQualityGateStream(
+      spark, s"$land/arrivals", "quality_gate_spec").collect().toSeq
+    val batch = DocsStream.defs.find(_.name == "st_quality_gate").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // rates are permille and every source is covered
+    assert(batch.forall(r => r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+    val sources = graft.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(batch.size.toLong == sources)
+  }
 }
