@@ -172,6 +172,24 @@ object Similarity {
     sb.toString
   }
 
+  /** Exact brute-force cosine top-k for the fixed query set (vec_id < 8):
+    * queries broadcast over one corpus scan, self excluded, per-query
+    * window rank — the ground truth the ANN paths are evaluated against. */
+  private def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("va"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos6").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("cos6", expr(cosExpr))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
+  }
+
   /** IVF probe/search shape shared by `sim_ann_ivf` and the √N-scaled
     * variant: assign the corpus to trained cells, probe each query's
     * `nprobe` nearest cells (centroids broadcast, corpus never shuffled by
@@ -201,24 +219,31 @@ object Similarity {
   }
 
   /** Oracle for [[annIvfSearch]] over a given training chain + probe budget. */
-  private def duckAnnIvfSql(chain: String, nprobe: Int): String = {
+  /** Shared probe/candidate/ranked-result CTE text of the IVF oracle,
+    * ending in `ivfranked(q_id, cand_id, cos6, rank)` — consumed by both
+    * the search oracle and the recall-eval oracle. */
+  private def duckIvfCtes(nprobe: Int): String = {
     val pcos = duckCosOf("e.v", "c.cv")
-    s"""WITH $chain,
-       |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
+    s"""probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
        |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
        |  FROM e, c${Iters} c WHERE e.vec_id < 8) WHERE rn <= $nprobe),
        |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
-       |          FROM assign a JOIN e USING (vec_id))
-       |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
+       |          FROM assign a JOIN e USING (vec_id)),
+       |ivfranked AS (
        |  SELECT p.q_id, c.cand_id, ${duckCosOf("p.va", "c.vb")} AS cos6,
        |         row_number() OVER (PARTITION BY p.q_id
        |                            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
        |  FROM probes p JOIN cands c
-       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)""".stripMargin
   }
+
+  private def duckAnnIvfSql(chain: String, nprobe: Int): String =
+    s"""WITH $chain,
+       |${duckIvfCtes(nprobe)}
+       |SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank
+       |FROM ivfranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Random-hyperplane (sign-random-projection) LSH shape: RpBands bands of
     * RpBandBits sign bits — the TRAINING-FREE complement to the IVF path
@@ -313,20 +338,7 @@ object Similarity {
     /** Brute-force cosine top-5 for queries vec_id < 8 (self excluded). */
     QueryDef(
       "sim_topk_brute",
-      (s, d) => {
-        val e = vecs(s, d)
-        val q = e.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("v").as("va"))
-        val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos6").desc, col("cand_id").asc)
-        c.crossJoin(broadcast(q))
-          .filter(col("cand_id") =!= col("q_id"))
-          .withColumn("cos6", expr(cosExpr))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => bruteTopK(s, d, 5).orderBy("q_id", "rank"),
       Some(s"""SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
               |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
               |         row_number() OVER (PARTITION BY q.vec_id
@@ -403,6 +415,45 @@ object Similarity {
       Some(duckAnnIvfSql(
         duckKmeansChain("SELECT greatest(2, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM e"),
         SqrtNProbe))),
+
+    /** ANN RECALL@3 EVAL — index quality as an operator, not a one-off
+      * notebook: per query, how many of the exact brute-force top-3 the
+      * IVF search returned (1000‰ = perfect). Production runs this
+      * continuously on a query sample after every index rebuild — a recall
+      * regression is corpus drift or a bad training run, and it must
+      * surface BEFORE serving degrades. Cost is the brute pass on the
+      * SAMPLE only (queries broadcast over one corpus scan); the IVF side
+      * reuses the memoized trained index. The left join from the exact
+      * top-3 guarantees every query reports, hits or not. */
+    QueryDef(
+      "sim_ann_recall",
+      (s, d) => {
+        val ivf = annIvfSearch(s, d, K, NProbe)
+          .select(col("q_id"), col("cand_id")).withColumn("hit", lit(1))
+        bruteTopK(s, d, 3)
+          .select(col("q_id"), col("cand_id"))
+          .join(ivf, Seq("q_id", "cand_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .withColumn("recall_permille", expr("(1000 * n_hits) div 3"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${duckKmeansChain()},
+              |${duckIvfCtes(NProbe)},
+              |ivf AS (SELECT q_id, cand_id FROM ivfranked WHERE rank <= 3),
+              |brute AS (SELECT q_id, cand_id FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |         row_number() OVER (PARTITION BY q.vec_id
+              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+              |        FROM embeddings WHERE vec_id < 8) q,
+              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+              |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3)
+              |SELECT b.q_id, CAST(COUNT(i.cand_id) AS BIGINT) AS n_hits,
+              |       (1000 * CAST(COUNT(i.cand_id) AS BIGINT)) // 3 AS recall_permille
+              |FROM brute b LEFT JOIN ivf i
+              |  ON i.q_id = b.q_id AND i.cand_id = b.cand_id
+              |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)),
 
     /** EMBEDDING QUANTIZATION (asymmetric per-vector uint8) — the 4x
       * memory/IO compression step before an ANN index ships to serving:

@@ -132,4 +132,14 @@ class SimilaritySpec extends AnyFunSuite {
         s"label ${r.getInt(0)} rank-1 outlier is not the true minimum")
     }
   }
+
+  test("sim_ann_recall: every query reports, permille bounds hold, mean matches the recall gate") {
+    val rows = Similarity.defs.find(_.name == "sim_ann_recall").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 8, "one row per fixed query, hits or not")
+    assert(rows.forall { case (_, h, p) => h >= 0 && h <= 3 && p >= 0 && p <= 1000 })
+    // the aggregate must agree with the >= 0.9 gate the search spec enforces
+    val mean = rows.map(_._2).sum.toDouble / (3 * rows.length)
+    assert(mean >= 0.9, s"mean recall $mean below the ANN gate")
+  }
 }
