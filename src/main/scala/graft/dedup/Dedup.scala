@@ -567,20 +567,7 @@ object Dedup {
       * scaffolding keeps the shingle subtree to ONE computation. */
     QueryDef(
       "dd_clean_corpus",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            expr(s"size($toks)").as("n_tokens"),
-            expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
-            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
-          .filter(expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
-        val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val nearDupLosers = jaccardPairs(s, d, permille = 500)
-          .select(col("doc_b").as("doc_id")).distinct()
-        keepers.select(col("doc_id"))
-          .join(nearDupLosers, Seq("doc_id"), "left_anti")
-          .orderBy("doc_id")
-      },
+      (s, d) => cleanCorpusKeepers(s, d).orderBy("doc_id"),
       Some(s"""WITH q AS (
               |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
               |  FROM documents
@@ -594,6 +581,61 @@ object Dedup {
               |SELECT doc_id FROM keepers
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
               |ORDER BY doc_id""".stripMargin)),
+
+    /** TRAINING-SHARD MANIFEST — the full corpus-to-shards pipeline as ONE
+      * declarative plan: clean (quality gate → exact-dedup canonical →
+      * near-dup drop, the dd_clean_corpus stages) → deterministic md5
+      * train/val/test split (the an_train_split recipe) → per (split,
+      * source) packing accounting at the tx_pack_sequences window size.
+      * This is the nightly job's output contract: how many docs, tokens,
+      * and 256-token packed sequences each shard cell ships. Composing
+      * verified operators keeps every stage's scale shape (the jaccard
+      * subtree still computes once; the split adds NO shuffle — it rides
+      * the final (split, source) aggregation); n_sequences is the
+      * concat-and-cut ceil-div on the aggregated token total, exact
+      * integer arithmetic in both engines. */
+    QueryDef(
+      "dd_shard_manifest",
+      (s, d) => {
+        val kept = cleanCorpusKeepers(s, d)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), expr(s"size($toks)").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left_semi")
+          .withColumn("bucket",
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+          .withColumn("split",
+            expr("CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .withColumn("n_sequences", expr("(n_tokens + 255) div 256"))
+          .orderBy("split", "source")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+              |  FROM documents
+              |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
+              |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
+              |                               t -> t IN ('the', 'a', 'of', 'and', 'to'))))
+              |        // len(string_split_regex(trim(text), ' +')) < 40),
+              |keepers AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp),
+              |${duckJaccard(500)},
+              |losers AS (SELECT DISTINCT doc_b AS doc_id FROM jac),
+              |kept AS (SELECT doc_id FROM keepers
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+              |rows_ AS (
+              |  SELECT d.source,
+              |         len(string_split_regex(trim(d.text), ' +')) AS n_tokens,
+              |         CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              |                        AS BIGINT) % 100 < 80 THEN 'train'
+              |              WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+              |                        AS BIGINT) % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS split
+              |  FROM documents d JOIN kept k USING (doc_id))
+              |SELECT split, source, COUNT(*) AS n_docs,
+              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |       (CAST(SUM(n_tokens) AS BIGINT) + 255) // 256 AS n_sequences
+              |FROM rows_ GROUP BY split, source ORDER BY split, source""".stripMargin)),
 
     /** Near-dup cluster assignment — [[connectedComponents]] over the
       * ≥0.5-Jaccard pair graph, the transitive step a production dedup
@@ -759,6 +801,24 @@ object Dedup {
              |       CAST(0 AS BIGINT) AS n_false_neg
              |FROM probed GROUP BY source ORDER BY source""".stripMargin)),
   )
+
+  /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup
+    * canonical (min doc_id per fingerprint) → near-dup loser drop at
+    * ≥ 0.5 Jaccard. Shared by dd_clean_corpus and the dd_shard_manifest
+    * composite so both state the same three-stage plan. */
+  private def cleanCorpusKeepers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
+        md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+      .filter(expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+    val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val nearDupLosers = jaccardPairs(s, d, permille = 500)
+      .select(col("doc_b").as("doc_id")).distinct()
+    keepers.select(col("doc_id"))
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
 
   /** Screen a batch of (doc_id, fp) fingerprint postings against a
     * persisted DISTINCT-fp index: per doc, how many of its fingerprints the

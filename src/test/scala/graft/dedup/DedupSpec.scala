@@ -126,6 +126,18 @@ class DedupSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("dd_shard_manifest: accounts for exactly the cleaned corpus, exact packing arithmetic") {
+    val manifest = run("dd_shard_manifest").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val kept = run("dd_clean_corpus").count()
+    assert(manifest.map(_._3).sum == kept,
+      "manifest doc counts must sum to the dd_clean_corpus keep-set")
+    assert(manifest.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    manifest.foreach { case (_, _, _, toks, seqs) =>
+      assert(seqs == (toks + 255) / 256, "n_sequences must be the 256-token ceil-div")
+    }
+  }
+
   test("dd_substring_mass: winnow-pair docs carry repeated mass; bounds hold") {
     val mass = run("dd_substring_mass").collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
