@@ -582,6 +582,36 @@ object Dedup {
               |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
               |ORDER BY doc_id""".stripMargin)),
 
+    /** CROSS-SOURCE DUPLICATION MATRIX — which sources duplicate each
+      * other: the ≥ 0.5-Jaccard near-dup pairs rolled up to unordered
+      * (source, source) cells. This is the data-sourcing report behind
+      * "drop crawl X, it's 80% a copy of crawl Y" decisions. The pair list
+      * is orders of magnitude smaller than the corpus, so the two
+      * source-lookup joins shuffle pair-sized data against the (doc_id,
+      * source) projection; least/greatest canonicalizes the cell before the
+      * final handful-of-keys aggregation. */
+    QueryDef(
+      "dd_dup_matrix",
+      (s, d) => {
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        jaccardPairs(s, d, permille = 500)
+          .select(col("doc_a"), col("doc_b"))
+          .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+          .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some(s"""WITH ${duckJaccard(500)}
+              |SELECT least(a.source, b.source) AS src_lo,
+              |       greatest(a.source, b.source) AS src_hi,
+              |       COUNT(*) AS n_pairs
+              |FROM jac j JOIN documents a ON j.doc_a = a.doc_id
+              |           JOIN documents b ON j.doc_b = b.doc_id
+              |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin)),
+
     /** TRAINING-SHARD MANIFEST — the full corpus-to-shards pipeline as ONE
       * declarative plan: clean (quality gate → exact-dedup canonical →
       * near-dup drop, the dd_clean_corpus stages) → deterministic md5

@@ -572,6 +572,38 @@ object Analytics {
              |      FROM documents)
              |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin)),
 
+    /** PER-KEY SKEW REPORT — the diagnostic a 100 TB operator runs before
+      * choosing a join/aggregation strategy: the top-5 heaviest keys with
+      * their row share, next to the global key count and total. Scale
+      * shape: one partially-aggregated shuffle builds the per-key counts,
+      * the top-5 comes from a distributed TakeOrdered (never a global
+      * window over all keys), and the 1-row totals frame rides along as a
+      * broadcast scalar. Integer share arithmetic only. */
+    QueryDef(
+      "an_skew_report",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+        val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_rows").desc, col("user_id").asc)
+        counts.orderBy(col("n_rows").desc, col("user_id").asc).limit(5)
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share_permille", expr("(1000 * n_rows) div n_total"))
+          .select(col("rank"), col("user_id"), col("n_rows"),
+            col("share_permille"), col("n_keys"), col("n_total"))
+          .orderBy("rank")
+      },
+      Some("""WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1),
+             |t AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS n_total FROM c),
+             |top AS (SELECT user_id, n_rows,
+             |          row_number() OVER (ORDER BY n_rows DESC, user_id ASC) AS rank
+             |        FROM c)
+             |SELECT CAST(rank AS INTEGER) AS rank, user_id, n_rows,
+             |       (1000 * n_rows) // n_total AS share_permille, n_keys, n_total
+             |FROM top, t WHERE rank <= 5 ORDER BY rank""".stripMargin)),
+
     /** Equi-width HISTOGRAM of document length — the stats-collection pass
       * behind length-based quality filters and planner NDV/skew estimates.
       * Two-pass shape: pass 1 computes the global max (one scalar, the

@@ -126,6 +126,18 @@ class DedupSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("dd_dup_matrix: cells sum to the jaccard pair count, canonical cell order") {
+    val matrix = run("dd_dup_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // dd_ngram_jaccard reports at >= 200 permille; the matrix rolls up the
+    // >= 500 subset, so filter the reported pairs to the matrix threshold
+    val pairs = run("dd_ngram_jaccard")
+      .filter(col("jaccard_permille") >= 500).count()
+    assert(matrix.map(_._3).sum == pairs,
+      "matrix cells must account for every >= 0.5-jaccard pair exactly once")
+    assert(matrix.forall { case (lo, hi, _) => lo <= hi }, "cells must be canonical")
+  }
+
   test("dd_shard_manifest: accounts for exactly the cleaned corpus, exact packing arithmetic") {
     val manifest = run("dd_shard_manifest").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))

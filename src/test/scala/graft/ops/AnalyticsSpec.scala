@@ -61,6 +61,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("an_skew_report: top-5 via distributed TakeOrdered, shares consistent") {
+    val sf = TestSpark.sf
+    val q = Analytics.defs.find(_.name == "an_skew_report").get
+    val df = q.fn(spark, sf)
+    // the top-k must be a TakeOrdered, not a global single-partition window
+    // ranking every key
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // descending by weight, and each share is n_rows/n_total in permille
+    val weights = rows.map(_.getLong(2))
+    assert(weights.sameElements(weights.sortBy(-_)))
+    rows.foreach(r => assert(r.getLong(3) == 1000 * r.getLong(2) / r.getLong(5)))
+  }
+
   test("an_balanced_sample: one giant stratum — global window input stays O(k·partitions)") {
     import spark.implicits._
     // 50k-row single-language stratum spread over 8 partitions: the naive
