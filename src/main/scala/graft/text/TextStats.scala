@@ -274,6 +274,48 @@ object TextStats {
              |FROM tk JOIN freq USING (tok), tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    /** BIGRAM-LM familiarity — the unigram score's conditional upgrade: per
+      * bigram position, (1e6 × count(w0 w1)) div count(w0-as-bigram-head),
+      * summed per doc. A doc of common words in UNCOMMON order now scores
+      * low where tx_unigram_lm cannot tell — the signal real LM-based
+      * quality filters add with context length. Integer arithmetic only
+      * (same 1e6 micro-unit discipline and BIGINT headroom analysis as
+      * tx_unigram_lm). Scale shape: ONE bigram stream (posexplode + lead
+      * over the doc_id window) feeds both count tables; bigram and head
+      * counts are partially-aggregated shuffles on their keys; the two
+      * scoring joins key on (w0, w1) and w0 — vocab tables are
+      * corpus-derived and deliberately NOT broadcast; one doc_id shuffle
+      * re-aggregates. Docs under 2 tokens have no bigram and are absent in
+      * both engines. */
+    QueryDef(
+      "tx_bigram_lm",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(w))
+          .filter(col("w1").isNotNull)
+          .select(col("doc_id"), col("w0"), col("w1"))
+        val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy(col("w0")).agg(count(lit(1)).as("c1"))
+        bg.join(c2, Seq("w0", "w1")).join(c1, Seq("w0"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(expr("(1000000 * c2) div c1")).as("familiarity_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, i AS pos, t[i+1] AS w0, t[i+2] AS w1
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |        FROM documents), unnest(range(0, len(t) - 1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |c2 AS (SELECT w0, w1, COUNT(*) AS c2 FROM tk GROUP BY 1, 2),
+             |c1 AS (SELECT w0, COUNT(*) AS c1 FROM tk GROUP BY 1)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |       CAST(SUM((1000000 * c2.c2) // c1.c1) AS BIGINT) AS familiarity_micro
+             |FROM tk JOIN c2 USING (w0, w1) JOIN c1 USING (w0)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     /** Document fingerprint: md5 of the whitespace-normalized lowercase text
       * — the exact-dedup key (see graft.dedup.Dedup). */
     QueryDef(

@@ -151,4 +151,20 @@ class TextStatsSpec extends AnyFunSuite {
       assert(n == fps(id).size && sum == fps(id).sum)
     }
   }
+
+  test("tx_bigram_lm: positions sum to tokens minus docs; identical-token doc maxes out") {
+    val sf = graft.TestSpark.sf
+    val rows = TextStats.defs.find(_.name == "tx_bigram_lm").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc with >= 2 tokens reports, and bigram positions = tokens - 1
+    val expected = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(trim(text), ' +')) AS n")
+      .filter(col("n") >= 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.map(_._1).toSet == expected.keySet)
+    rows.foreach { case (id, nb, fam) =>
+      assert(nb == expected(id) - 1L)
+      // each position contributes at most 1e6 (c2 <= c1 by construction)
+      assert(fam >= 0 && fam <= 1000000L * nb)
+    }
+  }
 }
