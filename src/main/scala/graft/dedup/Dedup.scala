@@ -470,25 +470,25 @@ object Dedup {
       * near-dup scores 1000‰; templated boilerplate shows up as a partial
       * mass long before any whole-doc detector fires. Shape at scale: one
       * doc_id window builds the positional 8-gram stream (7 leads, one
-      * sort, each md5 computed once — hashes truncated to 16 hex chars to
-      * halve shuffle width), the cross-doc df aggregates BEFORE the probe
-      * join (≤ 1 match per posting against the distinct repeated-gram set —
-      * linear, no fan-out, no bucket cap, same discipline as
-      * dd_decontaminate), and the gram subtree feeds both sides of the
-      * probe so exchange reuse computes it once. The repeated-gram set is
-      * corpus-derived and corpus-sized, so it is deliberately NOT
-      * broadcast. */
+      * sort, each md5 computed exactly ONCE — hashes truncated to 16 hex
+      * chars to halve shuffle width), then a single (gh, doc_id) partial
+      * aggregation collapses positions to postings and EVERYTHING after
+      * runs on the postings frame: the cross-doc df is a gh-window count
+      * over it and the per-doc rollup a second aggregation — no probe join,
+      * no second pass over the gram stream (the naive index+probe form
+      * recomputed the md5 projection on the probe side of its reused
+      * exchange). The df side is corpus-derived and corpus-sized, so
+      * nothing here is broadcast. */
     QueryDef(
       "dd_substring_mass",
       (s, d) => {
-        val g = gram8Rows(s, d)
-        val rep = g.select(col("doc_id"), col("gh")).distinct()
-          .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2)
-          .select(col("gh"), lit(1).as("rep"))
-        g.join(rep, Seq("gh"), "left_outer")
+        import org.apache.spark.sql.expressions.Window
+        val gd = gram8Rows(s, d)
+          .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("npos"))
+        gd.withColumn("nd", count(lit(1)).over(Window.partitionBy(col("gh"))))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"), count(col("rep")).as("n_repeated"))
+          .agg(sum(col("npos")).as("n_grams"),
+            sum(when(col("nd") >= 2, col("npos")).otherwise(0L)).as("n_repeated"))
           .withColumn("mass_permille", expr("(1000 * n_repeated) div n_grams"))
           .orderBy("doc_id")
       },
