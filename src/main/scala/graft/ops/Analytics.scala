@@ -631,6 +631,94 @@ object Analytics {
              |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents, g
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    /** BATCH SESSIONIZATION — the offline twin of st_sessionize (streaming/
+      * EventsStream.scala): split each user's event stream into sessions at
+      * >30-minute gaps and emit per-session stats. The canonical gaps-and-
+      * islands shape: lag() marks session starts, a running sum over the
+      * SAME window numbers them (one doc_id-style shuffle on user_id, one
+      * sort, both windows fused), then a grouped aggregate. Tied timestamps
+      * are safe: equal-ms rows are indistinguishable in every selected
+      * column, so any tie order yields the same (user_id, session_seq)
+      * multiset. Scale shape: the window partitions by user_id — millions
+      * of small independent partitions, no global sort anywhere before the
+      * final presentation ORDER BY. */
+    QueryDef(
+      "an_sessionize",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ms"))
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000000").as("ms"))
+          .withColumn("new_sess",
+            when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
+              .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L)))
+          .withColumn("session_seq", sum(col("new_sess")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
+          .withColumn("dur_ms", col("end_ms") - col("start_ms"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+             |m AS (SELECT user_id, ms,
+             |        CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+             |               OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM e),
+             |s AS (SELECT user_id, ms,
+             |        CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+             |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |          AS session_seq
+             |      FROM m)
+             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |       MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+             |       MAX(ms) - MIN(ms) AS dur_ms
+             |FROM s GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin)),
+
+    /** SHARD DRIFT REPORT — per daily shard, the total-variation distance
+      * (in 1e-6 units) between the shard's event-type mix and the corpus
+      * mix. The monitoring pass a 100 TB ingest runs on every new partition:
+      * a drifting shard means upstream breakage or corpus rot, and it must
+      * surface before the shard is blessed into training. Exact integer
+      * shares on a FULL day×type grid (absent combinations count as zero —
+      * without the grid a missing type would silently drop its |0 − g|
+      * term). Scale shape: two partially-aggregated shuffles (day×type,
+      * type), the type table and 1-row total ride as broadcasts, and the
+      * grid is |days|·|types| rows — schema-sized, never data-sized. */
+    QueryDef(
+      "an_shard_drift",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(expr("(ts div 1000000) div 86400000").as("day"), col("event_type"))
+        val sh = e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("cnt"))
+        val tot = sh.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
+        val g = sh.groupBy(col("event_type")).agg(sum(col("cnt")).as("gcnt"))
+        val gt = g.agg(sum(col("gcnt")).as("gtot"))
+        tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
+          .join(sh, Seq("day", "event_type"), "left_outer")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .withColumn("diff_micro",
+            abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
+          .groupBy(col("day"))
+          .agg(sum(col("cnt")).as("n_events"), sum(col("diff_micro")).as("tv_micro"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events),
+             |sh AS (SELECT day, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+             |tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS tot FROM sh GROUP BY 1),
+             |g AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM sh GROUP BY 1),
+             |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS gtot FROM g)
+             |SELECT t.day,
+             |       CAST(SUM(COALESCE(s.cnt, 0)) AS BIGINT) AS n_events,
+             |       CAST(SUM(abs((1000000 * COALESCE(s.cnt, 0)) // t.tot
+             |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) AS tv_micro
+             |FROM tot t CROSS JOIN g CROSS JOIN gt
+             |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
+             |GROUP BY t.day ORDER BY t.day""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

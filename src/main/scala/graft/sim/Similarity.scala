@@ -626,5 +626,50 @@ object Similarity {
               |       CAST(SUM(xm * xm) AS BIGINT) AS sumsq_micro2,
               |       CAST(SUM(xm) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mean
               |FROM x GROUP BY jj ORDER BY j""".stripMargin)),
+
+    /** APPROXIMATE k-NN GRAPH over the whole corpus — the structure behind
+      * semantic-dedup clustering and graph-based ANN serving (every vector's
+      * top-3 same-cell neighbors by exact cosine). Blocking is the √N-sized
+      * IVF index: with K=⌊√N⌋ cells the within-cell pair mass is ~N²/K =
+      * N^1.5, i.e. ~√N candidates per vertex — sublinear per vertex and
+      * embarrassingly cell-parallel, vs the N² brute graph that is
+      * impossible at 100 TB (where this shape gets a cell-size cap, the
+      * MaxBucket discipline of graft.dedup, and multi-assign for recall at
+      * cell borders). One shuffle keyed on the cell id expands pairs; the
+      * per-src top-3 window ranks only same-cell candidates. The oracle
+      * replays the identical training run and blocking, so rows match
+      * exactly; isolated singleton cells yield no edges in both engines. */
+    QueryDef(
+      "sim_knn_graph",
+      (s, d) => {
+        val e = vecs(s, d).select(col("vec_id"), col("v"))
+        val k = sqrtK(corpusSize(s, d))
+        val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
+        val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
+        val av = e.join(asg, "vec_id")
+        val a = av.select(col("vec_id").as("src"), col("v").as("va"), col("cell"))
+        val b = av.select(col("vec_id").as("dst"), col("v").as("vb"), col("cell"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos6").desc, col("dst").asc)
+        a.join(b, "cell")
+          .filter(col("src") =!= col("dst"))
+          .withColumn("cos6", expr(cosExpr))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("src"), col("dst"), col("cos6"), col("rank"))
+          .orderBy("src", "rank")
+      },
+      Some(s"""WITH ${duckKmeansChain(
+               "SELECT greatest(2, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM e")},
+           |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
+           |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
+           |             ${duckCosOf("x.v", "y.v")} AS cos6
+           |      FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+           |r AS (SELECT src, dst, cos6,
+           |             row_number() OVER (PARTITION BY src
+           |                                ORDER BY cos6 DESC, dst ASC) AS rank
+           |      FROM p)
+           |SELECT src, dst, cos6, CAST(rank AS INTEGER) AS rank
+           |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin)),
   )
 }

@@ -586,6 +586,57 @@ object TextStats {
              |       CAST(list_max(fps) AS BIGINT) AS fp_max,
              |       CAST(list_sum(fps) AS BIGINT) AS fp_sum
              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    /** QUALITY BUCKETS — the CCNet head/middle/tail split: score every doc
+      * with the unigram-LM familiarity (same integer micro-unit scoring as
+      * [[tx_unigram_lm]]), derive cutoffs from the corpus (head ≥ mean,
+      * middle ≥ mean/2, else tail), and report each bucket's volume. This
+      * is the production shape — CCNet applies LM-perplexity CUTOFF
+      * CONSTANTS to bucket a corpus, it never globally ranks it — so there
+      * is NO global sort/ntile anywhere: the mean is a 1-row broadcast
+      * scalar, bucketing is a map-side CASE, and the final aggregate has 3
+      * keys. Integer div throughout; both engines agree bit-for-bit. */
+    QueryDef(
+      "tx_quality_buckets",
+      (s, d) => {
+        val tk = Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val tot = tk.agg(count(lit(1)).as("tot"))
+        val fam = tk.join(freq, "tok")
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(expr("(1000000 * cnt) div tot")).as("fam_micro"))
+        val cut = fam.agg(expr("sum(fam_micro) div count(1)").as("mean_micro"))
+        fam.crossJoin(broadcast(cut))
+          .withColumn("bucket", expr(
+            "CASE WHEN fam_micro >= mean_micro THEN 'head' " +
+              "WHEN fam_micro >= mean_micro div 2 THEN 'middle' " +
+              "ELSE 'tail' END"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            min(col("fam_micro")).as("fam_min"), max(col("fam_micro")).as("fam_max"))
+          .orderBy("bucket")
+      },
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+             |            FROM documents),
+             |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+             |tot AS (SELECT COUNT(*) AS tot FROM tk),
+             |fam AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             |               CAST(SUM((1000000 * cnt) // tot) AS BIGINT) AS fam_micro
+             |        FROM tk JOIN freq USING (tok), tot
+             |        GROUP BY doc_id),
+             |cut AS (SELECT CAST(SUM(fam_micro) // COUNT(*) AS BIGINT) AS mean_micro
+             |        FROM fam)
+             |SELECT CASE WHEN fam_micro >= mean_micro THEN 'head'
+             |            WHEN fam_micro >= mean_micro // 2 THEN 'middle'
+             |            ELSE 'tail' END AS bucket,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |       MIN(fam_micro) AS fam_min, MAX(fam_micro) AS fam_max
+             |FROM fam, cut
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
   )
 
   /** Winnowed fingerprints as DISTINCT (doc_id, n_grams, fp) rows — shared

@@ -103,4 +103,63 @@ class AnalyticsSpec extends AnyFunSuite {
     val tiny = Seq.tabulate(7)(i => ("yy", i.toLong)).toDF("lang", "doc_id")
     assert(Analytics.balancedSamplePhase1(tiny, 30).count() == 7)
   }
+
+  test("an_sessionize: crafted gaps split sessions at exactly >30 minutes") {
+    import spark.implicits._
+    // user 1: events at 0 ms, 60 s (same session), then 2000 s — the gap
+    // (1940 s) exceeds the 1800 s threshold, so a second session starts.
+    // user 2: a lone event. ts is epoch-NANOS in the fixture schema.
+    def ns(ms: Long) = ms * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("sess_events").toString
+    Seq(
+      (1L, ns(0L), 1L, "view", 0.0),
+      (2L, ns(60000L), 1L, "view", 0.0),
+      (3L, ns(2000000L), 1L, "click", 0.0),
+      (4L, ns(500L), 2L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.defs.find(_.name == "an_sessionize").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 60000L, 60000L),
+      (1L, 2L, 1L, 2000000L, 2000000L, 0L),
+      (2L, 1L, 1L, 500L, 500L, 0L)))
+  }
+
+  test("an_sessionize: sessions partition the event stream; inter-session gaps > 30 min") {
+    val sf = "/root/testdata/sf0.001"
+    val sess = Analytics.defs.find(_.name == "an_sessionize").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = graft.Tables.events(spark, sf).count()
+    assert(sess.map(_._3).sum == total, "every event lands in exactly one session")
+    sess.groupBy(_._1).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq,
+        "session_seq is dense from 1")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 - a._5 > 1800000L,
+            s"consecutive sessions must be > 30 min apart: $a $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("an_shard_drift: hand-computed total-variation on a two-day fixture") {
+    import spark.implicits._
+    // day 0: 3xA 1xB; day 1: 1xA 3xB. Global mix: 50/50. Per-day TV =
+    // |750000-500000| + |250000-500000| = 500000 micro. ts in epoch-nanos.
+    def ns(day: Long, i: Long) = (day * 86400000L + i) * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("drift_events").toString
+    val rows = Seq.tabulate(3)(i => (i.toLong, ns(0, i), 1L, "A", 0.0)) ++
+      Seq((3L, ns(0, 9), 1L, "B", 0.0), (4L, ns(1, 0), 1L, "A", 0.0)) ++
+      Seq.tabulate(3)(i => (5L + i, ns(1, i + 1), 1L, "B", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.defs.find(_.name == "an_shard_drift").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 4L, 500000L), (1L, 4L, 500000L)))
+  }
 }

@@ -142,4 +142,27 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = rows.map(_._2).sum.toDouble / (3 * rows.length)
     assert(mean >= 0.9, s"mean recall $mean below the ANN gate")
   }
+
+  test("sim_knn_graph: dense per-src ranks, descending cosine, bounded by brute force") {
+    val g = run("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).foreach { case (src, edges) =>
+      val ordered = edges.sortBy(_._4)
+      assert(ordered.map(_._4).toSeq == (1 to ordered.length).toSeq,
+        s"src $src: ranks must be dense from 1")
+      assert(ordered.length <= 3)
+      assert(ordered.map(_._3).toSeq == ordered.map(_._3).sortBy(-_).toSeq,
+        s"src $src: cosine must be non-increasing with rank")
+      assert(!edges.exists(e => e._2 == src), "self edges excluded")
+    }
+    // same-cell blocking can only MISS neighbors: the graph's best edge per
+    // src never beats the exact brute-force rank-1 for the shared query set
+    val brute = run("sim_topk_brute").filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    g.filter(e => e._4 == 1 && brute.contains(e._1)).foreach { e =>
+      assert(e._3 <= brute(e._1) + 1e-9,
+        s"src ${e._1}: graph rank-1 ${e._3} exceeds brute ${brute(e._1)}")
+    }
+  }
 }

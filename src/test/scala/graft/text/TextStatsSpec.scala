@@ -167,4 +167,20 @@ class TextStatsSpec extends AnyFunSuite {
       assert(fam >= 0 && fam <= 1000000L * nb)
     }
   }
+
+  test("tx_quality_buckets: buckets partition the corpus with ordered familiarity ranges") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.defs.find(_.name == "tx_quality_buckets").get
+      .fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet.subsetOf(Set("head", "middle", "tail")))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.values.map(_._1).sum == nDocs, "every doc lands in exactly one bucket")
+    // cutoff semantics: head floors above middle's ceiling, middle above tail's
+    for (hi <- rows.get("head"); mid <- rows.get("middle"))
+      assert(hi._3 > mid._4, "head fam_min must exceed middle fam_max")
+    for (mid <- rows.get("middle"); lo <- rows.get("tail"))
+      assert(mid._3 > lo._4, "middle fam_min must exceed tail fam_max")
+  }
 }
