@@ -830,6 +830,47 @@ object Dedup {
              |         AS n_false_pos,
              |       CAST(0 AS BIGINT) AS n_false_neg
              |FROM probed GROUP BY source ORDER BY source""".stripMargin)),
+
+    /** DUPLICATION RATE BY SOURCE — the provenance diagnostic behind source
+      * weighting decisions: per source, how many of its docs are exact
+      * duplicates of ANY doc in the corpus (same normalized fingerprint as
+      * [[dd_exact]] — the two share a partitioning at scale), and how many
+      * duplicate a doc from a DIFFERENT source. A source with high
+      * cross-source dup mass is re-crawling someone else's corpus and
+      * should be down-weighted, not deduped doc-by-doc. Scale shape: one
+      * fingerprint shuffle builds per-fp (copies, distinct sources), one
+      * join back on the same key, one partial-agg shuffle on source —
+      * no windows, no broadcasts of data-sized state. */
+    QueryDef(
+      "dd_source_dup_rate",
+      (s, d) => {
+        val doc = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        val grp = doc.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("source")).as("n_sources"))
+        doc.join(grp, "fp")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"),
+            sum(when(col("n_sources") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
+          .withColumn("dup_permille", expr("(1000 * n_dup) div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH doc AS (SELECT doc_id, source,
+             |               md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |             FROM documents),
+             |grp AS (SELECT fp, COUNT(*) AS n_copies,
+             |               COUNT(DISTINCT source) AS n_sources
+             |        FROM doc GROUP BY fp)
+             |SELECT source, COUNT(*) AS n_docs,
+             |       CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |       CAST(SUM(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_cross_dup,
+             |       (1000 * CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+             |         // COUNT(*) AS dup_permille
+             |FROM doc JOIN grp USING (fp)
+             |GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup

@@ -637,6 +637,39 @@ object TextStats {
              |       MIN(fam_micro) AS fam_min, MAX(fam_micro) AS fam_max
              |FROM fam, cut
              |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    /** VOCABULARY PRUNING STATS — the pre-pass of every tokenizer/LM vocab
+      * build: per language, how many token TYPES survive a min-count cutoff
+      * (here ≥5) and what share of the token MASS they cover. The coverage
+      * permille is the number that decides the cutoff — BPE training wants
+      * types small and coverage near 1000. Scale shape: two partially-
+      * aggregated shuffles, (lang, tok) then lang — map-side combine
+      * collapses each partition to its local vocab before either exchange;
+      * no joins, no windows, no broadcasts. Integer arithmetic only. */
+    QueryDef(
+      "tx_vocab_prune",
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("lang"), explode(expr(toks)).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+        tc.groupBy(col("lang"))
+          .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(when(col("cnt") >= 5, 1L).otherwise(0L)).as("n_types_kept"),
+            sum(when(col("cnt") >= 5, col("cnt")).otherwise(0L)).as("n_tokens_kept"))
+          .withColumn("coverage_permille", expr("(1000 * n_tokens_kept) div n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk AS (SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS tok
+             |            FROM documents),
+             |tc AS (SELECT lang, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2)
+             |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             |       COUNT(*) AS n_types,
+             |       CAST(SUM(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_kept,
+             |       CAST(SUM(CASE WHEN cnt >= 5 THEN cnt ELSE 0 END) AS BIGINT)
+             |         AS n_tokens_kept,
+             |       (1000 * CAST(SUM(CASE WHEN cnt >= 5 THEN cnt ELSE 0 END) AS BIGINT))
+             |         // CAST(SUM(cnt) AS BIGINT) AS coverage_permille
+             |FROM tc GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 
   /** Winnowed fingerprints as DISTINCT (doc_id, n_grams, fp) rows — shared

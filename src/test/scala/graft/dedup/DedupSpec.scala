@@ -185,4 +185,46 @@ class DedupSpec extends AnyFunSuite {
       .filter(expr("doc_id % 5 = 0 AND size(split(trim(text), ' +')) >= 8")).count()
     assert(registered.size.toLong == expected)
   }
+
+  test("dd_source_dup_rate: crafted cross-source and intra-source duplicates attribute correctly") {
+    val s = spark; import s.implicits._
+    // srcA: "x y" (duplicated by srcB), "u v" (duplicated INSIDE srcA), "u v", "solo a"
+    // srcB: "x y" (cross-source dup), "solo b"
+    val dir = java.nio.file.Files.createTempDirectory("srcdup_docs").toString
+    Seq(
+      (1L, "x y", "en", "srcA", 3L),
+      (2L, "u v", "en", "srcA", 3L),
+      (3L, "u v", "en", "srcA", 3L),
+      (4L, "solo a", "en", "srcA", 6L),
+      (5L, "x y", "en", "srcB", 3L),
+      (6L, "solo b", "en", "srcB", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.defs.find(_.name == "dd_source_dup_rate").get.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // srcA: 4 docs; dups: doc1 (pairs with 5), docs 2+3 (intra) -> n_dup=3;
+    // cross-source: only doc1's fp spans two sources -> n_cross_dup=1
+    assert(got("srcA") == (4L, 3L, 1L, 750L))
+    // srcB: 2 docs; doc5 dups doc1 (also cross) -> n_dup=1, n_cross_dup=1
+    assert(got("srcB") == (2L, 1L, 1L, 500L))
+  }
+
+  test("tx_vocab_prune-style invariants hold for dd fixture langs") {
+    // (vocab prune lives in graft.text but shares the fixture contract)
+    val rows = graft.text.TextStats.defs.find(_.name == "tx_vocab_prune").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nTok, nTyp, nTypKept, nTokKept, cov) =>
+      assert(nTypKept <= nTyp, s"$lang: kept types exceed types")
+      assert(nTokKept <= nTok, s"$lang: kept mass exceeds mass")
+      assert(cov == 1000L * nTokKept / nTok, s"$lang: coverage must be exact integer share")
+      assert(nTyp <= nTok, s"$lang: more types than tokens")
+    }
+    val totalToks = graft.Tables.documents(spark, sf)
+      .selectExpr("size(split(trim(text), ' +')) AS n").agg(sum(col("n"))).head.getLong(0)
+    assert(rows.map(_._2).sum == totalToks, "per-lang token mass must partition the corpus")
+  }
 }
