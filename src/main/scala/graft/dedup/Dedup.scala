@@ -871,6 +871,50 @@ object Dedup {
              |         // COUNT(*) AS dup_permille
              |FROM doc JOIN grp USING (fp)
              |GROUP BY source ORDER BY source""".stripMargin)),
+
+    /** CHUNK-LEVEL NEAR-DUP MASS over content-defined chunks — the
+      * edit-robust upgrade of [[dd_substring_mass]]: a doc that shares
+      * PARAGRAPHS with another (boilerplate, syndication, partial
+      * re-crawl) lights up by shared-chunk mass even when whole-doc
+      * fingerprints all differ, and CDC boundaries mean an insertion only
+      * perturbs the chunks it touches. Chunk identity is the additive
+      * fingerprint + gram count from graft.text.TextStats.cdcChunkRows;
+      * the index is ~1/16 the gram count (one entry per chunk, not per
+      * gram — the storage math that makes chunk indexes affordable at
+      * 100 TB). One chunk-key shuffle counts distinct docs per chunk, one
+      * join back on the same key, one doc rollup. */
+    QueryDef(
+      "dd_cdc_dedup",
+      (s, d) => {
+        val ch = graft.text.TextStats.cdcChunkRows(s, d)
+          .groupBy(col("doc_id"), col("chunk_seq"))
+          .agg(count(lit(1)).as("cg"), sum(col("ghash")).as("cfp"))
+        val idx = ch.groupBy(col("cfp"), col("cg"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        ch.join(idx, Seq("cfp", "cg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            sum(col("cg")).as("n_grams"),
+            sum(when(col("nd") >= 2, col("cg")).otherwise(0L)).as("shared_grams"))
+          .withColumn("shared_permille", expr("(1000 * shared_grams) div n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${graft.text.TextStats.duckCdcChain},
+             |ch AS (SELECT doc_id, chunk_seq, COUNT(*) AS cg,
+             |              CAST(SUM(ghash) AS BIGINT) AS cfp
+             |       FROM c GROUP BY doc_id, chunk_seq),
+             |idx AS (SELECT cfp, cg, COUNT(DISTINCT doc_id) AS nd
+             |        FROM ch GROUP BY cfp, cg)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |       CAST(SUM(cg) AS BIGINT) AS n_grams,
+             |       CAST(SUM(CASE WHEN nd >= 2 THEN cg ELSE 0 END) AS BIGINT)
+             |         AS shared_grams,
+             |       (1000 * CAST(SUM(CASE WHEN nd >= 2 THEN cg ELSE 0 END) AS BIGINT))
+             |         // CAST(SUM(cg) AS BIGINT) AS shared_permille
+             |FROM ch JOIN idx USING (cfp, cg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup

@@ -670,7 +670,75 @@ object TextStats {
              |       (1000 * CAST(SUM(CASE WHEN cnt >= 5 THEN cnt ELSE 0 END) AS BIGINT))
              |         // CAST(SUM(cnt) AS BIGINT) AS coverage_permille
              |FROM tc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    /** CONTENT-DEFINED CHUNKING (CDC) — chunk boundaries from the content
+      * itself (a 4-gram rolling hash hitting `% 16 == 0`), not fixed
+      * offsets: insert a sentence mid-doc and only the chunks AROUND the
+      * edit change identity, where [[tx_chunks]]' fixed windows all shift.
+      * That edit-stability is why storage dedup and near-dup corpus
+      * screening chunk this way. Emitted per chunk: gram count, additive
+      * fingerprint, position span. Same one-window discipline as
+      * winnowedFpRows — the lead() gram assembly and the boundary running
+      * sum share ONE (doc_id, pos) sort; the grouped rollup keys on
+      * (doc_id, chunk_seq) with map-side combine. */
+    QueryDef(
+      "tx_cdc_chunks",
+      (s, d) =>
+        cdcChunkRows(s, d)
+          .groupBy(col("doc_id"), col("chunk_seq"))
+          .agg(count(lit(1)).as("n_grams"), sum(col("ghash")).as("fp_sum"),
+            min(col("pos")).cast("long").as("pos_first"),
+            max(col("pos")).cast("long").as("pos_last"))
+          .orderBy("doc_id", "chunk_seq"),
+      Some(s"""WITH $duckCdcChain
+             |SELECT doc_id, chunk_seq, COUNT(*) AS n_grams,
+             |       CAST(SUM(ghash) AS BIGINT) AS fp_sum,
+             |       MIN(pos) AS pos_first, MAX(pos) AS pos_last
+             |FROM c GROUP BY doc_id, chunk_seq
+             |ORDER BY doc_id, chunk_seq""".stripMargin)),
   )
+
+  /** CDC gram stream: one row per 4-gram with its running chunk number.
+    * Boundaries are content-addressed (`ghash % 16 == 0` STARTS a new
+    * chunk), so the average chunk is ~16 grams and chunk identity survives
+    * edits outside the chunk. Shared by [[tx_cdc_chunks]] and
+    * graft.dedup's chunk-level dedup. The 3×lead gram assembly and the
+    * boundary cumsum ride ONE (doc_id, pos) window sort — the winnowing
+    * lesson (winnowedFpRows). */
+  def cdcChunkRows(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLead = Window.partitionBy("doc_id").orderBy("pos")
+    val wCum = wLead.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 4"))
+      .select(col("doc_id"), expr("CAST(size(tk) AS BIGINT) - 3").as("n_grams"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+      .withColumn("g4", concat_ws(" ", col("tok"),
+        lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
+      .filter(col("pos") <= col("n_grams") - 1)
+      .withColumn("ghash", expr("CAST(conv(substr(md5(g4), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("chunk_seq",
+        sum(when(col("ghash") % 16 === 0, 1L).otherwise(0L)).over(wCum))
+      .select(col("doc_id"), col("pos"), col("ghash"), col("chunk_seq"))
+  }
+
+  /** DuckDB CTE chain ending in `c(doc_id, pos, ghash, chunk_seq)` — the
+    * oracle replay of [[cdcChunkRows]], shared with the chunk-dedup oracle. */
+  lazy val duckCdcChain: String =
+    """t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+      |          FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+4], ' ')), 1, 12))
+      |             AS BIGINT) AS ghash
+      |      FROM t, unnest(range(0, len(tk) - 4 + 1)) AS u(i)
+      |      WHERE len(tk) >= 4),
+      |c AS (SELECT doc_id, pos, ghash,
+      |        CAST(SUM(CASE WHEN ghash % 16 = 0 THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_seq
+      |      FROM g)""".stripMargin
 
   /** Winnowed fingerprints as DISTINCT (doc_id, n_grams, fp) rows — shared
     * by [[tx_winnowing]]'s checksums and graft.dedup's winnowed candidate

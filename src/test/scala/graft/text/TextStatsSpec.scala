@@ -183,4 +183,50 @@ class TextStatsSpec extends AnyFunSuite {
     for (mid <- rows.get("middle"); lo <- rows.get("tail"))
       assert(mid._3 > lo._4, "middle fam_min must exceed tail fam_max")
   }
+
+  test("tx_cdc_chunks: chunks tile each doc's gram stream with no gaps") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.defs.find(_.name == "tx_cdc_chunks").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val grams = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(size(split(trim(text), ' +')) - 3 AS BIGINT) AS n")
+      .filter(col("n") >= 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSet == grams.keySet)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._3).sum == grams(id), s"doc $id: chunks must cover every gram")
+      assert(ordered.head._4 == 0L, s"doc $id: first chunk starts at gram 0")
+      assert(ordered.last._5 == grams(id) - 1, s"doc $id: last chunk ends at the last gram")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5 + 1,
+          s"doc $id: chunk ${b._2} must start right after chunk ${a._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("dd_cdc_dedup: chunk identity survives a mid-doc insertion (the CDC property)") {
+    val s = spark; import s.implicits._
+    // doc 2 = doc 1 with one token inserted at position 150: every fixed
+    // window after the edit would shift, but CDC chunks before the edit
+    // (and re-synchronized ones after) keep their identity.
+    // unique tokens: no gram recurs inside a doc, so only genuine
+    // re-synchronization (not periodicity) can make chunks match
+    val base = Seq.tabulate(240)(i => s"w$i")
+    val edited = (base.take(150) :+ "INSERTED") ++ base.drop(150)
+    val dir = java.nio.file.Files.createTempDirectory("cdc_docs").toString
+    Seq(
+      (1L, base.mkString(" "), "en", "srcA", 0L),
+      (2L, edited.mkString(" "), "en", "srcB", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.dedup.Dedup.defs.find(_.name == "dd_cdc_dedup").get.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    got.foreach { case (id, (nChunks, nShared, permille)) =>
+      assert(nShared >= 1, s"doc $id: at least one chunk must survive the edit")
+      assert(nShared < nChunks, s"doc $id: the edited chunk itself must differ")
+      assert(permille > 0 && permille < 1000, s"doc $id: shared mass strictly partial")
+    }
+  }
 }
