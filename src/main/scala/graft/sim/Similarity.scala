@@ -270,6 +270,150 @@ object Similarity {
     s"CASE WHEN substr(md5($cat), 1, 1) IN ('0','1','2','3','4','5','6','7') " +
       "THEN 1 ELSE -1 END"
 
+  /** PRODUCT QUANTIZATION (PQ) shape: the corpus is compressed to
+    * `PqM` codes per vector (one per `PqSub`-dim subspace, each from a
+    * `PqKs`-entry sub-codebook) — 8 bytes a vector here, vs 512 bytes of
+    * raw doubles. Queries score candidates from the codes alone (ADC:
+    * query-subvector · sub-centroid, summed over subspaces), which is how
+    * FAISS-style engines afford billion-vector serving: the raw corpus
+    * never pages in. Training is Lloyd's per subspace with ENGINE-EXACT
+    * integer arithmetic: subvectors quantized to micro-units once, L2
+    * distances and centroid means in BIGINT (`sum div n` — truncating
+    * division in BOTH engines), ties to the lowest code. At fixture scale
+    * PqKs=8 keeps the oracle replay small; at 100 TB the knobs become
+    * PqKs=256 (one byte per code) and the same plan trains per-shard. */
+  val PqM = 8
+  val PqSub: Int = Dim / PqM
+  val PqKs = 16
+
+  /** Subvector view of the corpus in exact integer micro-units. */
+  private def pqSubVecs(s: SparkSession, d: String, m: Int): DataFrame =
+    vecs(s, d).select(col("vec_id"), expr(
+      s"transform(slice(v, ${m * PqSub + 1}, $PqSub), " +
+        "x -> CAST(round(x * 1000000) AS BIGINT))").as("vm"))
+
+  private val pqDist2 =
+    "aggregate(zip_with(vm, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+
+  /** Nearest sub-centroid by integer L2; ties to the lowest code. */
+  private def pqNearest(e: DataFrame, cdf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cid").asc)
+    e.crossJoin(broadcast(cdf))
+      .withColumn("dist2", expr(pqDist2))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("code"), col("dist2"))
+  }
+
+  private def pqCentsDf(s: SparkSession, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cid", "cv")
+  }
+
+  private val pqTrained = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[Seq[(Int, Seq[Long])]]]
+
+  /** The trained PQ model (all M sub-codebooks), memoized per dataset dir
+    * with the same index-artifact discipline as [[trainKMeans]]. Driver
+    * state is M×PqKs×PqSub longs — model-sized, never data-sized. */
+  def trainPq(s: SparkSession, d: String): IndexedSeq[Seq[(Int, Seq[Long])]] =
+    pqTrained.getOrElseUpdate(d, (0 until PqM).map(m => trainPqSub(s, d, m)))
+
+  private def trainPqSub(s: SparkSession, d: String, m: Int): Seq[(Int, Seq[Long])] = {
+    val e = pqSubVecs(s, d, m)
+    var cents: Seq[(Int, Seq[Long])] = e.filter(col("vec_id") < PqKs).orderBy("vec_id")
+      .collect().toSeq.map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+    for (_ <- 0 until Iters) {
+      val asg = pqNearest(e, pqCentsDf(s, cents)).select(col("vec_id"), col("code"))
+      cents = asg.join(e, "vec_id")
+        .select(col("code"), posexplode(col("vm")).as(Seq("j", "x")))
+        .groupBy(col("code"), col("j"))
+        .agg(sum(col("x")).as("sm"), count(lit(1)).as("c"))
+        .groupBy(col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, sm div c AS comp))), " +
+          "p -> p.comp)").as("cv"))
+        .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Every vector's PQ code per subspace: (vec_id, m, code, dist2). */
+  def pqAssignAll(s: SparkSession, d: String): DataFrame = {
+    val model = trainPq(s, d)
+    (0 until PqM).map { m =>
+      pqNearest(pqSubVecs(s, d, m), pqCentsDf(s, model(m)))
+        .select(col("vec_id"), lit(m).as("m"), col("code"), col("dist2"))
+    }.reduce(_.union(_))
+  }
+
+  /** DuckDB chain for one PQ subspace (`e` must already exist): emits
+    * m{m}e (micro subvectors), m{m}c0..c{Iters} (training), m{m}asg
+    * (final code + distortion per vector). */
+  private def duckPqSubChain(m: Int): String = {
+    val lo = m * PqSub + 1
+    val hi = m * PqSub + PqSub
+    def dist(e: String, c: String) =
+      s"list_sum(list_transform(range(1, ${PqSub + 1}), " +
+        s"j -> ($e.vm[j] - $c.cv[j]) * ($e.vm[j] - $c.cv[j])))"
+    val sb = new StringBuilder
+    sb ++= s"m${m}e AS (SELECT vec_id, list_transform(v[$lo:$hi], " +
+      s"x -> CAST(round(x * 1000000) AS BIGINT)) AS vm FROM e),\n"
+    sb ++= s"m${m}c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, vm AS cv " +
+      s"FROM m${m}e WHERE vec_id < $PqKs),\n"
+    for (i <- 1 to Iters) {
+      sb ++= s"m${m}a$i AS (SELECT vec_id, cid FROM (\n"
+      sb ++= s"  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id\n"
+      sb ++= s"           ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn\n"
+      sb ++= s"  FROM m${m}e e, m${m}c${i - 1} c) WHERE rn = 1),\n"
+      sb ++= s"m${m}c$i AS (SELECT cid, list(comp ORDER BY jj) AS cv FROM (\n"
+      sb ++= s"  SELECT a.cid, jj, CAST(SUM(e.vm[jj]) AS BIGINT) // COUNT(*) AS comp\n"
+      sb ++= s"  FROM m${m}a$i a JOIN m${m}e e USING (vec_id), " +
+        s"(SELECT unnest(range(1, ${PqSub + 1})) AS jj)\n"
+      sb ++= s"  GROUP BY a.cid, jj)\nGROUP BY cid),\n"
+    }
+    sb ++= s"m${m}asg AS (SELECT vec_id, cid AS code, dist2 FROM (\n"
+    sb ++= s"  SELECT e.vec_id, c.cid, ${dist("e", "c")} AS dist2,\n"
+    sb ++= s"         row_number() OVER (PARTITION BY e.vec_id\n"
+    sb ++= s"           ORDER BY ${dist("e", "c")} ASC, c.cid ASC) AS rn\n"
+    sb ++= s"  FROM m${m}e e, m${m}c$Iters c) WHERE rn = 1)"
+    sb.toString
+  }
+
+  private def duckPqChains: String =
+    (0 until PqM).map(duckPqSubChain).mkString(",\n")
+
+  private def duckPqCodesSql: String = {
+    val union = (0 until PqM)
+      .map(m => s"SELECT vec_id, $m AS m, code, dist2 FROM m${m}asg")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$duckPqChains,
+       |u AS ($union)
+       |SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ' ') AS codes,
+       |       CAST(SUM(dist2) AS BIGINT) AS dist2_total
+       |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  private def duckPqTopkSql: String = {
+    val scoreSel = (0 until PqM).map { m =>
+      s"""SELECT q.vec_id AS q_id, a.vec_id AS cand_id,
+         |       list_sum(list_transform(range(1, ${PqSub + 1}), j -> q.vm[j] * c.cv[j])) AS sc
+         |FROM m${m}e q, m${m}asg a JOIN m${m}c$Iters c ON a.code = c.cid
+         |WHERE q.vec_id < 8""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$duckPqChains,
+       |sc AS ($scoreSel),
+       |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score
+       |        FROM sc GROUP BY q_id, cand_id),
+       |r AS (SELECT q_id, cand_id, score,
+       |             row_number() OVER (PARTITION BY q_id
+       |                                ORDER BY score DESC, cand_id ASC) AS rank
+       |      FROM tot WHERE cand_id <> q_id)
+       |SELECT q_id, cand_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Hyperplane-LSH near-dup candidates over the embeddings: each vector
@@ -671,5 +815,58 @@ object Similarity {
            |      FROM p)
            |SELECT src, dst, cos6, CAST(rank AS INTEGER) AS rank
            |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin)),
+
+    /** PQ CODEBOOK ENCODING — the index-build half of product quantization:
+      * every vector reduced to its M sub-codes (emitted as a space-joined
+      * string: the driver compare can't hash list columns) plus the total
+      * quantization distortion, the number PQ tuning watches. One narrow
+      * pass per subspace against its broadcast sub-codebook, union, one
+      * vec_id rollup. The oracle replays all M trainings from the same
+      * integer arithmetic. */
+    QueryDef(
+      "sim_pq_codes",
+      (s, d) => pqAssignAll(s, d)
+        .groupBy(col("vec_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(m, code))), " +
+          "p -> CAST(p.code AS STRING)), ' ')").as("codes"),
+          sum(col("dist2")).as("dist2_total"))
+        .orderBy("vec_id"),
+      Some(duckPqCodesSql)),
+
+    /** PQ TOP-K SERVING (ADC — asymmetric distance computation): queries
+      * stay exact while candidates are scored from their CODES alone
+      * (query-subvector · assigned sub-centroid, summed over subspaces, all
+      * BIGINT micro² — bit-identical cross-engine). This is the
+      * billion-vector serving shape: the scoring join touches the M×Ks
+      * codebook (broadcast) and the N×M code table — never the raw
+      * vectors. Recall vs exact brute force is asserted in SimilaritySpec;
+      * rank ties break to the lowest candidate id in both engines. */
+    QueryDef(
+      "sim_pq_topk",
+      (s, d) => {
+        val model = trainPq(s, d)
+        val scores = (0 until PqM).map { m =>
+          val q = pqSubVecs(s, d, m).filter(col("vec_id") < 8)
+            .select(col("vec_id").as("q_id"), col("vm").as("qv"))
+          val db = pqNearest(pqSubVecs(s, d, m), pqCentsDf(s, model(m)))
+            .select(col("vec_id").as("cand_id"), col("code"))
+            .join(broadcast(pqCentsDf(s, model(m)).withColumnRenamed("cid", "code")),
+              "code")
+          db.crossJoin(broadcast(q))
+            .withColumn("sc",
+              expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+            .select(col("q_id"), col("cand_id"), col("sc"))
+        }.reduce(_.union(_))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("cand_id").asc)
+        scores.groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("sc")).as("score"))
+          .filter(col("cand_id") =!= col("q_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(duckPqTopkSql)),
   )
 }

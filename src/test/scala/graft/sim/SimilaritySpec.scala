@@ -165,4 +165,43 @@ class SimilaritySpec extends AnyFunSuite {
         s"src ${e._1}: graph rank-1 ${e._3} exceeds brute ${brute(e._1)}")
     }
   }
+
+  test("sim_pq_codes: M codes per vector, codes within the codebook, zero-distortion centroids") {
+    val rows = run("sim_pq_codes").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong == n, "every vector gets a code word")
+    rows.foreach { case (id, codes, dist) =>
+      val cs = codes.split(" ").map(_.toInt)
+      assert(cs.length == Similarity.PqM, s"vec $id: one code per subspace")
+      assert(cs.forall(c => c >= 0 && c < Similarity.PqKs), s"vec $id: code outside codebook")
+      assert(dist >= 0, s"vec $id: distortion must be non-negative")
+    }
+  }
+
+  test("sim_pq_topk: PQ picks near-optimal neighbors (true-cosine quality ratio)") {
+    // Exact-hit recall@3 over 8 queries is 24 Bernoulli slots — far too
+    // noisy to gate codebook quality. The smooth metric: the TRUE cosine
+    // of what PQ picked vs the true cosine of the optimal (brute) picks.
+    val vecsById = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val pq = run("sim_pq_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val brute = run("sim_topk_brute").filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(pq.keySet == brute.keySet, "every query must report")
+    val ratios = brute.keys.toSeq.map { q =>
+      def meanCos(picks: Array[(Long, Long)]) =
+        picks.map(p => cos(vecsById(q), vecsById(p._2))).sum / picks.length
+      meanCos(pq(q)) / meanCos(brute(q))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean >= 0.7, s"PQ mean quality ratio $mean below floor (per-query: $ratios)")
+  }
 }
