@@ -337,13 +337,39 @@ object Similarity {
     cents
   }
 
-  /** Every vector's PQ code per subspace: (vec_id, m, code, dist2). */
+  /** All M subvectors of every vector in ONE narrow pass:
+    * (vec_id, m, vm) — the encode path must not scan the corpus once per
+    * subspace (measured 2.05 s → one-pass form; at 100 TB, M passes would
+    * be M full reads). */
+  private def pqSubVecsAll(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> transform(" +
+        s"slice(v, m * $PqSub + 1, $PqSub), " +
+        "x -> CAST(round(x * 1000000) AS BIGINT)))")).as(Seq("m", "vm")))
+
+  /** The full codebook as one broadcastable table: (m, cid, cv) — M×Ks
+    * rows. */
+  private def pqCodebookDf(s: SparkSession,
+      model: IndexedSeq[Seq[(Int, Seq[Long])]]): DataFrame = {
+    import s.implicits._
+    model.zipWithIndex
+      .flatMap { case (cents, m) => cents.map { case (cid, cv) => (m, cid, cv) } }
+      .toDF("m", "cid", "cv")
+  }
+
+  /** Every vector's PQ code per subspace: (vec_id, m, code, dist2). One
+    * corpus scan, one broadcast join on the subspace id, one window ranked
+    * within (vec_id, m). */
   def pqAssignAll(s: SparkSession, d: String): DataFrame = {
     val model = trainPq(s, d)
-    (0 until PqM).map { m =>
-      pqNearest(pqSubVecs(s, d, m), pqCentsDf(s, model(m)))
-        .select(col("vec_id"), lit(m).as("m"), col("code"), col("dist2"))
-    }.reduce(_.union(_))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist2").asc, col("cid").asc)
+    pqSubVecsAll(s, d)
+      .join(broadcast(pqCodebookDf(s, model)), "m")
+      .withColumn("dist2", expr(pqDist2))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"), col("dist2"))
   }
 
   /** DuckDB chain for one PQ subspace (`e` must already exist): emits
@@ -845,21 +871,18 @@ object Similarity {
       "sim_pq_topk",
       (s, d) => {
         val model = trainPq(s, d)
-        val scores = (0 until PqM).map { m =>
-          val q = pqSubVecs(s, d, m).filter(col("vec_id") < 8)
-            .select(col("vec_id").as("q_id"), col("vm").as("qv"))
-          val db = pqNearest(pqSubVecs(s, d, m), pqCentsDf(s, model(m)))
-            .select(col("vec_id").as("cand_id"), col("code"))
-            .join(broadcast(pqCentsDf(s, model(m)).withColumnRenamed("cid", "code")),
-              "code")
-          db.crossJoin(broadcast(q))
-            .withColumn("sc",
-              expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-            .select(col("q_id"), col("cand_id"), col("sc"))
-        }.reduce(_.union(_))
+        val q = pqSubVecsAll(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("m"), col("vm").as("qv"))
+        val db = pqAssignAll(s, d)
+          .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+          .join(broadcast(pqCodebookDf(s, model).withColumnRenamed("cid", "code")),
+            Seq("m", "code"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("score").desc, col("cand_id").asc)
-        scores.groupBy(col("q_id"), col("cand_id"))
+        db.join(broadcast(q), "m")
+          .withColumn("sc",
+            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .groupBy(col("q_id"), col("cand_id"))
           .agg(sum(col("sc")).as("score"))
           .filter(col("cand_id") =!= col("q_id"))
           .withColumn("rank", row_number().over(w))
