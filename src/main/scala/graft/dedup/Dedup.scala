@@ -77,7 +77,7 @@ object Dedup {
       .withColumn("w7", lead(col("w0"), 7).over(w))
       .filter(col("w7").isNotNull)
       .select(col("doc_id"), col("pos"),
-        expr("substr(md5(g8), 1, 16)").as("gh"))
+        expr("md5_prefix48(g8)").as("gh"))
   }
 
   /** Bucket-size cap for candidate generation. A stop-shingle or hot band
@@ -495,7 +495,8 @@ object Dedup {
       Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
              |           FROM documents),
              |g AS (SELECT doc_id, i AS pos,
-             |             substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 16) AS gh
+             |             CAST(('0x' || substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 12))
+             |                  AS BIGINT) AS gh
              |      FROM t, unnest(range(0, len(tk) - 8 + 1)) AS u(i)
              |      WHERE len(tk) >= 8),
              |rep AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS nd

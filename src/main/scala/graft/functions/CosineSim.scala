@@ -98,6 +98,8 @@ object GraftFunctions {
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rp_band_codes", exprs => RpBandCodes(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix48", exprs => Md5Prefix48(exprs.head), "built-in")
   }
 }
 
@@ -126,5 +128,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("rp_band_codes"),
       new ExpressionInfo(classOf[RpBandCodes].getName, "rp_band_codes"),
       (exprs: Seq[Expression]) => RpBandCodes(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix48"),
+      new ExpressionInfo(classOf[Md5Prefix48].getName, "md5_prefix48"),
+      (exprs: Seq[Expression]) => Md5Prefix48(exprs.head)))
   }
 }

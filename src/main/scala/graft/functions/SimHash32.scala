@@ -70,6 +70,21 @@ object SimHashImpl {
     out
   }
 
+  /** 48-bit hash = first 12 md5 hex chars (6 bytes big-endian) —
+    * bit-compatible with the SQL chain
+    * `CAST(conv(substr(md5(t),1,12),16,10) AS BIGINT)` and DuckDB's
+    * `CAST('0x'||substr(md5(t),1,12) AS BIGINT)`, but computed without
+    * materializing the 32-char hex string, the substring copy, or the
+    * base-16 re-parse — the gram-hash hot path of the winnowing/CDC
+    * fingerprint family runs this once per 4-gram. */
+  def prefix48(t: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(t.getBytes)
+    ((h(0) & 0xffL) << 40) | ((h(1) & 0xffL) << 32) | ((h(2) & 0xffL) << 24) |
+      ((h(3) & 0xffL) << 16) | ((h(4) & 0xffL) << 8) | (h(5) & 0xffL)
+  }
+
   /** 32-bit SimHash code. */
   def compute(tokens: ArrayData): Long = simhash(tokens, 32, tokenHash)
 
@@ -99,6 +114,28 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `md5_prefix48(string)`: the first 12 md5 hex chars as a BIGINT, as one
+  * codegen'd kernel. Semantically identical to
+  * `CAST(conv(substr(md5(s),1,12),16,10) AS BIGINT)` — the form every
+  * oracle still computes — but skips two string materializations and a
+  * base-16 parse per call; the winnowing / CDC-chunking gram streams call
+  * it once per 4-gram, which makes it their single hottest scalar. */
+case class Md5Prefix48(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "md5_prefix48"
+
+  override def nullSafeEval(s: Any): Any =
+    SimHashImpl.prefix48(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.prefix48($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -718,7 +718,7 @@ object TextStats {
       .withColumn("g4", concat_ws(" ", col("tok"),
         lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
       .filter(col("pos") <= col("n_grams") - 1)
-      .withColumn("ghash", expr("CAST(conv(substr(md5(g4), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("ghash", expr("md5_prefix48(g4)"))
       .withColumn("chunk_seq",
         sum(when(col("ghash") % 16 === 0, 1L).otherwise(0L)).over(wCum))
       .select(col("doc_id"), col("pos"), col("ghash"), col("chunk_seq"))
@@ -772,7 +772,7 @@ object TextStats {
       .withColumn("g4", concat_ws(" ", col("tok"),
         lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
       .filter(col("pos") <= col("n_grams") - 1)
-      .withColumn("ghash", expr("CAST(conv(substr(md5(g4), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("ghash", expr("md5_prefix48(g4)"))
       .withColumn("fp", min(col("ghash")).over(wMin))
       .filter(col("pos") <= col("n_grams") - 5)
       .select(col("doc_id"), col("n_grams"), col("fp"))

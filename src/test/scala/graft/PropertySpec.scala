@@ -66,6 +66,15 @@ object GraftProperties extends Properties("graft") {
       got == expect && (got >>> 60) == 0L
     }
 
+  property("md5_prefix48 equals the SQL conv(substr(md5)) chain it replaces") =
+    forAll(Gen.alphaNumStr) { s =>
+      val rows = Seq(s).toDF("t")
+        .selectExpr("md5_prefix48(t) AS native",
+          "CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT) AS chain")
+        .head
+      rows.getLong(0) == rows.getLong(1) && (rows.getLong(0) >>> 48) == 0L
+    }
+
   property("cosine_sim is symmetric and 1.0 on self (non-zero vectors)") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100))
         .suchThat(_.exists(_ != 0))) { xsInt =>
