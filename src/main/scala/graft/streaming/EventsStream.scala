@@ -328,5 +328,82 @@ object EventsStream extends Serializable {
              |WHERE event_type = 'purchase'
              |GROUP BY 1, 2
              |ORDER BY hour_ts, segment""".stripMargin)),
+
+    /** STREAMING DRIFT GATE — graft.ops.Analytics.an_shard_drift's monitor
+      * run AT THE LANDING ZONE: per arriving day-shard, the event-type-mix
+      * total-variation distance vs the corpus mix, plus the gate verdict
+      * (`drift_ok`: tv under 10%). The streamable half is the ONE
+      * aggregation Structured Streaming allows (day×type counts, complete
+      * mode); the drift scoring is a day-sized batch post-join over the
+      * result table — the split that makes the monitor incremental without
+      * chained streaming aggregations. Stream≡batch spec in
+      * EventsStreamSpec. */
+    QueryDef(
+      "st_drift",
+      (s, d) => driftFromCounts(dayTypeCounts(graft.Tables.events(s, d))),
+      Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events),
+             |sh AS (SELECT day, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+             |tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS tot FROM sh GROUP BY 1),
+             |g AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM sh GROUP BY 1),
+             |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS gtot FROM g)
+             |SELECT t.day,
+             |       CAST(SUM(COALESCE(s.cnt, 0)) AS BIGINT) AS n_events,
+             |       CAST(SUM(abs((1000000 * COALESCE(s.cnt, 0)) // t.tot
+             |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) AS tv_micro,
+             |       CAST(SUM(abs((1000000 * COALESCE(s.cnt, 0)) // t.tot
+             |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) < 100000
+             |         AS drift_ok
+             |FROM tot t CROSS JOIN g CROSS JOIN gt
+             |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
+             |GROUP BY t.day ORDER BY t.day""".stripMargin)),
   )
+
+  /** Per-(day, event_type) counts — the streamable half of the drift gate:
+    * a single aggregation, legal in complete mode. */
+  def dayTypeCounts(events: DataFrame): DataFrame =
+    events
+      .select(expr("(ts div 1000000) div 86400000").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("cnt"))
+
+  /** Drift scoring over a day×type count table (day-sized, not data-sized):
+    * full grid vs the corpus mix, exact integer shares, gate verdict at
+    * 10% total variation. */
+  def driftFromCounts(sh: DataFrame): DataFrame = {
+    val tot = sh.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
+    val g = sh.groupBy(col("event_type")).agg(sum(col("cnt")).as("gcnt"))
+    val gt = g.agg(sum(col("gcnt")).as("gtot"))
+    tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
+      .join(sh, Seq("day", "event_type"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("diff_micro",
+        abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
+      .groupBy(col("day"))
+      .agg(sum(col("cnt")).as("n_events"), sum(col("diff_micro")).as("tv_micro"))
+      .withColumn("drift_ok", col("tv_micro") < 100000L)
+      .orderBy("day")
+  }
+
+  /** The drift gate as an incremental stream: the day×type aggregation runs
+    * under `readStream` (complete mode, AvailableNow), the scoring join
+    * runs on the materialized result table. */
+  def runDriftStream(spark: SparkSession, eventsDir: String,
+      queryName: String = "drift_stream"): DataFrame = {
+    val counts = dayTypeCounts(spark.readStream.schema(eventsSchema).parquet(eventsDir))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // The scoring plan joins the counts table against three aggregates of
+    // itself; Spark's relation dedup does not handle a memory-sink view on
+    // both sides (INTERNAL_ERROR: conflicting references). The table is
+    // day×type sized by contract, so localizing it is O(days·types), not
+    // O(data) — and gives the self-joins fresh attribute ids.
+    val t = spark.table(queryName)
+    val localized = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    driftFromCounts(localized)
+  }
 }

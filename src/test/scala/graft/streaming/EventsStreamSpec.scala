@@ -281,4 +281,21 @@ class EventsStreamSpec extends AnyFunSuite {
     val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
     assert(removed >= 1, "user 1's state row was never removed after its last timeout")
   }
+
+  test("streaming drift gate equals the registered batch variant") {
+    val land = java.nio.file.Files.createTempDirectory("events_drift").toString
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = EventsStream.runDriftStream(
+      spark, s"$land/arrivals", "drift_spec").collect().toSeq
+    val batch = EventsStream.defs.find(_.name == "st_drift").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the verdict column is consistent with the score it gates
+    batch.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(2) < 100000L),
+        s"drift_ok must restate tv_micro < 100000: $r")
+    }
+  }
 }
