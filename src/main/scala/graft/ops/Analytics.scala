@@ -719,6 +719,59 @@ object Analytics {
              |FROM tot t CROSS JOIN g CROSS JOIN gt
              |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
              |GROUP BY t.day ORDER BY t.day""".stripMargin)),
+
+    /** CORPUS DATA CARD — the per-language datasheet a training org
+      * publishes with a corpus release: volume (docs, tokens, mean length),
+      * exact-duplicate mass (corpus-wide fingerprints, attributed per
+      * language), quality-gate pass counts (the tx_quality criteria), and
+      * each language's share of the corpus — ONE plan, so the numbers are
+      * mutually consistent by construction instead of stitched from
+      * separate runs. Shapes: one fingerprint shuffle + join back (the
+      * dd_exact key), narrow token/stopword arithmetic, one lang rollup,
+      * 1-row total as broadcast. Integer units throughout. */
+    QueryDef(
+      "an_data_card",
+      (s, d) => {
+        val tk = "split(trim(text), ' +')"
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          expr(s"size($tk)").as("ntok"),
+          expr(s"size(filter($tk, t -> t IN ${graft.text.TextStats.stopList}))").as("nstop"),
+          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        val dupfp = docs.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+        val tot = docs.agg(count(lit(1)).as("total_docs"))
+        docs.join(dupfp, "fp").crossJoin(broadcast(tot))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            sum(when(col("nfp") >= 2, 1L).otherwise(0L)).as("n_dup"),
+            sum(when(expr("ntok BETWEEN 10 AND 1000 AND (100 * nstop) div ntok < 40"),
+              1L).otherwise(0L)).as("n_quality_pass"),
+            max(col("total_docs")).as("total_docs"))
+          .withColumn("avg_tokens_micro", expr("(1000000 * n_tokens) div n_docs"))
+          .withColumn("docs_share_permille", expr("(1000 * n_docs) div total_docs"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_dup"),
+            col("n_quality_pass"), col("avg_tokens_micro"), col("docs_share_permille"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH docs AS (
+             |  SELECT doc_id, lang,
+             |         len(string_split_regex(trim(text), ' +')) AS ntok,
+             |         len(list_filter(string_split_regex(trim(text), ' +'),
+             |                         t -> t IN ${graft.text.TextStats.stopList})) AS nstop,
+             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |dupfp AS (SELECT fp, COUNT(*) AS nfp FROM docs GROUP BY fp),
+             |tot AS (SELECT COUNT(*) AS total_docs FROM docs)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             |       CAST(SUM(CASE WHEN nfp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |       CAST(SUM(CASE WHEN ntok BETWEEN 10 AND 1000
+             |                      AND (100 * nstop) // ntok < 40
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+             |       (1000000 * CAST(SUM(ntok) AS BIGINT)) // COUNT(*) AS avg_tokens_micro,
+             |       (1000 * COUNT(*)) // total_docs AS docs_share_permille
+             |FROM docs JOIN dupfp USING (fp), tot
+             |GROUP BY lang, total_docs ORDER BY lang""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

@@ -162,4 +162,24 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((0L, 4L, 500000L), (1L, 4L, 500000L)))
   }
+
+  test("an_data_card: numbers agree with the standalone operators they summarize") {
+    val sf = "/root/testdata/sf0.001"
+    val card = Analytics.defs.find(_.name == "an_data_card").get.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6))).toMap
+    val profile = graft.text.TextStats.defs.find(_.name == "tx_lang_profile").get
+      .fn(spark, sf).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card.keySet == profile.keySet, "same language partition as tx_lang_profile")
+    card.foreach { case (lang, (nDocs, nToks, nDup, nPass, share)) =>
+      assert(nDocs == profile(lang), s"$lang: doc count disagrees with tx_lang_profile")
+      assert(nDup <= nDocs && nPass <= nDocs && nToks >= nDocs)
+      assert(share == 1000L * nDocs / card.values.map(_._1).sum)
+    }
+    // total duplicate mass agrees with dd_exact's fingerprint groups
+    val dupFromExact = graft.dedup.Dedup.defs.find(_.name == "dd_exact").get
+      .fn(spark, sf).collect().map(r => r.getLong(1)).filter(_ >= 2L).sum
+    assert(card.values.map(_._3).sum == dupFromExact,
+      "per-language dup counts must sum to dd_exact's duplicate-group mass")
+  }
 }
