@@ -916,6 +916,88 @@ object Dedup {
              |         // CAST(SUM(cg) AS BIGINT) AS shared_permille
              |FROM ch JOIN idx USING (cfp, cg)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    /** MINHASH ESTIMATOR QUALITY — the index-tuning eval for the LSH
+      * family (the dd_* analog of sim_ann_recall): for every MinHash-LSH
+      * candidate pair, the signature's Jaccard ESTIMATE (matching
+      * components / 64) next to the EXACT shingle Jaccard, plus the
+      * per-pair error. Signature resolution and band layout are tuned on
+      * exactly this table — run it after every knob change, before the
+      * index is trusted at scale. Cost is pair-sized: signatures join the
+      * candidate pairs (never all pairs), and the exact side reuses the
+      * capped inverted-index intersection counts (a candidate with no
+      * shared shingle scores exact 0 — a band false positive, visible as
+      * est >> exact). */
+    QueryDef(
+      "dd_minhash_quality",
+      (s, d) => {
+        val sig = minhashSig(s, d)
+        val arr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
+        val sa = sig.select(col("doc_id").as("doc_a"), arr.as("sa"))
+        val sb = sig.select(col("doc_id").as("doc_b"), arr.as("sb"))
+        val est = minhashPairs(s, d).join(sa, "doc_a").join(sb, "doc_b")
+          .withColumn("nm", expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> CAST(x = y AS BIGINT)), " +
+              "0L, (acc, v) -> acc + v)"))
+          .select(col("doc_a"), col("doc_b"),
+            expr(s"(1000 * nm) div $NumHashes").as("est_permille"))
+        val jac = jaccardPairs(s, d, permille = 0)
+          .select(col("doc_a"), col("doc_b"),
+            col("jaccard_permille").as("exact_permille"))
+        est.join(jac, Seq("doc_a", "doc_b"), "left_outer")
+          .withColumn("exact_permille", coalesce(col("exact_permille"), lit(0L)))
+          .withColumn("err_permille", abs(col("est_permille") - col("exact_permille")))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i").mkString(",\n|          ")
+        val bks = (0 until NumBands).map { b =>
+          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+          s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))"
+        }.mkString(",\n|            ")
+        val nm = (0 until NumHashes)
+          .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+          .mkString(" +\n|             ")
+        s"""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
+           |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+           |shq AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+           |hs AS (SELECT doc_id, md5(sng) AS m FROM shq),
+           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
+           |       FROM hs),
+           |sig AS (SELECT doc_id,
+           |          $mins
+           |        FROM hh GROUP BY doc_id),
+           |bands AS (SELECT doc_id, unnest([
+           |            $bks]) AS bk FROM sig),
+           |keepb AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $MaxBucket),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+           |         FROM bands a JOIN keepb k ON a.bk = k.bk
+           |              JOIN bands c ON c.bk = a.bk AND a.doc_id < c.doc_id),
+           |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
+           |keeps AS (SELECT sng FROM shq GROUP BY sng HAVING COUNT(*) <= $MaxBucket),
+           |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
+           |          FROM shq a JOIN keeps k ON a.sng = k.sng
+           |               JOIN shq c ON a.sng = c.sng AND a.doc_id < c.doc_id
+           |          GROUP BY 1, 2),
+           |est AS (SELECT cand.doc_a, cand.doc_b,
+           |          ($nm) AS nm
+           |        FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+           |             JOIN sig sb ON sb.doc_id = cand.doc_b),
+           |fin AS (SELECT e.doc_a, e.doc_b,
+           |          (1000 * nm) // $NumHashes AS est_permille,
+           |          COALESCE((1000 * i) // (na.n + nb.n - i), 0) AS exact_permille
+           |        FROM est e
+           |        LEFT JOIN inter ON inter.doc_a = e.doc_a AND inter.doc_b = e.doc_b
+           |        JOIN n na ON na.doc_id = e.doc_a
+           |        JOIN n nb ON nb.doc_id = e.doc_b)
+           |SELECT doc_a, doc_b, CAST(est_permille AS BIGINT) AS est_permille,
+           |       CAST(exact_permille AS BIGINT) AS exact_permille,
+           |       CAST(abs(est_permille - exact_permille) AS BIGINT) AS err_permille
+           |FROM fin ORDER BY doc_a, doc_b""".stripMargin
+      }),
   )
 
   /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup

@@ -772,6 +772,44 @@ object Analytics {
              |       (1000 * COUNT(*)) // total_docs AS docs_share_permille
              |FROM docs JOIN dupfp USING (fp), tot
              |GROUP BY lang, total_docs ORDER BY lang""".stripMargin)),
+
+    /** VOLUME ANOMALY DAYS — flag days whose event count departs from the
+      * corpus mean by more than 2σ, with the inequality cleared of all
+      * division and square roots: |x−μ| > 2σ ⟺ (n·x − s)² > 4·(n·sq − s²)
+      * where s = Σx, sq = Σx². Every quantity is BIGINT, so the verdict is
+      * bit-identical in both engines — no float variance, no sqrt ulp.
+      * This is the day-shard volume gate next to an_shard_drift's MIX gate
+      * (a shard can hold its type mix while silently doubling or halving
+      * in volume). Shapes: one day rollup, a 1-row broadcast stats frame,
+      * a map-side CASE. */
+    QueryDef(
+      "an_volume_anomaly",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(expr("(ts div 1000000) div 86400000").as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+        val stats = daily.agg(count(lit(1)).as("n"),
+          sum(col("n_events")).as("s"),
+          sum(expr("n_events * n_events")).as("sq"))
+        daily.crossJoin(broadcast(stats))
+          .withColumn("dev2", expr("(n * n_events - s) * (n * n_events - s)"))
+          .withColumn("thresh2", expr("4 * (n * sq - s * s)"))
+          .withColumn("is_anomaly", col("dev2") > col("thresh2"))
+          .select(col("day"), col("n_events"), col("dev2"), col("thresh2"),
+            col("is_anomaly"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events
+             |               FROM events GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, CAST(SUM(n_events) AS BIGINT) AS s,
+             |              CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+             |       FROM daily)
+             |SELECT day, n_events,
+             |       (n * n_events - s) * (n * n_events - s) AS dev2,
+             |       4 * (n * sq - s * s) AS thresh2,
+             |       (n * n_events - s) * (n * n_events - s) > 4 * (n * sq - s * s)
+             |         AS is_anomaly
+             |FROM daily, st ORDER BY day""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

@@ -227,4 +227,17 @@ class DedupSpec extends AnyFunSuite {
       .selectExpr("size(split(trim(text), ' +')) AS n").agg(sum(col("n"))).head.getLong(0)
     assert(rows.map(_._2).sum == totalToks, "per-lang token mass must partition the corpus")
   }
+
+  test("dd_minhash_quality: every candidate clears the band floor; error restates est vs exact") {
+    val rows = Dedup.defs.find(_.name == "dd_minhash_quality").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "the fixture's planted near-dups must produce candidates")
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(a < b, "pairs are ordered")
+      assert(est >= 62,
+        s"($a,$b): a band collision pins >= 4 of 64 components equal -> est >= 62, got $est")
+      assert(est <= 1000 && exact >= 0 && exact <= 1000)
+      assert(err == math.abs(est - exact), s"($a,$b): err must restate |est - exact|")
+    }
+  }
 }

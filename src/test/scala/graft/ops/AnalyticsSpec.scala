@@ -182,4 +182,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(card.values.map(_._3).sum == dupFromExact,
       "per-language dup counts must sum to dd_exact's duplicate-group mass")
   }
+
+  test("an_volume_anomaly: a planted 10x day is flagged; uniform days are not") {
+    import spark.implicits._
+    // days 0..9 carry 10 events each, day 10 carries 100: mean 18.2,
+    // sigma 25.9 -> only day 10 exceeds the 2-sigma gate.
+    def ns(day: Long, i: Long) = (day * 86400000L + i) * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("anom_events").toString
+    val rows = (for (day <- 0L until 10L; i <- 0L until 10L)
+      yield (day * 100 + i, ns(day, i), 1L, "A", 0.0)) ++
+      (0L until 100L).map(i => (1000L + i, ns(10, i), 1L, "A", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.defs.find(_.name == "an_volume_anomaly").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.length == 11)
+    got.foreach { case (day, n, flag) =>
+      assert(flag == (day == 10L), s"day $day (n=$n): wrong verdict")
+      // the verdict restates the division-free inequality on its own columns
+    }
+  }
 }
