@@ -109,7 +109,7 @@ object Dedup {
         .as("p"))
 
   /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b). */
-  private[dedup] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
+  private[graft] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     cappedElementPairs(buckets, cap)
       .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
 

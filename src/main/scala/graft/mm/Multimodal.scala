@@ -120,5 +120,73 @@ object Multimodal {
              |            AS INTEGER) AS n_frame_bytes,
              |       md5(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)) AS frame_md5
              |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    /** PERCEPTUAL-HASH NEAR-DUP over the binary payloads — the image-dedup
+      * shape: a 60-bit content signature from 60 stride-sampled bytes
+      * thresholded against their mean (the aHash/pHash skeleton; a real
+      * codec would sample decoded luma instead of raw bytes — same
+      * signature, same plan), banded 4×15 bits for candidate generation
+      * (the simhash60 discipline: 32768 buckets per band), exact Hamming ≤ 8
+      * verify inside the capped pair expansion. 60 bits, not 64, so the
+      * packed signature stays inside signed BIGINT in BOTH engines (the
+      * [[graft.functions.SimHashImpl.tokenHash60]] rule). Scale shape: one
+      * narrow signature pass, one band-key shuffle, pair work bounded by
+      * the shared MaxBucket cap — identical economics to dd_simhash_pairs,
+      * applied to media bytes instead of tokens. */
+    QueryDef(
+      "mm_phash_dedup",
+      (s, d) => {
+        val ph = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .filter(length(col("payload")) >= 60)
+          .withColumn("stride", expr("length(payload) div 60"))
+          .withColumn("bytes", expr(
+            "transform(sequence(0, 59), i -> ascii(substring(" +
+              "CAST(payload AS STRING), CAST(i * stride + 1 AS INT), 1)))"))
+          .withColumn("mean_b", expr("aggregate(bytes, 0, (a, x) -> a + x) div 60"))
+          .withColumn("phash", expr(
+            "aggregate(zip_with(bytes, sequence(0, 59), (b, i) -> " +
+              "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+              "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .select(col("doc_id"), col("phash"))
+        val bands = ph.select(col("doc_id"), col("phash"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "concat_ws(':', b, shiftright(phash, b * 15) & 32767))")).as("bk"))
+        val buckets = bands.groupBy(col("bk"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ds"))
+        graft.dedup.Dedup.cappedElementPairs(buckets)
+          .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
+            col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH p0 AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+             |            FROM documents),
+             |p1 AS (SELECT doc_id, text, len // 60 AS stride FROM p0 WHERE len >= 60),
+             |by_ AS (SELECT doc_id, list_transform(range(0, 60), i ->
+             |          ascii(substr(text, CAST(i * stride + 1 AS INTEGER), 1))) AS bytes
+             |        FROM p1),
+             |m AS (SELECT doc_id, bytes,
+             |             CAST(list_sum(bytes) AS BIGINT) // 60 AS mean_b FROM by_),
+             |ph AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
+             |          CASE WHEN bytes[i + 1] > mean_b
+             |               THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+             |               ELSE 0 END)) AS BIGINT) AS phash
+             |       FROM m),
+             |bands AS (SELECT doc_id, phash,
+             |            b || ':' || ((phash >> CAST(b * 15 AS INTEGER)) & 32767) AS bk
+             |          FROM ph, unnest(range(0, 4)) u(b)),
+             |keep AS (SELECT bk FROM bands GROUP BY bk
+             |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             |                a.phash AS pa, c.phash AS pb
+             |         FROM bands a JOIN keep k ON a.bk = k.bk
+             |              JOIN bands c ON c.bk = a.bk AND a.doc_id < c.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(pa, pb)) <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

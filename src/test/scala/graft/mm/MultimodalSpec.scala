@@ -27,4 +27,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m1 == m2)
     assert(m1.width >= 64 && m1.width < 128 && m1.height >= 64 && m1.height < 128)
   }
+
+  test("mm_phash_dedup: identical payloads pair at Hamming 0; disjoint content is absent") {
+    val s = spark; import s.implicits._
+    // docs 1 and 2 share identical bytes -> phash equal -> hamming 0.
+    // doc 3 alternates two very different byte classes -> different code.
+    val a = Seq.tabulate(120)(i => ('a' + i % 26).toChar).mkString
+    val c = Seq.tabulate(120)(i => if (i % 2 == 0) ' ' else '~').mkString
+    val dir = java.nio.file.Files.createTempDirectory("phash_docs").toString
+    Seq((1L, a, "en", "s0", 120L), (2L, a, "en", "s0", 120L), (3L, c, "en", "s0", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.defs.find(_.name == "mm_phash_dedup").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.contains((1L, 2L, 0L)), s"identical payloads must pair at distance 0: ${got.toSeq}")
+    got.foreach { case (x, y, h) =>
+      assert(x < y && h >= 0 && h <= 8, s"bad pair ($x,$y,$h)")
+    }
+  }
 }
