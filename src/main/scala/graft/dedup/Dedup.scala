@@ -138,25 +138,17 @@ object Dedup {
     hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
-  /** [[minhashSig]] as a parquet artifact, built once per dataset dir
+  /** [[minhashSig]] as a parquet artifact, built once per corpus CONTENT
     * (the winnowFpIndexPath / k-means-model discipline: a signature table
     * is an INDEX, not per-query cost). Every consumer — band expansion,
     * and the quality eval's two signature joins — probes the stored table
     * instead of re-deriving 64 minhashes from the shingle stream; at scale
     * this is the difference between one signature build per corpus and one
-    * per query. */
-  private def minhashSigStored(s: SparkSession, d: String): DataFrame = {
-    val path = mhSigIdx.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_mh_sig_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      minhashSig(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
-  private val mhSigIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+    * per query. Keyed by [[graft.Artifacts]] content signature, so an
+    * in-place dataset rewrite forces a rebuild instead of serving stale
+    * signatures. */
+  private def minhashSigStored(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.indexParquet(s, "mh_sig", d, "documents")(minhashSig(s, d))
 
   /** MinHash-LSH candidate pairs from [[minhashSig]]: 16 bands × 4 rows,
     * capped band buckets, deduped across bands. */
@@ -306,24 +298,16 @@ object Dedup {
   }
 
   /** The near-dup pair graph (all co-shingle pairs with their exact
-    * Jaccard) as a parquet artifact, built once per dataset dir — the same
-    * index discipline as [[winnowFpIndexPath]] and [[minhashSigStored]].
-    * Six queries consume this graph at different thresholds (clean,
-    * cluster, matrix, manifest, eval, the ngram query itself); in
-    * production it is built per corpus snapshot and probed, not re-derived
-    * from the shingle stream per consumer. */
-  private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame = {
-    val path = jacIdx.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_jac_pairs_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      jaccardPairsUncached(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path).filter(col("jaccard_permille") >= permille)
-  }
-
-  private val jacIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+    * Jaccard) as a parquet artifact, built once per corpus CONTENT — the
+    * same index discipline as [[winnowFpIndexPath]] and
+    * [[minhashSigStored]]. Six queries consume this graph at different
+    * thresholds (clean, cluster, matrix, manifest, eval, the ngram query
+    * itself); in production it is built per corpus snapshot and probed,
+    * not re-derived from the shingle stream per consumer. */
+  private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame =
+    graft.Artifacts.indexParquet(s, "jac_pairs", d, "documents")(
+      jaccardPairsUncached(s, d))
+      .filter(col("jaccard_permille") >= permille)
 
   private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val buckets = shingleRows(s, d)
@@ -1079,21 +1063,14 @@ object Dedup {
   }
 
   /** Winnowed-fingerprint index of the already-ingested shard (doc_id
-    * % 5 ≠ 0) as a parquet artifact, built once per dataset dir (same
-    * TrieMap discipline as the k-means model: an index is an artifact, not
-    * per-query cost). Returns the path; [[incrementalNearDup]] consumers
-    * read the corpus only through this file. */
+    * % 5 ≠ 0) as a parquet artifact, built once per corpus CONTENT (the
+    * [[graft.Artifacts]] discipline: an index is an artifact of a corpus
+    * snapshot, not per-query cost). Returns the path;
+    * [[incrementalNearDup]] consumers read the corpus only through this
+    * file. */
   def winnowFpIndexPath(s: SparkSession, d: String): String =
-    winnowIdx.getOrElseUpdate(d, {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft_winnow_idx_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+    graft.Artifacts.indexParquetPath(s, "winnow_idx", d, "documents")(
       graft.text.TextStats.winnowedFpRows(s, d)
         .filter(expr("doc_id % 5 <> 0"))
-        .select(col("fp")).distinct()
-        .write.mode("overwrite").parquet(path)
-      path
-    })
-
-  private val winnowIdx = scala.collection.concurrent.TrieMap.empty[String, String]
+        .select(col("fp")).distinct())
 }

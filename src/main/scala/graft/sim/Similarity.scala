@@ -94,20 +94,25 @@ object Similarity {
     * both engines identically, since every step is deterministic. */
   def trainKMeans(s: SparkSession, d: String, k: Int = K, iters: Int = Iters)
       : Seq[(Int, Seq[Double])] =
-    trained.getOrElseUpdate((d, k, iters), trainKMeansUncached(s, d, k, iters))
+    graft.Artifacts.memo(trained,
+      s"${graft.Artifacts.contentKey(d, "embeddings")}|$k|$iters")(
+      trainKMeansUncached(s, d, k, iters))
 
-  /** Trained models are deterministic functions of (corpus dir, K, Iters),
-    * so the driver memoizes them like any ANN index artifact — repeated
-    * queries (assign / search / dedup) share one training run. */
+  /** Trained models are deterministic functions of (corpus CONTENT, K,
+    * Iters), so the driver memoizes them like any ANN index artifact —
+    * repeated queries (assign / search / dedup) share one training run,
+    * and an in-place corpus rewrite provably retrains instead of serving
+    * a stale model (the [[graft.Artifacts]] content-signature key). */
   private val trained =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Int, Seq[Double])]]
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
 
-  /** Corpus cardinality per dataset dir, memoized with the same discipline
-    * as [[trained]]: `sim_ann_ivf_sqrtn` sizes its index from N on every
-    * invocation, and an uncached count() would re-scan the corpus before
-    * the query even plans. */
+  /** Corpus cardinality per corpus content, memoized with the same
+    * discipline as [[trained]]: `sim_ann_ivf_sqrtn` sizes its index from N
+    * on every invocation, and an uncached count() would re-scan the corpus
+    * before the query even plans. */
   def corpusSize(s: SparkSession, d: String): Long =
-    corpusN.getOrElseUpdate(d, vecs(s, d).count())
+    graft.Artifacts.memo(corpusN, graft.Artifacts.contentKey(d, "embeddings"))(
+      vecs(s, d).count())
 
   private val corpusN = scala.collection.concurrent.TrieMap.empty[String, Long]
 
@@ -313,11 +318,12 @@ object Similarity {
   private val pqTrained = scala.collection.concurrent.TrieMap
     .empty[String, IndexedSeq[Seq[(Int, Seq[Long])]]]
 
-  /** The trained PQ model (all M sub-codebooks), memoized per dataset dir
-    * with the same index-artifact discipline as [[trainKMeans]]. Driver
-    * state is M×PqKs×PqSub longs — model-sized, never data-sized. */
+  /** The trained PQ model (all M sub-codebooks), memoized per corpus
+    * CONTENT with the same index-artifact discipline as [[trainKMeans]].
+    * Driver state is M×PqKs×PqSub longs — model-sized, never data-sized. */
   def trainPq(s: SparkSession, d: String): IndexedSeq[Seq[(Int, Seq[Long])]] =
-    pqTrained.getOrElseUpdate(d, (0 until PqM).map(m => trainPqSub(s, d, m)))
+    graft.Artifacts.memo(pqTrained, graft.Artifacts.contentKey(d, "embeddings"))(
+      (0 until PqM).map(m => trainPqSub(s, d, m)))
 
   private def trainPqSub(s: SparkSession, d: String, m: Int): Seq[(Int, Seq[Long])] = {
     val e = pqSubVecs(s, d, m)

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-10 stale-index guarantee: every persisted artifact and memoized
+  * model is keyed by dataset CONTENT, so rewriting a dataset dir in place
+  * provably forces a rebuild — a path-keyed cache (rounds 5–9) would serve
+  * the old artifact silently. */
+class ArtifactsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("indexParquetPath builds once per content and publishes atomically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art1").toString
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+    var builds = 0
+    def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
+    val p1 = Artifacts.indexParquetPath(spark, "spec_idx", dir, "documents")(build)
+    val p2 = Artifacts.indexParquetPath(spark, "spec_idx", dir, "documents")(build)
+    assert(p1 == p2)
+    assert(builds == 1)
+    // published via atomic rename, so _SUCCESS must be present at the final path
+    assert(new java.io.File(p1, "_SUCCESS").exists())
+    assert(spark.read.parquet(p1).count() == 2)
+  }
+
+  test("an in-place dataset rewrite forces a rebuild — stale reads impossible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art2").toString
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+    var builds = 0
+    def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
+    val p1 = Artifacts.indexParquetPath(spark, "spec_idx2", dir, "documents")(build)
+    assert(spark.read.parquet(p1).count() == 2)
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i")))
+    val p2 = Artifacts.indexParquetPath(spark, "spec_idx2", dir, "documents")(build)
+    assert(p1 != p2, "content signature must change when the dataset does")
+    assert(builds == 2)
+    assert(spark.read.parquet(p2).count() == 3)
+  }
+
+  test("memo keys (k-means / PQ / corpus-size discipline) track content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art3").toString
+    writeDocs(dir, Seq((1L, "a b c")))
+    val k1 = Artifacts.contentKey(dir, "documents")
+    assert(Artifacts.contentKey(dir, "documents") == k1) // stable while unchanged
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+    assert(Artifacts.contentKey(dir, "documents") != k1)
+  }
+
+  test("a consumer (winnow fp index) rebuilds over the rewritten corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art4").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve"
+    writeDocs(dir, Seq((1L, t1), (2L, t1)))
+    val fps1 = spark.read.parquet(graft.dedup.Dedup.winnowFpIndexPath(spark, dir))
+      .collect().map(_.getLong(0)).toSet
+    writeDocs(dir, Seq((1L, t2), (2L, t2)))
+    val fps2 = spark.read.parquet(graft.dedup.Dedup.winnowFpIndexPath(spark, dir))
+      .collect().map(_.getLong(0)).toSet
+    assert(fps1.nonEmpty && fps2.nonEmpty)
+    assert(fps1 != fps2, "index must reflect the rewritten corpus, not the old one")
+  }
+}
