@@ -148,14 +148,19 @@ object Bench {
       if (ok.nonEmpty && ok.min > 0.3 && ok.max / ok.min > 3.0)
         System.err.println(f"[bench] NOISY $name: rounds=${ok.map(t => f"$t%.2f").mkString(",")}")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds rounded to 3 decimals: BENCH_r09's line (136 queries
+    // at full Double width) outgrew the driver's log tail and parsed as null
+    // — the compact form keeps the one-line contract parseable at any suite
+    // size, and the total/failed fields lead so a truncated tail still
+    // carries the headline.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.values.filter(_ >= 0).sum
     // A regressed-to-throwing query must not read as an improved total:
     // surface an explicit failure count and a nonzero exit code.
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"sf":"$sfDir","queries":$qs}"""
     println(jsonLine)
     // The driver's log capture truncates long tails (BENCH_r04 lost the total
     // and 25 per-query entries); the file copy is the durable artifact. It
