@@ -49,6 +49,35 @@ object Multimodal {
     decoded
   }
 
+  /** STUB luma plane: `samples` BYTE-indexed stride samples of the payload
+    * (`payload(i*stride) & 0xff`, stride = bytes/samples). A real decoder
+    * would decode the media and downsample the luma channel to `samples`
+    * values; the stub keeps the exact signature and batch shape (one small
+    * int array per media item) while staying engine-reproducible: sampling
+    * is defined in the BYTE domain, so Spark (array indexing here) and the
+    * oracle (hex-string slicing of the blob) see identical values for ANY
+    * payload — multibyte text included, closing the round-9 char-vs-byte
+    * unit mismatch. Payloads shorter than `samples` bytes have no plane. */
+  def fakeLuma(payload: Array[Byte], samples: Int = 60): Option[Array[Int]] =
+    if (payload.length < samples) None
+    else {
+      val stride = payload.length / samples
+      Some(Array.tabulate(samples)(i => payload(i * stride) & 0xff))
+    }
+
+  /** Batched per-partition luma decode — the same seam as
+    * [[decodePartitions]] (one iterator pass, no shuffle, codec swap changes
+    * no plan shape), emitting (doc_id, luma array<int>). Undecodable rows
+    * (here: payloads under `samples` bytes) are dropped, the contract a
+    * real codec's failure path would follow. */
+  def decodeLumaPartitions(df: DataFrame, binCol: String, samples: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => fakeLuma(p, samples).map((id, _)) })
+      .toDF("doc_id", "luma")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Binary-column metadata without decoding: byte length + content hash.
@@ -122,30 +151,30 @@ object Multimodal {
              |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)),
 
     /** PERCEPTUAL-HASH NEAR-DUP over the binary payloads — the image-dedup
-      * shape: a 60-bit content signature from 60 stride-sampled bytes
-      * thresholded against their mean (the aHash/pHash skeleton; a real
-      * codec would sample decoded luma instead of raw bytes — same
-      * signature, same plan), banded 4×15 bits for candidate generation
+      * shape with BOTH mm halves composed: the batched per-partition decode
+      * seam ([[decodeLumaPartitions]]) produces the stub luma plane (60
+      * byte-indexed stride samples — a codec swap changes no plan shape),
+      * then the hash thresholds each sample against the plane mean (the
+      * aHash/pHash skeleton), banded 4×15 bits for candidate generation
       * (the simhash60 discipline: 32768 buckets per band), exact Hamming ≤ 8
       * verify inside the capped pair expansion. 60 bits, not 64, so the
       * packed signature stays inside signed BIGINT in BOTH engines (the
-      * [[graft.functions.SimHashImpl.tokenHash60]] rule). Scale shape: one
-      * narrow signature pass, one band-key shuffle, pair work bounded by
-      * the shared MaxBucket cap — identical economics to dd_simhash_pairs,
-      * applied to media bytes instead of tokens. */
+      * [[graft.functions.SimHashImpl.tokenHash60]] rule). Sampling is
+      * byte-unit on both sides (the oracle slices hex(payload)), so the
+      * engines agree on any payload, multibyte included. Scale shape: one
+      * narrow decode+signature pass, one band-key shuffle, pair work bounded
+      * by the shared MaxBucket cap — identical economics to
+      * dd_simhash_pairs, applied to media bytes instead of tokens. */
     QueryDef(
       "mm_phash_dedup",
       (s, d) => {
-        val ph = Tables.documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .filter(length(col("payload")) >= 60)
-          .withColumn("stride", expr("length(payload) div 60"))
-          .withColumn("bytes", expr(
-            "transform(sequence(0, 59), i -> ascii(substring(" +
-              "CAST(payload AS STRING), CAST(i * stride + 1 AS INT), 1)))"))
-          .withColumn("mean_b", expr("aggregate(bytes, 0, (a, x) -> a + x) div 60"))
+        val ph = decodeLumaPartitions(
+            Tables.documents(s, d)
+              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+            "payload")
+          .withColumn("mean_b", expr("aggregate(luma, 0, (a, x) -> a + x) div 60"))
           .withColumn("phash", expr(
-            "aggregate(zip_with(bytes, sequence(0, 59), (b, i) -> " +
+            "aggregate(zip_with(luma, sequence(0, 59), (b, i) -> " +
               "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
               "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
           .select(col("doc_id"), col("phash"))
@@ -163,11 +192,15 @@ object Multimodal {
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH p0 AS (SELECT doc_id, text, octet_length(encode(text)) AS len
+      Some(s"""WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                   octet_length(encode(text)) AS len
              |            FROM documents),
-             |p1 AS (SELECT doc_id, text, len // 60 AS stride FROM p0 WHERE len >= 60),
+             |p1 AS (SELECT doc_id, hx, len // 60 AS stride FROM p0 WHERE len >= 60),
+             |-- byte i*stride of the payload = 2 hex chars at 2*i*stride+1:
+             |-- byte-unit sampling, matching the Spark decoder's array index
              |by_ AS (SELECT doc_id, list_transform(range(0, 60), i ->
-             |          ascii(substr(text, CAST(i * stride + 1 AS INTEGER), 1))) AS bytes
+             |          CAST(('0x' || substr(hx, CAST(2 * i * stride + 1 AS INTEGER), 2))
+             |               AS BIGINT)) AS bytes
              |        FROM p1),
              |m AS (SELECT doc_id, bytes,
              |             CAST(list_sum(bytes) AS BIGINT) // 60 AS mean_b FROM by_),

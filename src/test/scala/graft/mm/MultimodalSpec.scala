@@ -28,6 +28,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m1.width >= 64 && m1.width < 128 && m1.height >= 64 && m1.height < 128)
   }
 
+  test("fakeLuma samples in BYTE units (multibyte payloads included)") {
+    // "ë" is 0xC3 0xAB: a char-indexed sampler would see codepoints, a
+    // byte-indexed one sees the utf8 bytes. 60 bytes exactly -> stride 1 ->
+    // luma = the raw byte sequence.
+    val p = ("ë" * 30).getBytes("UTF-8") // 60 bytes
+    val luma = Multimodal.fakeLuma(p).get
+    assert(luma.length == 60)
+    assert(luma.toSeq == Seq.tabulate(60)(i => if (i % 2 == 0) 0xC3 else 0xAB))
+    assert(Multimodal.fakeLuma(p.take(59)).isEmpty, "under 60 bytes: no plane")
+  }
+
+  test("mm_phash_dedup: decode-seam signatures equal the pure-expression byte path, pairs included") {
+    val s = spark; import s.implicits._
+    // Near-identical multibyte docs (one trailing char differs) plus one
+    // disjoint doc: byte-unit sampling must agree between the batched
+    // decode seam and a pure-SQL byte formulation, so the banded pair sets
+    // are equal by construction; the expected near-dup pair must survive.
+    val base = "ünïcode payload mit ümlauten ëxtra länge füllung padding xyz"
+    val docs = Seq(
+      (1L, base + " ende eins"), (2L, base + " ende zwei"),
+      (3L, Seq.tabulate(120)(i => if (i % 2 == 0) ' ' else '~').mkString))
+      .toDF("doc_id", "text")
+    val payloads = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val phashOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.withColumn("mean_b", expr("aggregate(luma, 0, (a, x) -> a + x) div 60"))
+        .withColumn("phash", expr(
+          "aggregate(zip_with(luma, sequence(0, 59), (b, i) -> " +
+            "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+            "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .select(col("doc_id"), col("phash"))
+    val viaSeam = phashOf(Multimodal.decodeLumaPartitions(payloads, "payload"))
+    val viaExpr = phashOf(payloads
+      .filter(length(col("payload")) >= 60)
+      .withColumn("stride", expr("length(payload) div 60"))
+      .withColumn("luma", expr(
+        "transform(sequence(0, 59), i -> CAST(conv(hex(substring(" +
+          "payload, CAST(i * stride + 1 AS INT), 1)), 16, 10) AS INT))")))
+    assert(viaSeam.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      viaExpr.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // end-to-end on the same fixture: docs 1 and 2 must pair, 3 must not
+    val dir = java.nio.file.Files.createTempDirectory("phash_mb").toString
+    docs.select(col("doc_id"), col("text"), lit("de").as("lang"),
+        lit("s0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.defs.find(_.name == "mm_phash_dedup").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical docs must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"disjoint doc paired: $pairs")
+  }
+
   test("mm_phash_dedup: identical payloads pair at Hamming 0; disjoint content is absent") {
     val s = spark; import s.implicits._
     // docs 1 and 2 share identical bytes -> phash equal -> hamming 0.
