@@ -776,12 +776,19 @@ object Analytics {
     /** VOLUME ANOMALY DAYS — flag days whose event count departs from the
       * corpus mean by more than 2σ, with the inequality cleared of all
       * division and square roots: |x−μ| > 2σ ⟺ (n·x − s)² > 4·(n·sq − s²)
-      * where s = Σx, sq = Σx². Every quantity is BIGINT, so the verdict is
-      * bit-identical in both engines — no float variance, no sqrt ulp.
-      * This is the day-shard volume gate next to an_shard_drift's MIX gate
-      * (a shard can hold its type mix while silently doubling or halving
-      * in volume). Shapes: one day rollup, a 1-row broadcast stats frame,
-      * a map-side CASE. */
+      * where s = Σx, sq = Σx². The squared quantities are 128-bit exact —
+      * Spark DECIMAL(38,0) ≙ DuckDB HUGEINT — because the BIGINT form
+      * silently wraps once |n·x − s| passes ~3e9 (about 1e8 events/day over
+      * 30 days, i.e. exactly the 100 TB regime): Spark would wrap while
+      * DuckDB raised, so the engines diverged right where the gate matters.
+      * Budget: dev² and n·sq stay under 1e38 for any physical corpus
+      * (1e11 events/day × a century of days gives dev² ~ 1e31); the
+      * diagnostic columns are emitted as exact decimal STRINGS so no
+      * consumer is forced back into a 64-bit lane. The verdict stays
+      * division- and sqrt-free. This is the day-shard volume gate next to
+      * an_shard_drift's MIX gate (a shard can hold its type mix while
+      * silently doubling or halving in volume). Shapes: one day rollup, a
+      * 1-row broadcast stats frame, a map-side CASE. */
     QueryDef(
       "an_volume_anomaly",
       (s, d) => {
@@ -790,24 +797,32 @@ object Analytics {
           .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
         val stats = daily.agg(count(lit(1)).as("n"),
           sum(col("n_events")).as("s"),
-          sum(expr("n_events * n_events")).as("sq"))
+          sum(expr("CAST(n_events AS DECIMAL(19,0)) * n_events")).as("sq"))
         daily.crossJoin(broadcast(stats))
-          .withColumn("dev2", expr("(n * n_events - s) * (n * n_events - s)"))
-          .withColumn("thresh2", expr("4 * (n * sq - s * s)"))
+          .withColumn("dev", expr("CAST(n AS DECIMAL(19,0)) * n_events - s"))
+          .withColumn("dev2", expr("dev * dev"))
+          .withColumn("thresh2",
+            expr("4 * (CAST(n AS DECIMAL(19,0)) * sq - CAST(s AS DECIMAL(19,0)) * s)"))
           .withColumn("is_anomaly", col("dev2") > col("thresh2"))
-          .select(col("day"), col("n_events"), col("dev2"), col("thresh2"),
+          .select(col("day"), col("n_events"),
+            expr("CAST(dev2 AS STRING)").as("dev2"),
+            expr("CAST(thresh2 AS STRING)").as("thresh2"),
             col("is_anomaly"))
           .orderBy("day")
       },
       Some("""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events
              |               FROM events GROUP BY 1),
              |st AS (SELECT COUNT(*) AS n, CAST(SUM(n_events) AS BIGINT) AS s,
-             |              CAST(SUM(n_events * n_events) AS BIGINT) AS sq
+             |              SUM(CAST(n_events AS HUGEINT) * n_events) AS sq
              |       FROM daily)
              |SELECT day, n_events,
-             |       (n * n_events - s) * (n * n_events - s) AS dev2,
-             |       4 * (n * sq - s * s) AS thresh2,
-             |       (n * n_events - s) * (n * n_events - s) > 4 * (n * sq - s * s)
+             |       CAST((CAST(n AS HUGEINT) * n_events - s)
+             |            * (CAST(n AS HUGEINT) * n_events - s) AS VARCHAR) AS dev2,
+             |       CAST(4 * (CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
+             |            AS VARCHAR) AS thresh2,
+             |       (CAST(n AS HUGEINT) * n_events - s)
+             |         * (CAST(n AS HUGEINT) * n_events - s)
+             |         > 4 * (CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
              |         AS is_anomaly
              |FROM daily, st ORDER BY day""".stripMargin)),
   )

@@ -195,11 +195,24 @@ class AnalyticsSpec extends AnyFunSuite {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Analytics.defs.find(_.name == "an_volume_anomaly").get.fn(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), BigInt(r.getString(2)), BigInt(r.getString(3)),
+          r.getBoolean(4)))
     assert(got.length == 11)
-    got.foreach { case (day, n, flag) =>
+    got.foreach { case (day, n, dev2, thresh2, flag) =>
       assert(flag == (day == 10L), s"day $day (n=$n): wrong verdict")
-      // the verdict restates the division-free inequality on its own columns
+      // the exact-decimal diagnostic columns restate the division-free
+      // inequality (the round-10 128-bit lane: dev2/thresh2 are arbitrary-
+      // precision strings, so the check itself can't wrap)
+      assert(flag == (dev2 > thresh2), s"day $day: verdict != dev2>thresh2")
     }
+    // 128-bit regime: the old BIGINT formulation wrapped once |n*x-s| passed
+    // ~3e9; replay the engine's inequality in BigInt on daily counts of 1e8
+    // events/day and require the same verdicts the DECIMAL(38,0) lane gives.
+    val counts = (0 until 30).map(i => BigInt(100000000L + i)) :+ BigInt(300000000L)
+    val (bn, bs, bsq) = (BigInt(counts.length), counts.sum, counts.map(c => c * c).sum)
+    val flags = counts.map(x => (bn * x - bs).pow(2) > 4 * (bn * bsq - bs * bs))
+    assert(flags.count(identity) == 1 && flags.last,
+      "BigInt replay: only the planted 3x day is anomalous at 1e8/day scale")
   }
 }
