@@ -138,6 +138,34 @@ object DocsStream {
     spark.table(queryName).orderBy("doc_id")
   }
 
+  /** [[landingVerdicts]] as a CHECKPOINTED incremental landing job — the
+    * runDedupToParquet lifecycle applied to the near-dup screen: each
+    * invocation processes only files that arrived since the last run
+    * (file-source offsets live in `checkpointDir`), screens them against
+    * the persisted corpus index, and appends the verdicts to a parquet
+    * landing table. The screen is per-document (its own fingerprints vs
+    * the static index — no cross-doc state), so per-micro-batch
+    * computation inside `foreachBatch` is globally correct, and a
+    * kill/restart between runs can neither double-screen an arrival
+    * (offsets only commit after the batch lands) nor miss one (uncommitted
+    * files are re-listed on restart). `maxFilesPerTrigger` > 0 forces
+    * multi-batch runs (spec). */
+  def runScreenToParquet(spark: SparkSession, docsDir: String, idxPath: String,
+      outDir: String, checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+    val idx = spark.read.parquet(idxPath)
+    val reader = spark.readStream.schema(docsSchema)
+    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val q = reader.parquet(docsDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        landingVerdicts(batch, idx).write.mode("append").parquet(outDir); ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Landing-zone QUALITY GATE rollup: the tx_quality verdict (same
     * expression, stream and batch — graft.text.TextStats owns the
     * stop-list) aggregated to a per-source pass-rate, the monitor a

@@ -93,6 +93,51 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.size.toLong == arrivals)
   }
 
+  test("checkpointed near-dup screen resumes across runs: no arrival double-screened or missed") {
+    // The round-4 landing-dedup resume discipline applied to the round-9
+    // screen: arrivals land in waves, the job is killed (AvailableNow run
+    // ends) and restarted between them, and the landing table must hold
+    // EXACTLY one verdict per arrival — offsets must skip screened files,
+    // re-listing must pick up the new ones — matching the batch
+    // st_incremental_dedup verdicts for the same docs.
+    val land = java.nio.file.Files.createTempDirectory("docs_screen_ckpt").toString
+    val (src, out, ckpt) = (s"$land/src", s"$land/out", s"$land/ckpt")
+    new java.io.File(src).mkdirs()
+    val arrivals = graft.Tables.documents(spark, sf).filter(expr("doc_id % 5 = 0"))
+    val mid = arrivals.selectExpr("percentile_approx(doc_id, 0.5)").head.getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$land/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val idxPath = graft.dedup.Dedup.winnowFpIndexPath(spark, sf)
+    // run 1: first wave arrives and is screened
+    stage(arrivals.filter(col("doc_id") <= mid), "wave1")
+    DocsStream.runScreenToParquet(spark, src, idxPath, out, ckpt)
+    val afterRun1 = spark.read.parquet(out).count()
+    // killed + restarted: second wave arrives as TWO files, and
+    // maxFilesPerTrigger=1 forces the resumed run through multiple batches
+    val wave2 = arrivals.filter(col("doc_id") > mid)
+    val mid2 = wave2.selectExpr("percentile_approx(doc_id, 0.5)").head.getLong(0)
+    stage(wave2.filter(col("doc_id") <= mid2), "wave2a")
+    stage(wave2.filter(col("doc_id") > mid2), "wave2b")
+    DocsStream.runScreenToParquet(spark, src, idxPath, out, ckpt,
+      maxFilesPerTrigger = 1)
+    val landed = spark.read.parquet(out).collect().toSeq
+    val ids = landed.map(_.getLong(0))
+    assert(ids.distinct.size == ids.size, "an arrival was screened twice")
+    assert(afterRun1 < ids.size, "resumed run landed nothing — not incremental")
+    val batch = DocsStream.defs.find(_.name == "st_incremental_dedup").get
+      .fn(spark, sf).collect().toSeq
+    assert(landed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1) ==
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))),
+      "resumed landing table != batch verdicts for the same arrivals")
+  }
+
   test("streaming quality gate equals the registered batch variant") {
     val land = java.nio.file.Files.createTempDirectory("docs_gate").toString
     graft.Tables.documents(spark, sf)
