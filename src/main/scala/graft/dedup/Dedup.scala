@@ -64,7 +64,18 @@ object Dedup {
     * the explode (the winnowedFpRows round-9 lesson: a sibling projection
     * above the Generate re-runs the split per exploded row). Positions are
     * kept (no distinct): the mass numerator counts POSITIONS, so a doc
-    * that repeats boilerplate internally weighs each occurrence. */
+    * that repeats boilerplate internally weighs each occurrence.
+    *
+    * Fingerprint width — 48 bits, INTENTIONALLY, the winnowing family's
+    * width (TextStats.winnowedFpRows, same md5_prefix48 kernel): the
+    * collision budget is the birthday bound ~2^24 ≈ 16 M distinct grams
+    * before collisions perturb counts, and each collision inflates ONE
+    * gram's repeat count by one posting — a statistical nudge to a
+    * mass-permille, never a correctness break (the consumers threshold
+    * aggregate mass, they don't assert identity). A corpus whose distinct
+    * 8-gram count approaches 2^24 per screened partition should move this
+    * one call site to a 64-bit prefix (conv of 16 hex chars caps at
+    * Long.MaxValue); the shuffle key widens, nothing else changes. */
   private def gram8Rows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

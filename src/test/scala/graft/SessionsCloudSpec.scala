@@ -87,6 +87,29 @@ class SessionsCloudSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIONAL s3a smoke: one real read through the dwh.cfg mapping (GRAFT_S3_SMOKE=1)") {
+    // The one reference entry-point leg a zero-egress sandbox cannot
+    // exercise: an actual `s3a://` open. Gated on GRAFT_S3_SMOKE=1 —
+    // canceled (not passed) offline — so on any machine with network and
+    // hadoop-aws on the classpath this closes the loop:
+    //   GRAFT_S3_SMOKE=1 [GRAFT_S3_PATH=s3a://bucket/key]
+    //   [GRAFT_S3_CFG=/path/to/dwh.cfg] sbt "testOnly graft.SessionsCloudSpec"
+    // Defaults target the reference's public source bucket via the
+    // anonymous-credentials mapping (dwh.cfg with no [AWS] section).
+    assume(sys.env.get("GRAFT_S3_SMOKE").contains("1"),
+      "GRAFT_S3_SMOKE!=1: skipping the network s3a read")
+    val spark = TestSpark.spark
+    val cfgText = sys.env.get("GRAFT_S3_CFG")
+      .map(p => new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      .getOrElse("[S3]\nLOG_JSONPATH='s3://udacity-dend/log_json_path.json'\n")
+    Sessions.applyCloudFs(spark, cfg(cfgText))
+    val path = sys.env.getOrElse("GRAFT_S3_PATH",
+      "s3a://udacity-dend/log_json_path.json")
+    val rows = spark.read.textFile(path).count()
+    assert(rows > 0, s"s3a read of $path returned no rows")
+  }
+
   test("the reference's dwh.cfg shape wires end to end through resolveCfg") {
     val tmp = java.nio.file.Files.createTempFile("dwh", ".cfg")
     java.nio.file.Files.write(tmp,
