@@ -34,6 +34,18 @@ class StarCatalogSpec extends AnyFunSuite {
     assert(spark.table("songs").count() == results.find(_.name == "songs").get.rows)
     assert(spark.table("songplays").schema.fieldNames.toSeq ==
       Seq("start_time", "user_id", "song_id", "session_id", "user_agent"))
+    // STATUPDATE ON analog: post-load catalog stats land for the planner
+    StarCatalog.analyze(spark, columns = true)
+    val stats = spark.sql("DESCRIBE EXTENDED songs")
+      .filter("col_name = 'Statistics'").collect()
+    assert(stats.nonEmpty, "ANALYZE left no table statistics on songs")
+    val rowCount = stats.head.getString(1)
+    assert(rowCount.contains(s"${results.find(_.name == "songs").get.rows} rows"),
+      s"statistics don't carry the loaded row count: $rowCount")
+    val colStats = spark.sql("DESCRIBE EXTENDED songs song_id")
+      .filter("info_name = 'distinct_count'").collect()
+    assert(colStats.nonEmpty && colStats.head.getString(1) != "NULL",
+      "FOR ALL COLUMNS left no NDV on songs.song_id")
     StarCatalog.drop(spark)
   }
 }
