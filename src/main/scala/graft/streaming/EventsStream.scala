@@ -384,26 +384,31 @@ object EventsStream extends Serializable {
   }
 
   /** The drift gate as an incremental stream: the day×type aggregation runs
-    * under `readStream` (complete mode, AvailableNow), the scoring join
-    * runs on the materialized result table. */
+    * under `readStream` (complete mode via `foreachBatch`, AvailableNow),
+    * each trigger OVERWRITES a parquet counts table, and the scoring join
+    * runs on the re-read table. The file round-trip is the point, twice
+    * over: (a) the scoring plan joins the counts against three aggregates
+    * of itself, and Spark's relation dedup breaks on a memory-sink view on
+    * both sides (INTERNAL_ERROR: conflicting references) — a fresh parquet
+    * scan gets fresh attribute ids; (b) unlike the round-9 workaround
+    * (collect + re-createDataFrame, bounded by the day×type contract but
+    * still driver-side), the counts stay DISTRIBUTED end to end, so the
+    * gate survives the grid growing dimensions. At scale this parquet
+    * table is the monitor's published artifact — the same discipline as
+    * every persisted index. */
   def runDriftStream(spark: SparkSession, eventsDir: String,
       queryName: String = "drift_stream"): DataFrame = {
+    val countsDir = java.nio.file.Files
+      .createTempDirectory(s"graft_$queryName").toString
     val counts = dayTypeCounts(spark.readStream.schema(eventsSchema).parquet(eventsDir))
     val q = counts.writeStream
       .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(countsDir); ()
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // The scoring plan joins the counts table against three aggregates of
-    // itself; Spark's relation dedup does not handle a memory-sink view on
-    // both sides (INTERNAL_ERROR: conflicting references). The table is
-    // day×type sized by contract, so localizing it is O(days·types), not
-    // O(data) — and gives the self-joins fresh attribute ids.
-    val t = spark.table(queryName)
-    val localized = spark.createDataFrame(
-      java.util.Arrays.asList(t.collect(): _*), t.schema)
-    driftFromCounts(localized)
+    driftFromCounts(spark.read.parquet(countsDir))
   }
 }
