@@ -164,10 +164,12 @@ object Multimodal {
       * engines agree on any payload, multibyte included. Scale shape: one
       * narrow decode+signature pass, one band-key shuffle, pair work bounded
       * by the shared MaxBucket cap — identical economics to
-      * dd_simhash_pairs, applied to media bytes instead of tokens. */
+      * dd_simhash_pairs, applied to media bytes instead of tokens; like the
+      * simhash pair graph, the result is a build-once content-keyed parquet
+      * artifact every consumer probes. */
     QueryDef(
       "mm_phash_dedup",
-      (s, d) => {
+      (s, d) => graft.Artifacts.indexParquet(s, "phash_pairs", d, "documents") {
         val ph = decodeLumaPartitions(
             Tables.documents(s, d)
               .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -190,8 +192,7 @@ object Multimodal {
           .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
           .filter(col("hamming") <= 8)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy("doc_a", "doc_b")
-      },
+      }.orderBy("doc_a", "doc_b"),
       Some(s"""WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx,
              |                   octet_length(encode(text)) AS len
              |            FROM documents),
