@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -825,6 +826,51 @@ object Analytics {
              |         > 4 * (CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
              |         AS is_anomaly
              |FROM daily, st ORDER BY day""".stripMargin)),
+
+    /** HEAVY HITTERS under the Misra-Gries sketch contract
+      * (graft.functions.FreqSketch): the frequent-items op of a data
+      * pipeline (hot tokens / domains / fingerprints) run where it is
+      * HARD — a derived stream that concentrates half its mass on 5 hot
+      * items and spreads the rest over thousands of singletons, so a
+      * 16-counter summary is under constant decrement pressure from the
+      * tail. The query emits the items the MG guarantee says MUST survive
+      * (true count > n/(k+1), exact integer inequality), their exact
+      * counts, and `in_sketch` — membership of each in the sketch actually
+      * computed by the mergeable Aggregator. The oracle states the exact
+      * heavy-hitter set plus literal TRUE, so a single guarantee violation
+      * (an order-dependence bug in reduce/merge, a wrong subtraction rule)
+      * hash-mismatches. Raw sketch contents are deliberately NOT emitted:
+      * which tail items pad the remaining counters is order-dependent in
+      * any MG, and the guarantee — not raw membership — is the portable
+      * contract. Scale shape: the sketch side shuffles k counters per
+      * partition (not the item domain); the exact side exists only for
+      * verification, like every `_bound` companion. */
+    QueryDef(
+      "an_heavy_hitters",
+      (s, d) => {
+        val k = 16
+        val items = Tables.events(s, d).select(
+          expr("IF(pmod(event_id, 2) = 0, concat('hot_', event_type), " +
+            "concat('cold_', CAST(event_id AS STRING)))").as("item"))
+        val mg = udaf(graft.functions.FreqSketch.misraGries(k), Encoders.STRING)
+        val sketch = items.agg(mg(col("item")).as("sk"))
+        val exact = items.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+        val tot = exact.agg(sum(col("n_exact")).as("n"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("n_exact") * (k + 1) > col("n"))
+          .crossJoin(broadcast(sketch))
+          .select(col("item"), col("n_exact"),
+            expr("array_contains(transform(sk, e -> e.item), item)").as("in_sketch"))
+          .orderBy("item")
+      },
+      Some("""WITH it AS (SELECT CASE WHEN event_id % 2 = 0
+             |                        THEN 'hot_' || event_type
+             |                        ELSE 'cold_' || CAST(event_id AS VARCHAR)
+             |                   END AS item FROM events),
+             |c AS (SELECT item, COUNT(*) AS n_exact FROM it GROUP BY item),
+             |tot AS (SELECT SUM(n_exact) AS n FROM c)
+             |SELECT item, n_exact, TRUE AS in_sketch
+             |FROM c, tot WHERE n_exact * 17 > n ORDER BY item""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),
