@@ -48,6 +48,12 @@ object Artifacts {
     * the artifact files would. */
   def contentKey(d: String, table: String): String = s"$d@${tableSig(d, table)}"
 
+  /** Artifact store root: `GRAFT_ARTIFACT_DIR` when set (on a cluster, a
+    * durable shared path — every executor and every job sees one copy per
+    * corpus snapshot), the JVM tmpdir otherwise (the sandbox default). */
+  def baseDir: String =
+    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", sys.props("java.io.tmpdir"))
+
   /** Path of the build-once parquet artifact `name` derived from
     * `d/table.parquet`, building it if this content signature has no
     * published copy yet. `build` runs at most once per (name, content) per
@@ -57,9 +63,9 @@ object Artifacts {
       (build: => DataFrame): String = {
     val key = s"${name}_${tableSig(d, table)}"
     published.getOrElseUpdate(key, {
-      val fin = new java.io.File(sys.props("java.io.tmpdir"), s"graft_$key")
+      val fin = new java.io.File(baseDir, s"graft_$key")
       if (!new java.io.File(fin, "_SUCCESS").exists()) {
-        val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        val tmp = new java.io.File(baseDir,
           s"graft_${key}_w${java.util.UUID.randomUUID.toString.take(8)}")
         build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists())
