@@ -279,7 +279,7 @@ object Dedup {
     * postings before the cap filter). Fixture shingle buckets stay far under
     * the cap today, but the semantics must agree by construction, not by
     * fixture luck. */
-  private def duckJaccard(permille: Int): String =
+  private val duckInterChain: String =
     s"""toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
        |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
@@ -289,7 +289,10 @@ object Dedup {
        |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
        |          FROM ex a JOIN keep k ON a.sng = k.sng
        |               JOIN ex c ON a.sng = c.sng AND a.doc_id < c.doc_id
-       |          GROUP BY 1, 2),
+       |          GROUP BY 1, 2)""".stripMargin
+
+  private def duckJaccard(permille: Int): String =
+    s"""$duckInterChain,
        |jac AS (SELECT doc_a, doc_b, (1000 * i) // (na.n + nb.n - i) AS jaccard_permille
        |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
        |        WHERE (1000 * i) // (na.n + nb.n - i) >= $permille)""".stripMargin
@@ -460,6 +463,41 @@ object Dedup {
       Some(s"""WITH ${duckJaccard(200)}
               |SELECT doc_a, doc_b, jaccard_permille FROM jac
               |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** N-GRAM CONTAINMENT screen — the ASYMMETRIC companion to Jaccard:
+      * C = |A∩B| / min(|A|, |B|), the fraction of the SMALLER doc's
+      * shingles found in the other. Jaccard misses the quote/superset
+      * case — a short doc fully embedded in a long one scores
+      * |A|/(|A|+|B|-|A|) ≈ |A|/|B| (arbitrarily low) on Jaccard but 1000‰
+      * on containment — and that case is exactly how boilerplate, quoted
+      * passages, and page-plus-chrome crawls survive Jaccard-only dedup in
+      * real training corpora (the reason suffix-array/containment screens
+      * exist alongside MinHash). `contained_doc` names the swallowed side
+      * (the smaller gram set; ties to doc_a), which is the copy a
+      * containment-aware cleaner would drop or trim.
+      *
+      * Cost at 100 TB: ZERO new index work — probes the same persisted
+      * pair-graph artifact as the Jaccard family ([[jaccardPairs]] stores
+      * i/na/nb per co-shingle pair precisely so every derived coefficient
+      * is a column expression over the stored graph, not a new corpus
+      * pass), then one integer division per pair. Threshold 500‰. */
+    QueryDef(
+      "dd_containment",
+      (s, d) => jaccardPairs(s, d, permille = 0)
+        .withColumn("containment_permille", expr("(1000 * i) div least(na, nb)"))
+        .filter(col("containment_permille") >= 500)
+        .withColumn("contained_doc", expr("if(na <= nb, doc_a, doc_b)"))
+        .select(col("doc_a"), col("doc_b"), col("containment_permille"),
+          col("contained_doc"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckInterChain,
+              |cont AS (SELECT doc_a, doc_b,
+              |               (1000 * i) // least(na.n, nb.n) AS containment_permille,
+              |               CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END AS contained_doc
+              |        FROM inter JOIN n na ON na.doc_id = doc_a
+              |             JOIN n nb ON nb.doc_id = doc_b)
+              |SELECT doc_a, doc_b, containment_permille, contained_doc FROM cont
+              |WHERE containment_permille >= 500 ORDER BY doc_a, doc_b""".stripMargin)),
 
     /** WINNOWED near-dup candidates: the inverted index is built over the
       * tx_winnowing fingerprints instead of the full shingle posting list —

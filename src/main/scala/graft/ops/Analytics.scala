@@ -871,6 +871,54 @@ object Analytics {
              |tot AS (SELECT SUM(n_exact) AS n FROM c)
              |SELECT item, n_exact, TRUE AS in_sketch
              |FROM c, tot WHERE n_exact * 17 > n ORDER BY item""".stripMargin)),
+
+    /** TEMPERATURE-WEIGHTED SOURCE MIXING (α = 0.5) — the multilingual /
+      * multi-source sampling plan every large pretraining run publishes:
+      * sampling weight wᵢ ∝ nᵢ^α flattens the source distribution so
+      * low-resource sources are upsampled relative to their raw share
+      * (α=1 is proportional, α=0 uniform; 0.5 is the square-root
+      * temperature the multilingual-LM lineage standardized). Per source:
+      * raw docs, weight, the α-mix share vs the proportional share (ppm),
+      * and the boost factor the mix applies.
+      *
+      * Cross-engine exactness: nᵢ^0.5 = sqrt(nᵢ) is a SINGLE
+      * correctly-rounded IEEE-754 op in both engines (no float SUM, no
+      * pow), immediately quantized to integer micro-units
+      * (`floor(sqrt·1e6)` — double multiply is also correctly rounded), so
+      * the share division is BIGINT-exact: no float aggregation ever
+      * happens. Headroom: nᵢ = 10¹² docs → weight_micro 10¹² → numerator
+      * 10¹⁸ < 2⁶³. Scale shape: one groupBy on source (the partial-agg
+      * count), one broadcast scalar attach of the two totals — the
+      * an_data_card discipline; output is |sources| rows. */
+    QueryDef(
+      "an_temperature_sample",
+      (s, d) => {
+        val n = Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("weight_micro",
+            expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+        val tot = n.agg(sum(col("n_docs")).as("tot_docs"),
+          sum(col("weight_micro")).as("tot_w"))
+        n.crossJoin(broadcast(tot))
+          .withColumn("share_ppm", expr("(1000000 * weight_micro) div tot_w"))
+          .withColumn("prop_ppm", expr("(1000000 * n_docs) div tot_docs"))
+          .withColumn("boost_permille", expr("(1000 * share_ppm) div prop_ppm"))
+          .select(col("source"), col("n_docs"), col("weight_micro"),
+            col("share_ppm"), col("prop_ppm"), col("boost_permille"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, COUNT(*) AS n_docs,
+             |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+             |           AS weight_micro
+             |       FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+             |               CAST(SUM(weight_micro) AS BIGINT) AS tot_w FROM n)
+             |SELECT source, n_docs, weight_micro,
+             |       (1000000 * weight_micro) // tot_w AS share_ppm,
+             |       (1000000 * n_docs) // tot_docs AS prop_ppm,
+             |       (1000 * ((1000000 * weight_micro) // tot_w))
+             |         // ((1000000 * n_docs) // tot_docs) AS boost_permille
+             |FROM n, tot ORDER BY source""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

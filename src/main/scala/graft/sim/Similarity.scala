@@ -446,6 +446,38 @@ object Similarity {
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Oracle for `sim_ivf_pq`: k-means chain (coarse cells) + all M PQ
+    * sub-chains, probe the NProbe nearest cells per query, ADC-score only
+    * the candidates assigned to probed cells. */
+  private def duckIvfPqSql: String = {
+    val pcos = duckCosOf("e.v", "c.cv")
+    val scoreSel = (0 until PqM).map { m =>
+      s"""SELECT p.q_id, g.vec_id AS cand_id,
+         |       list_sum(list_transform(range(1, ${PqSub + 1}), j -> q.vm[j] * c.cv[j])) AS sc
+         |FROM probes p
+         |JOIN assign g ON g.cell = p.probe_cell AND g.vec_id <> p.q_id
+         |JOIN m${m}asg a ON a.vec_id = g.vec_id
+         |JOIN m${m}c$Iters c ON a.code = c.cid
+         |JOIN m${m}e q ON q.vec_id = p.q_id""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${duckKmeansChain()},
+       |$duckPqChains,
+       |probes AS (SELECT vec_id AS q_id, probe_cell FROM (
+       |  SELECT e.vec_id, c.cid AS probe_cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
+       |  FROM e, c$Iters c WHERE e.vec_id < 8) WHERE rn <= $NProbe),
+       |sc AS ($scoreSel),
+       |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score
+       |        FROM sc GROUP BY q_id, cand_id),
+       |r AS (SELECT q_id, cand_id, score,
+       |             row_number() OVER (PARTITION BY q_id
+       |                                ORDER BY score DESC, cand_id ASC) AS rank
+       |      FROM tot)
+       |SELECT q_id, cand_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Hyperplane-LSH near-dup candidates over the embeddings: each vector
@@ -897,5 +929,67 @@ object Similarity {
           .orderBy("q_id", "rank")
       },
       Some(duckPqTopkSql)),
+
+    /** IVF-PQ COMPOSITE SERVING — the two index halves composed into the
+      * FAISS `IndexIVFPQ` shape that actually serves billion-vector
+      * corpora: the coarse IVF quantizer prunes the corpus to each query's
+      * NProbe nearest cells, and ONLY those candidates are ADC-scored from
+      * their PQ codes (query-subvector · assigned sub-centroid, summed
+      * over subspaces, all BIGINT micro² — bit-identical cross-engine).
+      * Per-query work is therefore (NProbe/K of the corpus) × (M code
+      * lookups against a broadcast M×Ks codebook) — sublinear candidate
+      * count AND compressed candidate representation; the raw vectors
+      * appear nowhere in the serving plan (`.explain` shows the code table
+      * + two broadcasts, no embeddings column past the probe stage).
+      *
+      * Scale shape: both inputs are the PERSISTED index artifacts the
+      * standalone paths already build (memoized coarse centroids + PQ
+      * codebooks; cell-assignment and code tables are linear one-pass
+      * maps), so serving cost is independent of training. At 100 TB the
+      * knobs become K~√N cells (probed fraction shrinks as the corpus
+      * grows — the sim_ann_ivf_sqrtn argument) and PqKs=256 codes/byte;
+      * the plan is unchanged. Tie ranks break to the lowest cand_id in
+      * both engines; recall vs exact brute force asserted in
+      * SimilaritySpec. */
+    QueryDef(
+      "sim_ivf_pq",
+      (s, d) => {
+        val model = trainPq(s, d)
+        val e = vecs(s, d).select(col("vec_id"), col("v"))
+        val cdf = centroidsDf(s, trainKMeans(s, d))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos6").desc, col("cid").asc)
+        val probes = e.filter(col("vec_id") < 8)
+          .crossJoin(broadcast(cdf))
+          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("cid").as("probe_cell"))
+        // The serving index: (cand_id, cell, m, code) — codes + coarse cell,
+        // never the raw vectors.
+        val serving = pqAssignAll(s, d)
+          .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+          .join(assignCells(s, d).select(col("vec_id").as("cand_id"), col("cell")),
+            "cand_id")
+        val q = pqSubVecsAll(s, d).filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("m"), col("vm").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("cand_id").asc)
+        serving
+          .join(broadcast(probes),
+            col("cell") === col("probe_cell") && col("cand_id") =!= col("q_id"))
+          .join(broadcast(pqCodebookDf(s, model).withColumnRenamed("cid", "code")),
+            Seq("m", "code"))
+          .join(broadcast(q), Seq("q_id", "m"))
+          .withColumn("sc",
+            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("sc")).as("score"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("cand_id"), col("score"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(duckIvfPqSql)),
   )
 }

@@ -12,6 +12,9 @@ class DedupSpec extends AnyFunSuite {
   private def run(name: String) =
     Dedup.defs.find(_.name == name).get.fn(spark, sf)
 
+  private def run2(name: String, dir: String) =
+    Dedup.defs.find(_.name == name).get.fn(spark, dir)
+
   test("dd_exact: one group per distinct normalized text, keeper is min id") {
     val g = run("dd_exact")
     val docs = graft.Tables.documents(spark, sf).count()
@@ -208,6 +211,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got("srcA") == (4L, 3L, 1L, 750L))
     // srcB: 2 docs; doc5 dups doc1 (also cross) -> n_dup=1, n_cross_dup=1
     assert(got("srcB") == (2L, 1L, 1L, 500L))
+  }
+
+  test("dd_containment: a quoted slice is flagged at 1000 permille where Jaccard stays silent") {
+    val s = spark; import s.implicits._
+    // doc 1: 100 distinct tokens (98 shingles); doc 2: a 10-token contiguous
+    // slice of doc 1 (8 shingles, ALL contained) -> Jaccard 8/98 = 81 permille
+    // (under dd_ngram_jaccard's 200 threshold) but containment 1000 permille;
+    // doc 3: unrelated.
+    val big = (0 until 100).map(i => s"w$i").mkString(" ")
+    val slice = (10 until 20).map(i => s"w$i").mkString(" ")
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("cont_docs").toString
+    Seq(
+      (1L, big, "en", "srcA", big.length.toLong),
+      (2L, slice, "en", "srcB", slice.length.toLong),
+      (3L, other, "en", "srcA", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = run2("dd_containment", dir).collect()
+    assert(cont.length == 1, s"exactly the planted pair: ${cont.toSeq}")
+    val row = cont.head
+    assert((row.getLong(0), row.getLong(1)) == (1L, 2L))
+    assert(row.getLong(2) == 1000L, "full containment of the quoted slice")
+    assert(row.getLong(3) == 2L, "the smaller gram set is the contained doc")
+    val jac = run2("dd_ngram_jaccard", dir).collect()
+    assert(jac.isEmpty, "Jaccard at its threshold must MISS the quote case")
   }
 
   test("tx_vocab_prune-style invariants hold for dd fixture langs") {

@@ -8,6 +8,31 @@ import graft.TestSpark
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("an_temperature_sample: sqrt flattening up-weights scarce sources, exact integer shares") {
+    val s = spark; import s.implicits._
+    // The fixture's sources are uniform (zero flattening signal), so plant
+    // a skewed corpus: 400/100/25 docs -> sqrt weights 20/10/5, every share
+    // and boost an exact integer the assertions can state literally.
+    val dir = java.nio.file.Files.createTempDirectory("temp_sample_docs").toString
+    val docs = (0 until 400).map(i => (i.toLong, "a b c", "en", "srcA", 5L)) ++
+      (0 until 100).map(i => (400L + i, "a b c", "en", "srcB", 5L)) ++
+      (0 until 25).map(i => (500L + i, "a b c", "en", "srcC", 5L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.defs.find(_.name == "an_temperature_sample").get
+      .fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // weights: sqrt(400)=20, sqrt(100)=10, sqrt(25)=5 (micro-units); tot_w=35e6,
+    // tot_docs=525 -> shares 4/7, 2/7, 1/7 of 1e6; props 400/525, 100/525, 25/525
+    assert(got("srcA") == (400L, 20000000L, 571428L, 761904L, 750L))
+    assert(got("srcB") == (100L, 10000000L, 285714L, 190476L, 1500L))
+    assert(got("srcC") == (25L, 5000000L, 142857L, 47619L, 3000L))
+    // the flattening law: boost strictly decreasing in source size,
+    // crossing 1000 (proportional) between the large and small sources
+    assert(got("srcA")._5 < 1000L && got("srcC")._5 > 1000L)
+  }
+
   test("an_approx_distinct: HLL estimate within 5% of exact per group at sf0.1") {
     // The query has no DuckDB oracle by design (the estimate is
     // engine-specific), so THIS is its correctness signal: Spark's HLL++

@@ -204,4 +204,44 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean >= 0.7, s"PQ mean quality ratio $mean below floor (per-query: $ratios)")
   }
+
+  test("sim_ivf_pq: dense ranks, ADC scores agree with the PQ-only path, near-PQ quality") {
+    val r = run("sim_ivf_pq").collect()
+    assert(r.nonEmpty, "composite serving must produce picks on the fixture")
+    // per-query ranks are dense from 1 (<=3 picks; a tiny probed cell may
+    // legitimately hold fewer than 3 candidates)
+    val byQ = r.map(x => (x.getLong(0), x.getInt(3))).groupBy(_._1)
+    byQ.values.foreach(g => assert(g.map(_._2).sorted.toSeq == (1 to g.size).toSeq))
+    // the ADC score is the SAME number the PQ-only path computes: any
+    // (q, cand) pair both paths rank must carry an identical integer score
+    // (the composite changes the candidate SET, never the scoring)
+    val ivfScores = r.map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    val pqScores = run("sim_pq_topk").collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    val shared = ivfScores.keySet & pqScores.keySet
+    assert(shared.nonEmpty, "the two serving paths should overlap on the fixture")
+    shared.foreach(k => assert(ivfScores(k) == pqScores(k),
+      s"ADC score diverges between serving paths at $k"))
+    // smooth quality metric vs exact brute force (the sim_pq_topk
+    // discipline): cell pruning on top of PQ may only cost a little
+    val vecsById = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val ivf = r.map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+    val brute = run("sim_topk_brute").filter(col("rank") <= 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).groupBy(_._1)
+    assert(ivf.keySet == brute.keySet, "every query must report")
+    val ratios = brute.keys.toSeq.map { q =>
+      def meanCos(picks: Array[(Long, Long)]) =
+        picks.map(p => cos(vecsById(q), vecsById(p._2))).sum / picks.length
+      meanCos(ivf(q)) / meanCos(brute(q))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean >= 0.65, s"IVF-PQ mean quality ratio $mean below floor (per-query: $ratios)")
+  }
 }
