@@ -138,11 +138,21 @@ object Similarity {
     cents
   }
 
+  /** Trained-cell assignment for every vector — (vec_id, cell, cos6) — as a
+    * PERSISTED parquet artifact per (corpus content, k): the assignment
+    * table is half of every IVF serving plan (probe joins, cell blocking,
+    * the IVF-PQ composite), and recomputing the broadcast-nearest scan per
+    * consumer is per-query corpus cost the index already paid. Same
+    * content-key + atomic-publish discipline as the MinHash signature
+    * table; at 100 TB this is the cell-assignment column of the index. */
+  private def cellsStored(s: SparkSession, d: String, k: Int): DataFrame =
+    graft.Artifacts.indexParquet(s, s"ivf_cells_k$k", d, "embeddings")(
+      nearest(vecs(s, d).select(col("vec_id"), col("v")),
+          centroidsDf(s, trainKMeans(s, d, k, Iters)))
+        .select(col("vec_id"), col("cid").as("cell"), col("cos6")))
+
   /** Trained-cell assignment for every vector: (vec_id, cell, cos6). */
-  def assignCells(s: SparkSession, d: String): DataFrame =
-    nearest(vecs(s, d).select(col("vec_id"), col("v")),
-        centroidsDf(s, trainKMeans(s, d)))
-      .select(col("vec_id"), col("cid").as("cell"), col("cos6"))
+  def assignCells(s: SparkSession, d: String): DataFrame = cellsStored(s, d, K)
 
   /** DuckDB WITH-fragment replaying k-means training and the final
     * assignment — `assign` ends as (vec_id, cell, cos6). Shared by every
@@ -202,7 +212,7 @@ object Similarity {
   private def annIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
     val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
-    val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
+    val asg = cellsStored(s, d, k).select(col("vec_id"), col("cell"))
     val wq = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") < 8)
       .crossJoin(broadcast(cdf))
@@ -363,10 +373,18 @@ object Similarity {
       .toDF("m", "cid", "cv")
   }
 
-  /** Every vector's PQ code per subspace: (vec_id, m, code, dist2). One
-    * corpus scan, one broadcast join on the subspace id, one window ranked
-    * within (vec_id, m). */
-  def pqAssignAll(s: SparkSession, d: String): DataFrame = {
+  /** Every vector's PQ code per subspace — (vec_id, m, code, dist2) — as a
+    * PERSISTED parquet artifact: the code table IS the PQ index (N×M small
+    * ints; what a FAISS index file stores), and all three serving consumers
+    * (`sim_pq_codes`, `sim_pq_topk`, `sim_ivf_pq`) probe the stored table
+    * instead of re-encoding the corpus per query. */
+  def pqAssignAll(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.indexParquet(s, "pq_codes", d, "embeddings")(
+      pqAssignAllUncached(s, d))
+
+  /** One corpus scan, one broadcast join on the subspace id, one window
+    * ranked within (vec_id, m). */
+  private def pqAssignAllUncached(s: SparkSession, d: String): DataFrame = {
     val model = trainPq(s, d)
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist2").asc, col("cid").asc)
@@ -852,8 +870,7 @@ object Similarity {
       (s, d) => {
         val e = vecs(s, d).select(col("vec_id"), col("v"))
         val k = sqrtK(corpusSize(s, d))
-        val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
-        val asg = nearest(e, cdf).select(col("vec_id"), col("cid").as("cell"))
+        val asg = cellsStored(s, d, k).select(col("vec_id"), col("cell"))
         val av = e.join(asg, "vec_id")
         val a = av.select(col("vec_id").as("src"), col("v").as("va"), col("cell"))
         val b = av.select(col("vec_id").as("dst"), col("v").as("vb"), col("cell"))
