@@ -22,7 +22,7 @@ object SparkEntry {
   private def allDefs: Seq[QueryDef] =
     StarQueries.defs ++ Relational.defs ++ Analytics.defs ++ TextStats.defs ++
       Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++ EventsStream.defs ++
-      graft.streaming.DocsStream.defs ++
+      graft.streaming.DocsStream.defs ++ graft.streaming.EmbedStream.defs ++
       graft.sources.Ingest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
