@@ -104,6 +104,12 @@ object Dedup {
     * hot-shingle property. */
   val MaxBucket = 1000
 
+  /** `dd_line_dedup` span width (tokens per pseudo-line). Small enough that
+    * the fixture's ~40-word vocabulary produces real cross-document span
+    * collisions (3 tokens ≈ 6.4e4 combinations vs ~2e4 spans at sf0.01),
+    * which is the boilerplate-repeat regime the operator exists for. */
+  val LineTok = 3
+
   /** Expand each bucket's sorted element list `ds` into its (x, y) element
     * pairs (x before y in sort order) — the shared tail of EVERY bucketed
     * candidate generator in the engine (shingle/minhash/simhash buckets
@@ -1088,6 +1094,69 @@ object Dedup {
            |       CAST(abs(est_permille - exact_permille) AS BIGINT) AS err_permille
            |FROM fin ORDER BY doc_a, doc_b""".stripMargin
       }),
+
+    /** LINE-LEVEL DEDUP (the C4 / RefinedWeb boilerplate rule) — dedup at
+      * LINE granularity across the whole corpus, not document granularity:
+      * every occurrence of a line after its global first keep is removed,
+      * which is what strips repeated navigation chrome, cookie banners and
+      * license boilerplate that document-level near-dup can never touch.
+      * The fixture corpus has no newlines, so a "line" is the deterministic
+      * proxy both engines derive identically: consecutive non-overlapping
+      * [[LineTok]]-token spans (the partial tail span is dropped). The keep
+      * rule is first-occurrence by (doc_id, pos) — ONE window over the line
+      * hash, the same global-canonical discipline as dd_exact's min-doc
+      * pick. Emitted per document: span count, spans removed, tokens kept.
+      *
+      * Distributed shape: tokenization is materialized BEFORE the explode
+      * (the tx_winnowing lesson), lines shuffle once on their content to
+      * rank occurrences, and the per-doc rollup shuffles pair-sized
+      * (doc_id, flag) rows — no pair expansion anywhere, so the whole
+      * operator is linear in corpus size. At 100 TB the window over a
+      * hot boilerplate line is a skewed key; the production form salts the
+      * rank by hashing (line → first (doc_id, pos) via min-struct) which
+      * is an aggregation, not a window — kept as the window form here
+      * because the oracle must replay the identical keep decision. */
+    QueryDef(
+      "dd_line_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr(toks).as("t"))
+          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+        val lines = docs.filter(col("nl") >= 1)
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
+              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
+              .as(Seq("pos", "line")))
+        val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
+        val removed = lines
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+        docs.select(col("doc_id"), col("nl").as("n_lines"))
+          .join(removed, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_lines"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+          .withColumn("n_tokens_kept", expr(s"$LineTok * (n_lines - n_removed)"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |           FROM documents),
+             |d AS (SELECT doc_id, t, CAST(len(t) // $LineTok AS BIGINT) AS nl FROM t),
+             |l AS (SELECT doc_id, i AS pos,
+             |        array_to_string(t[i * $LineTok + 1 : i * $LineTok + $LineTok], ' ') AS line
+             |      FROM d, unnest(range(0, nl)) AS u(i)),
+             |r AS (SELECT doc_id,
+             |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |      FROM l),
+             |p AS (SELECT doc_id,
+             |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+             |      FROM r GROUP BY doc_id)
+             |SELECT d.doc_id, d.nl AS n_lines,
+             |       COALESCE(p.n_removed, 0) AS n_removed,
+             |       CAST($LineTok * (d.nl - COALESCE(p.n_removed, 0)) AS BIGINT)
+             |         AS n_tokens_kept
+             |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
   )
 
   /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup

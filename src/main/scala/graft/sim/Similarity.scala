@@ -396,6 +396,30 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("cid").as("code"), col("dist2"))
   }
 
+  /** PQ ADC top-k serving as a frame — (q_id, cand_id, score, rank ≤ k):
+    * queries stay exact while candidates are scored from their persisted
+    * codes against the broadcast codebook (see `sim_pq_topk`). Shared by
+    * the serving query and the recall eval so both rank identically. */
+  private def pqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val model = trainPq(s, d)
+    val q = pqSubVecsAll(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("m"), col("vm").as("qv"))
+    val db = pqAssignAll(s, d)
+      .select(col("vec_id").as("cand_id"), col("m"), col("code"))
+      .join(broadcast(pqCodebookDf(s, model).withColumnRenamed("cid", "code")),
+        Seq("m", "code"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("cand_id").asc)
+    db.join(broadcast(q), "m")
+      .withColumn("sc",
+        expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("sc")).as("score"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** DuckDB chain for one PQ subspace (`e` must already exist): emits
     * m{m}e (micro subvectors), m{m}c0..c{Iters} (training), m{m}asg
     * (final code + distortion per vector). */
@@ -444,25 +468,51 @@ object Similarity {
        |FROM u GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
-  private def duckPqTopkSql: String = {
-    val scoreSel = (0 until PqM).map { m =>
-      s"""SELECT q.vec_id AS q_id, a.vec_id AS cand_id,
-         |       list_sum(list_transform(range(1, ${PqSub + 1}), j -> q.vm[j] * c.cv[j])) AS sc
-         |FROM m${m}e q, m${m}asg a JOIN m${m}c$Iters c ON a.code = c.cid
-         |WHERE q.vec_id < 8""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** ADC scoring selects shared by the PQ top-k oracle and its recall
+    * eval: per subspace, query subvector · assigned sub-centroid. */
+  private def duckPqScoreSel: String = (0 until PqM).map { m =>
+    s"""SELECT q.vec_id AS q_id, a.vec_id AS cand_id,
+       |       list_sum(list_transform(range(1, ${PqSub + 1}), j -> q.vm[j] * c.cv[j])) AS sc
+       |FROM m${m}e q, m${m}asg a JOIN m${m}c$Iters c ON a.code = c.cid
+       |WHERE q.vec_id < 8""".stripMargin
+  }.mkString("\nUNION ALL ")
+
+  /** The PQ top-3 CTE chain (training replay + ADC ranking) shared by
+    * `sim_pq_topk` and `sim_pq_recall`. Emits `r` (ranked candidates). */
+  private def duckPqRankedCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |$duckPqChains,
-       |sc AS ($scoreSel),
+       |sc AS ($duckPqScoreSel),
        |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score
        |        FROM sc GROUP BY q_id, cand_id),
        |r AS (SELECT q_id, cand_id, score,
        |             row_number() OVER (PARTITION BY q_id
        |                                ORDER BY score DESC, cand_id ASC) AS rank
-       |      FROM tot WHERE cand_id <> q_id)
+       |      FROM tot WHERE cand_id <> q_id)""".stripMargin
+
+  private def duckPqTopkSql: String =
+    s"""WITH $duckPqRankedCtes
        |SELECT q_id, cand_id, score, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-  }
+
+  /** Oracle for `sim_pq_recall`: the PQ ADC top-3 against the exact
+    * brute-force top-3, hits counted per query from the exact side. */
+  private def duckPqRecallSql: String =
+    s"""WITH $duckPqRankedCtes,
+       |pq AS (SELECT q_id, cand_id FROM r WHERE rank <= 3),
+       |brute AS (SELECT q_id, cand_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+       |        FROM embeddings WHERE vec_id < 8) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3)
+       |SELECT b.q_id, CAST(COUNT(p.cand_id) AS BIGINT) AS n_hits,
+       |       (1000 * CAST(COUNT(p.cand_id) AS BIGINT)) // 3 AS recall_permille
+       |FROM brute b LEFT JOIN pq p
+       |  ON p.q_id = b.q_id AND p.cand_id = b.cand_id
+       |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
 
   /** Oracle for `sim_ivf_pq`: k-means chain (coarse cells) + all M PQ
     * sub-chains, probe the NProbe nearest cells per query, ADC-score only
@@ -924,28 +974,36 @@ object Similarity {
       * rank ties break to the lowest candidate id in both engines. */
     QueryDef(
       "sim_pq_topk",
-      (s, d) => {
-        val model = trainPq(s, d)
-        val q = pqSubVecsAll(s, d).filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("m"), col("vm").as("qv"))
-        val db = pqAssignAll(s, d)
-          .select(col("vec_id").as("cand_id"), col("m"), col("code"))
-          .join(broadcast(pqCodebookDf(s, model).withColumnRenamed("cid", "code")),
-            Seq("m", "code"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("score").desc, col("cand_id").asc)
-        db.join(broadcast(q), "m")
-          .withColumn("sc",
-            expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
-          .groupBy(col("q_id"), col("cand_id"))
-          .agg(sum(col("sc")).as("score"))
-          .filter(col("cand_id") =!= col("q_id"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("q_id"), col("cand_id"), col("score"), col("rank"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => pqTopK(s, d, 3)
+        .select(col("q_id"), col("cand_id"), col("score"), col("rank"))
+        .orderBy("q_id", "rank"),
       Some(duckPqTopkSql)),
+
+    /** PQ RECALL@3 EVAL — the `sim_ann_recall` discipline applied to the
+      * OTHER index half: per query, how many of the exact brute-force top-3
+      * the compressed ADC serving path returned (1000‰ = lossless ranking).
+      * PQ is a lossy code; production watches this number after every
+      * codebook retrain, because distortion creep (corpus drift away from
+      * the trained centroids) degrades serving silently while `sim_pq_codes`'
+      * dist2_total still looks plausible. Cost: the brute pass runs on the
+      * QUERY SAMPLE only (queries broadcast over one corpus scan); the PQ
+      * side probes the persisted code table + memoized codebook — no
+      * training, no raw-vector scan. The left join from the exact top-3
+      * guarantees every query reports, hits or not. */
+    QueryDef(
+      "sim_pq_recall",
+      (s, d) => {
+        val pq = pqTopK(s, d, 3)
+          .select(col("q_id"), col("cand_id")).withColumn("hit", lit(1))
+        bruteTopK(s, d, 3)
+          .select(col("q_id"), col("cand_id"))
+          .join(pq, Seq("q_id", "cand_id"), "left_outer")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .withColumn("recall_permille", expr("(1000 * n_hits) div 3"))
+          .orderBy("q_id")
+      },
+      Some(duckPqRecallSql)),
 
     /** IVF-PQ COMPOSITE SERVING — the two index halves composed into the
       * FAISS `IndexIVFPQ` shape that actually serves billion-vector

@@ -696,6 +696,70 @@ object TextStats {
              |       MIN(pos) AS pos_first, MAX(pos) AS pos_last
              |FROM c GROUP BY doc_id, chunk_seq
              |ORDER BY doc_id, chunk_seq""".stripMargin)),
+
+    /** PII SCRUBBING — the privacy-redaction battery every pretraining
+      * pipeline runs before text ships: emails, IPv4 addresses, phone-shaped
+      * numbers and long account-number digit runs are replaced by typed
+      * placeholder tags, with per-document redaction counts as the audit
+      * output. The fixture corpus is synthetic and PII-free, so the query
+      * PLANTS a deterministic contact footer derived from doc_id (the same
+      * concat expression in both engines) and then proves the scrubber
+      * strips exactly those spans — on a real corpus the identical battery
+      * runs over the raw text. Patterns are written escape-free (character
+      * classes only) so Java regex and RE2 agree literally; each pattern is
+      * counted on the PREVIOUS stage's output and replaced in the same
+      * order (email → ip → phone → id), so a span consumed by an earlier
+      * stage can never double-count in a later one. Distributed shape: a
+      * narrow per-row map — no shuffle, no UDF, all four regexes inside one
+      * whole-stage-codegen projection; the only ordering cost is the
+      * driver-contract ORDER BY. */
+    QueryDef(
+      "tx_pii_scrub",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("concat(text, ' contact user', CAST(doc_id AS STRING), " +
+            "'@example.com tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+            "' host 10.0.', CAST(doc_id % 256 AS STRING), '.', " +
+            "CAST((doc_id * 7) % 256 AS STRING), ' acct ', " +
+            "CAST(100000 + doc_id AS STRING))").as("body"))
+        .withColumn("n_emails",
+          expr("CAST(regexp_count(body, '[a-z0-9._]+@[a-z0-9.]+') AS BIGINT)"))
+        .withColumn("t1",
+          expr("regexp_replace(body, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>')"))
+        .withColumn("n_ips",
+          expr("CAST(regexp_count(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+') AS BIGINT)"))
+        .withColumn("t2",
+          expr("regexp_replace(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>')"))
+        .withColumn("n_phones",
+          expr("CAST(regexp_count(t2, '[0-9]{3}-[0-9]{4}') AS BIGINT)"))
+        .withColumn("t3",
+          expr("regexp_replace(t2, '[0-9]{3}-[0-9]{4}', '<PHONE>')"))
+        .withColumn("n_ids", expr("CAST(regexp_count(t3, '[0-9]{6,}') AS BIGINT)"))
+        .withColumn("clean", expr("regexp_replace(t3, '[0-9]{6,}', '<ID>')"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          col("n_ids"), md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |       || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |       || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |       || CAST((doc_id * 7) % 256 AS VARCHAR)
+             |       || ' acct ' || CAST(100000 + doc_id AS VARCHAR) AS body
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |  CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+             |  regexp_replace(body, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1 FROM b),
+             |s2 AS (SELECT doc_id, n_emails,
+             |  CAST(len(regexp_extract_all(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ips,
+             |  regexp_replace(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS t2 FROM s1),
+             |s3 AS (SELECT doc_id, n_emails, n_ips,
+             |  CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(t2, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t3 FROM s2),
+             |s4 AS (SELECT doc_id, n_emails, n_ips, n_phones,
+             |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS BIGINT) AS n_ids,
+             |  regexp_replace(t3, '[0-9]{6,}', '<ID>', 'g') AS clean FROM s3)
+             |SELECT doc_id, n_emails, n_ips, n_phones, n_ids, md5(clean) AS clean_md5
+             |FROM s4 ORDER BY doc_id""".stripMargin)),
   )
 
   /** CDC gram stream: one row per 4-gram with its running chunk number.

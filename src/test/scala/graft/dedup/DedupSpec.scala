@@ -269,4 +269,38 @@ class DedupSpec extends AnyFunSuite {
       assert(err == math.abs(est - exact), s"($a,$b): err must restate |est - exact|")
     }
   }
+
+  test("dd_line_dedup: kept spans equal distinct spans; a planted repeated line is removed") {
+    val r = run("dd_line_dedup").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.forall { case (_, nl, rm, kept) =>
+      rm >= 0 && rm <= nl && kept == Dedup.LineTok * (nl - rm)
+    })
+    val totLines = r.map(_._2).sum
+    val totRemoved = r.map(_._3).sum
+    assert(totRemoved > 0, "fixture vocabulary must produce cross-doc span collisions")
+    // First-occurrence keep ⇒ surviving spans are exactly the DISTINCT spans.
+    val lt = Dedup.LineTok
+    val distinct = graft.Tables.documents(spark, sf)
+      .select(expr("split(trim(text), ' +')").as("t"))
+      .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $lt"))
+      .filter(col("nl") >= 1)
+      .select(explode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
+        s"i -> array_join(slice(t, i * $lt + 1, $lt), ' '))")).as("line"))
+      .distinct().count()
+    assert(totLines - totRemoved == distinct,
+      s"kept ${totLines - totRemoved} != distinct $distinct")
+    // Planted: doc B repeats doc A's only span; only B's copy is removed,
+    // and A keeps first-occurrence priority by doc_id order.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("line_dedup").toString
+    Seq((900000L, "alpha beta gamma delta", "en", "s0", 22L),
+        (900001L, "alpha beta gamma other words here", "en", "s0", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = run2("dd_line_dedup", dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(p(900000L) == ((1L, 0L)), "first occurrence keeps its span")
+    assert(p(900001L) == ((2L, 1L)), "the repeated span is removed, the novel one kept")
+  }
 }

@@ -244,4 +244,20 @@ class SimilaritySpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean >= 0.65, s"IVF-PQ mean quality ratio $mean below floor (per-query: $ratios)")
   }
+
+  test("sim_pq_recall: every query reports; hits restate the pq∩brute top-3 overlap") {
+    val rec = run("sim_pq_recall").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute3 = run("sim_topk_brute").filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq3 = run("sim_pq_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rec.keySet == brute3.map(_._1), "one row per brute query, hits or not")
+    rec.foreach { case (q, (hits, permille)) =>
+      assert(hits >= 0 && hits <= 3)
+      assert(permille == 1000 * hits / 3, s"query $q: permille must restate hits")
+      val overlap = (brute3.filter(_._1 == q) intersect pq3.filter(_._1 == q)).size
+      assert(hits == overlap, s"query $q: n_hits $hits != actual overlap $overlap")
+    }
+  }
 }

@@ -229,4 +229,30 @@ class TextStatsSpec extends AnyFunSuite {
       assert(permille > 0 && permille < 1000, s"doc $id: shared mass strictly partial")
     }
   }
+
+  test("tx_pii_scrub: planted footer counts once per class; in-text PII is also caught") {
+    val sf = TestSpark.sf
+    val q = TextStats.defs.find(_.name == "tx_pii_scrub").get
+    // Fixture corpus is PII-free, so every doc reports EXACTLY the planted
+    // footer: one email, one IP, one phone, one account id.
+    val base = q.fn(spark, sf).collect()
+    assert(base.nonEmpty)
+    base.foreach { r =>
+      assert((1 to 4).forall(i => r.getLong(i) == 1L),
+        s"doc ${r.getLong(0)}: fixture text must contribute no extra redactions")
+    }
+    // A crafted doc carrying one REAL instance of each class in its body
+    // must count 2 per class (body + footer) — the battery scrubs raw
+    // text, not just the planted spans.
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii_docs").toString
+    Seq((77L,
+      "reach bob.smith@mail.example.org from 10.1.2.3 call 555-0100 ref 12345678",
+      "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = q.fn(spark, dir).collect().head
+    assert((1 to 4).forall(i => p.getLong(i) == 2L),
+      s"crafted doc: each class must count body + footer, got ${p.toSeq}")
+  }
 }
