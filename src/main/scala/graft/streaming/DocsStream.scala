@@ -198,6 +198,55 @@ object DocsStream {
     spark.table(queryName).orderBy("source")
   }
 
+  /** Landing-zone PII GATE rollup: the tx_pii_scrub battery (same pattern
+    * constants — graft.text.TextStats owns them, so batch scrub and stream
+    * monitor cannot drift on what counts as PII) aggregated to a per-source
+    * redaction rate — the privacy monitor a continuously-fed pipeline
+    * watches to catch a source that starts leaking contact data BEFORE its
+    * documents hit training shards. The fixture corpus is PII-free, so docs
+    * with `doc_id % 7 = 0` get the deterministic planted contact footer
+    * (same concat both engines) and the rest stay clean — per-source rates
+    * are non-trivial and the zero path is exercised. Stream-legal: one
+    * narrow battery projection (all four regex stages in one codegen pass),
+    * ONE aggregation over a handful of source keys — state is O(sources),
+    * not O(docs). */
+  def piiGate(docs: DataFrame): DataFrame = {
+    import graft.text.TextStats.{PiiEmail, PiiId, PiiIp, PiiPhone}
+    docs
+      .select(col("source"),
+        expr("CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', " +
+          "CAST(doc_id AS STRING), '@example.com tel 555-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' host 10.0.', " +
+          "CAST(doc_id % 256 AS STRING), '.', CAST((doc_id * 7) % 256 AS STRING), " +
+          "' acct ', CAST(100000 + doc_id AS STRING)) ELSE text END").as("body"))
+      .withColumn("n1", expr(s"CAST(regexp_count(body, '$PiiEmail') AS BIGINT)"))
+      .withColumn("t1", expr(s"regexp_replace(body, '$PiiEmail', '<EMAIL>')"))
+      .withColumn("n2", expr(s"CAST(regexp_count(t1, '$PiiIp') AS BIGINT)"))
+      .withColumn("t2", expr(s"regexp_replace(t1, '$PiiIp', '<IP>')"))
+      .withColumn("n3", expr(s"CAST(regexp_count(t2, '$PiiPhone') AS BIGINT)"))
+      .withColumn("t3", expr(s"regexp_replace(t2, '$PiiPhone', '<PHONE>')"))
+      .withColumn("n4", expr(s"CAST(regexp_count(t3, '$PiiId') AS BIGINT)"))
+      .withColumn("n_pii", expr("n1 + n2 + n3 + n4"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pii")).as("n_redactions"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_pii"))
+      .withColumn("pii_permille", expr("(1000 * n_docs_pii) div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_redactions"),
+        col("n_docs_pii"), col("pii_permille"))
+  }
+
+  /** [[piiGate]] as an incremental stream over an arriving-files directory
+    * (complete-mode memory sink, AvailableNow). */
+  def runPiiGateStream(spark: SparkSession, docsDir: String,
+      queryName: String = "pii_gate"): DataFrame = {
+    val q = piiGate(spark.readStream.schema(docsSchema).parquet(docsDir))
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("source")
+  }
+
   /** Registered batch variant (the st_* convention: batch semantics under
     * the oracle, stream ≡ batch pinned by DocsStreamSpec). */
   val defs: Seq[graft.QueryDef] = Seq(
@@ -236,5 +285,39 @@ object DocsStream {
               |                              AND (100 * n_stop) // n_tokens < 40
               |                             THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
               |         AS pass_permille
-              |FROM v GROUP BY source ORDER BY source""".stripMargin)))
+              |FROM v GROUP BY source ORDER BY source""".stripMargin)),
+    graft.QueryDef(
+      "st_pii_gate",
+      (s, d) => piiGate(graft.Tables.documents(s, d)).orderBy("source"),
+      Some {
+        import graft.text.TextStats.{PiiEmail, PiiId, PiiIp, PiiPhone}
+        s"""WITH b AS (SELECT source,
+           |  CASE WHEN doc_id % 7 = 0 THEN
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |         || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+           |         || CAST((doc_id * 7) % 256 AS VARCHAR)
+           |         || ' acct ' || CAST(100000 + doc_id AS VARCHAR)
+           |  ELSE text END AS body
+           |  FROM documents),
+           |s1 AS (SELECT source,
+           |  CAST(len(regexp_extract_all(body, '$PiiEmail')) AS BIGINT) AS n1,
+           |  regexp_replace(body, '$PiiEmail', '<EMAIL>', 'g') AS t1 FROM b),
+           |s2 AS (SELECT source, n1,
+           |  CAST(len(regexp_extract_all(t1, '$PiiIp')) AS BIGINT) AS n2,
+           |  regexp_replace(t1, '$PiiIp', '<IP>', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT source, n1, n2,
+           |  CAST(len(regexp_extract_all(t2, '$PiiPhone')) AS BIGINT) AS n3,
+           |  regexp_replace(t2, '$PiiPhone', '<PHONE>', 'g') AS t3 FROM s2),
+           |s4 AS (SELECT source,
+           |  n1 + n2 + n3 + CAST(len(regexp_extract_all(t3, '$PiiId')) AS BIGINT)
+           |    AS n_pii FROM s3)
+           |SELECT source, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_pii) AS BIGINT) AS n_redactions,
+           |       CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_docs_pii,
+           |       (1000 * CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT))
+           |         // COUNT(*) AS pii_permille
+           |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+      }))
 }

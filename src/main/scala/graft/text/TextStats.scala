@@ -26,6 +26,17 @@ object TextStats {
     * the gate's verdict must be the same expression batch and stream. */
   private[graft] val stopList = "('the', 'a', 'of', 'and', 'to')"
 
+  /** PII battery patterns, shared by [[defs tx_pii_scrub]] and the
+    * streaming landing gate (graft.streaming.DocsStream.piiGate) so batch
+    * scrub and stream monitor agree on what counts as PII. Escape-free
+    * (character classes only) so Java regex and RE2 read them identically;
+    * applied in declaration order (email → ip → phone → id), each class
+    * counted on the PREVIOUS stage's scrubbed output. */
+  private[graft] val PiiEmail = "[a-z0-9._]+@[a-z0-9.]+"
+  private[graft] val PiiIp = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+  private[graft] val PiiPhone = "[0-9]{3}-[0-9]{4}"
+  private[graft] val PiiId = "[0-9]{6,}"
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -723,23 +734,19 @@ object TextStats {
             "CAST((doc_id * 7) % 256 AS STRING), ' acct ', " +
             "CAST(100000 + doc_id AS STRING))").as("body"))
         .withColumn("n_emails",
-          expr("CAST(regexp_count(body, '[a-z0-9._]+@[a-z0-9.]+') AS BIGINT)"))
-        .withColumn("t1",
-          expr("regexp_replace(body, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>')"))
-        .withColumn("n_ips",
-          expr("CAST(regexp_count(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+') AS BIGINT)"))
-        .withColumn("t2",
-          expr("regexp_replace(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>')"))
+          expr(s"CAST(regexp_count(body, '$PiiEmail') AS BIGINT)"))
+        .withColumn("t1", expr(s"regexp_replace(body, '$PiiEmail', '<EMAIL>')"))
+        .withColumn("n_ips", expr(s"CAST(regexp_count(t1, '$PiiIp') AS BIGINT)"))
+        .withColumn("t2", expr(s"regexp_replace(t1, '$PiiIp', '<IP>')"))
         .withColumn("n_phones",
-          expr("CAST(regexp_count(t2, '[0-9]{3}-[0-9]{4}') AS BIGINT)"))
-        .withColumn("t3",
-          expr("regexp_replace(t2, '[0-9]{3}-[0-9]{4}', '<PHONE>')"))
-        .withColumn("n_ids", expr("CAST(regexp_count(t3, '[0-9]{6,}') AS BIGINT)"))
-        .withColumn("clean", expr("regexp_replace(t3, '[0-9]{6,}', '<ID>')"))
+          expr(s"CAST(regexp_count(t2, '$PiiPhone') AS BIGINT)"))
+        .withColumn("t3", expr(s"regexp_replace(t2, '$PiiPhone', '<PHONE>')"))
+        .withColumn("n_ids", expr(s"CAST(regexp_count(t3, '$PiiId') AS BIGINT)"))
+        .withColumn("clean", expr(s"regexp_replace(t3, '$PiiId', '<ID>')"))
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           col("n_ids"), md5(col("clean")).as("clean_md5"))
         .orderBy("doc_id"),
-      Some("""WITH b AS (SELECT doc_id,
+      Some(s"""WITH b AS (SELECT doc_id,
              |  text || ' contact user' || CAST(doc_id AS VARCHAR)
              |       || '@example.com tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
              |       || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
@@ -747,17 +754,17 @@ object TextStats {
              |       || ' acct ' || CAST(100000 + doc_id AS VARCHAR) AS body
              |  FROM documents),
              |s1 AS (SELECT doc_id,
-             |  CAST(len(regexp_extract_all(body, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
-             |  regexp_replace(body, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1 FROM b),
+             |  CAST(len(regexp_extract_all(body, '$PiiEmail')) AS BIGINT) AS n_emails,
+             |  regexp_replace(body, '$PiiEmail', '<EMAIL>', 'g') AS t1 FROM b),
              |s2 AS (SELECT doc_id, n_emails,
-             |  CAST(len(regexp_extract_all(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ips,
-             |  regexp_replace(t1, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS t2 FROM s1),
+             |  CAST(len(regexp_extract_all(t1, '$PiiIp')) AS BIGINT) AS n_ips,
+             |  regexp_replace(t1, '$PiiIp', '<IP>', 'g') AS t2 FROM s1),
              |s3 AS (SELECT doc_id, n_emails, n_ips,
-             |  CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-             |  regexp_replace(t2, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t3 FROM s2),
+             |  CAST(len(regexp_extract_all(t2, '$PiiPhone')) AS BIGINT) AS n_phones,
+             |  regexp_replace(t2, '$PiiPhone', '<PHONE>', 'g') AS t3 FROM s2),
              |s4 AS (SELECT doc_id, n_emails, n_ips, n_phones,
-             |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS BIGINT) AS n_ids,
-             |  regexp_replace(t3, '[0-9]{6,}', '<ID>', 'g') AS clean FROM s3)
+             |  CAST(len(regexp_extract_all(t3, '$PiiId')) AS BIGINT) AS n_ids,
+             |  regexp_replace(t3, '$PiiId', '<ID>', 'g') AS clean FROM s3)
              |SELECT doc_id, n_emails, n_ips, n_phones, n_ids, md5(clean) AS clean_md5
              |FROM s4 ORDER BY doc_id""".stripMargin)),
   )

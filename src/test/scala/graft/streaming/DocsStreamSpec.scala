@@ -154,4 +154,29 @@ class DocsStreamSpec extends AnyFunSuite {
       .select("source").distinct().count()
     assert(batch.size.toLong == sources)
   }
+
+  test("streaming PII gate equals the registered batch variant; rates restate the planted rule") {
+    val land = java.nio.file.Files.createTempDirectory("docs_pii").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = DocsStream.runPiiGateStream(
+      spark, s"$land/arrivals", "pii_gate_spec").collect().toSeq
+    val batch = DocsStream.defs.find(_.name == "st_pii_gate").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // Fixture text is PII-free, so flagged docs are EXACTLY the planted
+    // doc_id % 7 = 0 footers (4 redactions each), per source.
+    val planted = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 7 = 0"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    batch.foreach { r =>
+      val (src, nDocs, nRed, nPii, permille) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nPii == planted.getOrElse(src, 0L), s"$src: flagged != planted")
+      assert(nRed == 4 * nPii, s"$src: each planted footer carries 4 redactions")
+      assert(permille == 1000 * nPii / nDocs)
+    }
+  }
 }
