@@ -1108,18 +1108,20 @@ object Dedup {
       * pick. Emitted per document: span count, spans removed, tokens kept.
       *
       * Distributed shape: tokenization is materialized BEFORE the explode
-      * (the tx_winnowing lesson), lines shuffle once on their content to
-      * rank occurrences, and the per-doc rollup shuffles pair-sized
-      * (doc_id, flag) rows — no pair expansion anywhere, so the whole
-      * operator is linear in corpus size. At 100 TB the window over a
-      * hot boilerplate line is a skewed key; the production form salts the
-      * rank by hashing (line → first (doc_id, pos) via min-struct) which
-      * is an aggregation, not a window — kept as the window form here
-      * because the oracle must replay the identical keep decision. */
+      * (the tx_winnowing lesson), and the keep decision is an AGGREGATION,
+      * not a window — each line's keeper is `min(struct(doc_id, pos))`
+      * (identical semantics to first-by-(doc_id, pos), which the oracle
+      * replays as rn = 1), and a doc's removed count is just its line count
+      * minus the lines it keeps, read off the keeper table with NO join
+      * back to the raw line stream. That matters at 100 TB because
+      * boilerplate lines are BY DEFINITION hot keys: a window form sorts
+      * every copy of a million-copy cookie banner in one partition, while
+      * the min-struct aggregate collapses copies map-side to one partial
+      * per task. Two map-combinable shuffles (line-keyed, then doc-keyed),
+      * no pair expansion anywhere — linear end to end. */
     QueryDef(
       "dd_line_dedup",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
           .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
@@ -1128,15 +1130,19 @@ object Dedup {
             posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
               s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
               .as(Seq("pos", "line")))
-        val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("pos"))
-        val removed = lines
-          .withColumn("rn", row_number().over(w))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+        // Keeper key packed into ONE BIGINT (doc_id * 2^20 + pos): min over
+        // a scalar hash-aggregates (a struct min forces SortAggregate +
+        // per-task sorts); ordering is identical while pos < 2^20, i.e.
+        // docs under ~3M tokens at LineTok=3 — states the packing contract.
+        val keepPerDoc = lines
+          .groupBy(col("line"))
+          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
+          .groupBy(expr("kp div 1048576").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"))
         docs.select(col("doc_id"), col("nl").as("n_lines"))
-          .join(removed, Seq("doc_id"), "left_outer")
+          .join(keepPerDoc, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("n_lines"),
-            coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+            (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
           .withColumn("n_tokens_kept", expr(s"$LineTok * (n_lines - n_removed)"))
           .orderBy("doc_id")
       },
