@@ -919,6 +919,65 @@ object Analytics {
              |       (1000 * ((1000000 * weight_micro) // tot_w))
              |         // ((1000000 * n_docs) // tot_docs) AS boost_permille
              |FROM n, tot ORDER BY source""".stripMargin)),
+
+    /** CORPUS RELEASE DIFF — what changed between dataset version v1 and
+      * v2, by identity (doc_id) AND content (text fingerprint): the
+      * data-versioning report a pipeline publishes with every release so
+      * consumers know whether to re-train (`added`/`removed` shift the
+      * mix, `changed` silently invalidates cached features). The fixture
+      * ships one corpus version, so v2 is DERIVED deterministically in both
+      * engines — drop doc_id % 13 = 0 (deletions), append a marker to
+      * doc_id % 7 = 0 (content edits), re-id doc_id % 11 = 0 as
+      * doc_id + 1000000 (additions) — exercising all four verdicts with
+      * non-trivial per-source counts.
+      *
+      * Distributed shape: one md5 fingerprint per side (narrow), ONE
+      * full-outer join on doc_id (the only corpus-sized shuffle; at scale
+      * both releases would be bucketed by doc_id and the join co-locates),
+      * verdict as a map-side CASE, source × status rollup of schema-sized
+      * output. No windows, no pair expansion. */
+    QueryDef(
+      "an_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.select(col("doc_id"), col("source").as("src1"),
+          md5(col("text")).as("fp1"))
+        val v2base = docs.filter(expr("doc_id % 13 <> 0"))
+          .select(col("doc_id"), col("source"),
+            expr("CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') " +
+              "ELSE text END").as("text"))
+        val v2 = v2base
+          .select(expr("CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000 " +
+              "ELSE doc_id END").as("doc_id"),
+            col("source").as("src2"), md5(col("text")).as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status", expr(
+            """CASE WHEN fp1 IS NULL THEN 'added'
+              |     WHEN fp2 IS NULL THEN 'removed'
+              |     WHEN fp1 = fp2 THEN 'unchanged'
+              |     ELSE 'changed' END""".stripMargin))
+          .withColumn("source", coalesce(col("src1"), col("src2")))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source AS src1, md5(text) AS fp1
+             |            FROM documents),
+             |v2b AS (SELECT doc_id, source,
+             |          CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+             |            AS text
+             |        FROM documents WHERE doc_id % 13 <> 0),
+             |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
+             |                   ELSE doc_id END AS doc_id,
+             |              source AS src2, md5(text) AS fp2 FROM v2b),
+             |j AS (SELECT COALESCE(v1.src1, v2.src2) AS source,
+             |             CASE WHEN fp1 IS NULL THEN 'added'
+             |                  WHEN fp2 IS NULL THEN 'removed'
+             |                  WHEN fp1 = fp2 THEN 'unchanged'
+             |                  ELSE 'changed' END AS status
+             |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT source, status, COUNT(*) AS n_docs
+             |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

@@ -240,4 +240,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(flags.count(identity) == 1 && flags.last,
       "BigInt replay: only the planted 3x day is anomalous at 1e8/day scale")
   }
+
+  test("an_corpus_diff: status totals restate the v2 derivation rule exactly") {
+    val sf = TestSpark.sf
+    val got = Analytics.defs.find(_.name == "an_corpus_diff").get.fn(spark, sf)
+      .collect()
+      .groupBy(_.getString(1)).map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    def n(pred: String) =
+      graft.Tables.documents(spark, sf).filter(expr(pred)).count()
+    val deleted = n("doc_id % 13 = 0")
+    val reIdd = n("doc_id % 11 = 0 AND doc_id % 13 <> 0")
+    val edited = n("doc_id % 7 = 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0")
+    val total = n("true")
+    assert(got("added") == reIdd, "added = re-id'd survivors")
+    assert(got("removed") == deleted + reIdd,
+      "removed = deletions + originals of re-id'd docs")
+    assert(got("changed") == edited, "changed = edited survivors keeping their id")
+    assert(got("unchanged") == total - deleted - reIdd - edited)
+  }
 }
