@@ -824,6 +824,61 @@ object Dedup {
              |FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    /** SEMANTIC DEDUP (the SemDeDup shape): embedding-level dedup as a
+      * per-vector KEEP VERDICT, not just a pair list — within each trained
+      * IVF cell, a vector is dropped when a LOWER-ID vector in the same
+      * cell sits above the cosine threshold, so exactly one representative
+      * per near-duplicate semantic group survives (the min-id keep rule,
+      * dd_exact's canonical discipline applied to embeddings). This is the
+      * semantic counterpart of text near-dup: paraphrases and re-encodes
+      * that share no n-grams land in one cell with cosine ~1 and dedup
+      * here, invisibly to every lexical screen.
+      *
+      * Scale shape: identical to [[defs dd_embed_cosine]] (cell-blocked
+      * pair mass N²/K = N^1.5, cell-parallel, annotated `pairs` in
+      * SCALING.md; at 100 TB cells get the MaxBucket cap + multi-assign);
+      * the verdict adds one vec-keyed rollup and a left join from the
+      * cell-assignment ARTIFACT — the pair stream is never re-scanned. */
+    QueryDef(
+      "dd_semantic_dedup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val asg = graft.sim.Similarity.assignCells(s, d)
+          .select(col("vec_id"), col("cell"))
+        val ev = e.join(asg, "vec_id")
+        val l = ev.select(col("vec_id").as("vec_a"), col("v").as("va"), col("cell"))
+        val r = ev.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+          col("cell").as("cell2"))
+        val dups = l.join(r, l("cell") === r("cell2") && l("vec_a") > r("vec_b"))
+          .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
+          .filter(col("cos6") >= 0.35)
+          .groupBy(col("vec_a"))
+          .agg(count(lit(1)).as("n_dups"))
+          .withColumnRenamed("vec_a", "vec_id")
+        asg.join(dups, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .withColumn("status",
+            when(col("n_dups") > 0, "drop").otherwise("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${graft.sim.Similarity.duckKmeansChain()},
+             |ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+             |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i])) AS dot,
+             |        list_sum(list_transform(a.v, x -> x * x)) AS na,
+             |        list_sum(list_transform(c.v, x -> x * x)) AS nb
+             |      FROM ev a JOIN ev c ON a.cell = c.cell AND a.vec_id > c.vec_id),
+             |dd AS (SELECT vec_a AS vec_id, COUNT(*) AS n_dups FROM p
+             |       WHERE round(dot / sqrt(na * nb), 6) >= 0.35 GROUP BY vec_a)
+             |SELECT a.vec_id, a.cell,
+             |       CAST(COALESCE(dd.n_dups, 0) AS BIGINT) AS n_dups,
+             |       CASE WHEN COALESCE(dd.n_dups, 0) > 0 THEN 'drop'
+             |            ELSE 'keep' END AS status
+             |FROM assign a LEFT JOIN dd USING (vec_id) ORDER BY a.vec_id""".stripMargin)),
+
     /** DECONTAMINATION: flag corpus documents that share any word 3-gram
       * with a benchmark/eval set (stand-in: the src0 documents) — the
       * GPT-3-style n-gram overlap scrub every pretraining pipeline runs so

@@ -303,4 +303,24 @@ class DedupSpec extends AnyFunSuite {
     assert(p(900000L) == ((1L, 0L)), "first occurrence keeps its span")
     assert(p(900001L) == ((2L, 1L)), "the repeated span is removed, the novel one kept")
   }
+
+  test("dd_semantic_dedup: drop set is exactly the higher-id side of dd_embed_cosine pairs") {
+    val verdicts = run("dd_semantic_dedup").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val pairs = run("dd_embed_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a vector drops iff it is the HIGHER id of at least one >=tau same-cell
+    // pair; its n_dups is the count of such pairs
+    val dupCounts = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.length.toLong }
+    verdicts.foreach { case (id, _, nDups, status) =>
+      assert(nDups == dupCounts.getOrElse(id, 0L), s"vec $id: n_dups mismatch")
+      assert((status == "drop") == (nDups > 0), s"vec $id: status != n_dups verdict")
+    }
+    // exactly-one-representative floor: the min id of every cell always keeps
+    verdicts.groupBy(_._2).foreach { case (cell, vs) =>
+      val minId = vs.map(_._1).min
+      assert(vs.find(_._1 == minId).get._4 == "keep", s"cell $cell: min id must keep")
+    }
+    assert(verdicts.exists(_._4 == "drop"), "fixture must exercise the drop path")
+  }
 }
