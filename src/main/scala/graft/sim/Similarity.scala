@@ -731,6 +731,73 @@ object Similarity {
               |  ON i.q_id = b.q_id AND i.cand_id = b.cand_id
               |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)),
 
+    /** FILTERED ANN — top-3 within the query's LABEL, the
+      * metadata-predicate vector search every retrieval system serves
+      * ("nearest within this category/tenant/language"). The predicate is
+      * applied PRE-scoring, inside the candidate join condition, so the
+      * exact-cosine re-rank touches only label-matching candidates from the
+      * probed cells — the pre-filter strategy, correct when the filter is
+      * selective enough that probed cells still hold matches (the fixture's
+      * 10 labels ≈ 10% selectivity; a near-empty post-filter result is the
+      * signal to raise nprobe, which [[SqrtNProbe]]'s scaling note covers).
+      * Same artifact-probing plan as sim_ann_ivf plus one narrow label
+      * attach on each side; queries and their labels ride the same
+      * broadcast. A query whose probed cells hold fewer than 3 same-label
+      * candidates reports fewer rows — in both engines, by construction. */
+    QueryDef(
+      "sim_ann_filtered",
+      (s, d) => {
+        val e = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
+        val cdf = centroidsDf(s, trainKMeans(s, d, K, Iters))
+        val asg = cellsStored(s, d, K).select(col("vec_id"), col("cell"))
+        val wq = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos6").desc, col("cid").asc)
+        val probes = e.filter(col("vec_id") < 8)
+          .crossJoin(broadcast(cdf))
+          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("v").as("va"),
+            col("label").as("q_label"), col("cid").as("probe_cell"))
+        val c = e.join(asg, "vec_id")
+          .select(col("vec_id").as("cand_id"), col("v").as("vb"),
+            col("cell"), col("label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos6").desc, col("cand_id").asc)
+        c.join(broadcast(probes),
+            c("cell") === probes("probe_cell") &&
+              col("label") === col("q_label") && col("cand_id") =!= col("q_id"))
+          .withColumn("cos6", expr(cosExpr))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("q_label").as("label"), col("cand_id"),
+            col("cos6"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val pcos = duckCosOf("e.v", "c.cv")
+        s"""WITH ${duckKmeansChain()},
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |probes AS (SELECT vec_id AS q_id, va, q_label, probe_cell FROM (
+           |  SELECT e.vec_id, e.v AS va, l.label AS q_label, c.cid AS probe_cell,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
+           |  FROM e JOIN lab l USING (vec_id), c$Iters c
+           |  WHERE e.vec_id < 8) WHERE rn <= $NProbe),
+           |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell, l.label
+           |          FROM assign a JOIN e USING (vec_id) JOIN lab l USING (vec_id)),
+           |r AS (SELECT p.q_id, p.q_label AS label, c.cand_id,
+           |             ${duckCosOf("p.va", "c.vb")} AS cos6,
+           |             row_number() OVER (PARTITION BY p.q_id
+           |                                ORDER BY ${duckCosOf("p.va", "c.vb")} DESC,
+           |                                         c.cand_id ASC) AS rank
+           |      FROM probes p JOIN cands c
+           |        ON c.cell = p.probe_cell AND c.label = p.q_label
+           |           AND c.cand_id <> p.q_id)
+           |SELECT q_id, label, cand_id, cos6, CAST(rank AS INTEGER) AS rank
+           |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     /** EMBEDDING QUANTIZATION (asymmetric per-vector uint8) — the 4x
       * memory/IO compression step before an ANN index ships to serving:
       * q_i = (v_i + m) * 127 / (2m) with m = max|v_i|, mapping [-m, m] to

@@ -260,4 +260,33 @@ class SimilaritySpec extends AnyFunSuite {
       assert(hits == overlap, s"query $q: n_hits $hits != actual overlap $overlap")
     }
   }
+
+  test("sim_ann_filtered: every hit matches the query's label; filter can only lower the best score") {
+    val labels = graft.Tables.embeddings(spark, sf).select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val filt = run("sim_ann_filtered").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(filt.nonEmpty)
+    filt.foreach { case (q, lbl, cand, _, _) =>
+      assert(lbl == labels(q), s"query $q: emitted label must be the query's")
+      assert(labels(cand) == lbl, s"query $q: candidate $cand fails the label filter")
+      assert(cand != q, "self excluded")
+    }
+    // per query: ranks dense from 1, cosine non-increasing in rank
+    filt.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length).toSeq, s"query $q: ranks not dense")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"query $q: cosine must be non-increasing in rank")
+    }
+    // filtered candidates are a subset of the unfiltered probe space, so the
+    // filtered best score can never exceed the unfiltered best score
+    val unfilt1 = run("sim_ann_ivf").filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    filt.filter(_._5 == 1).foreach { case (q, _, _, cos, _) =>
+      assert(cos <= unfilt1(q) + 1e-9, s"query $q: filtered best beats unfiltered best")
+    }
+  }
 }
