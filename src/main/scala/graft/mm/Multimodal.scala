@@ -222,5 +222,74 @@ object Multimodal {
              |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
              |FROM cand WHERE bit_count(xor(pa, pb)) <= 8
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** VIDEO NEAR-DUP via shared frame fingerprints — the shot-level dedup
+      * shape for media: two payloads are near-dups when ≥ 2 of their
+      * SAMPLED frames (every 4th 32-byte block, [[defs mm_frame_sample]]'s
+      * exact contract) carry identical fingerprints, scored by containment
+      * against the SMALLER payload's sampled-frame count (the
+      * dd_containment discipline: a clip embedded in a longer cut reads
+      * ~1000‰ where symmetric overlap dilutes). This is the
+      * re-encode/re-mux detector: container metadata changes every byte
+      * hash, but unchanged frame content keeps its per-frame fingerprints.
+      *
+      * Scale shape: one narrow frame-hash pass (explode is per-doc,
+      * nothing shuffles until the index), DISTINCT (doc, frame-hash)
+      * postings, inverted index on the fingerprint with the shared
+      * MaxBucket cap (a stop-frame — black/silence — must not go
+      * quadratic), pair rollup + two pair-sized count joins. Identical
+      * economics to dd_winnow_pairs, applied to media frames. (Oracle
+      * note: fixture payloads are pure ASCII, so DuckDB's string substr
+      * sees the same bytes Spark slices from the utf8 payload —
+      * mm_frame_sample's documented equivalence.) */
+    QueryDef(
+      "mm_video_dedup",
+      (s, d) => {
+        val fr = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .withColumn("nf", expr("(length(payload) + 31) div 32"))
+          .filter(col("nf") >= 1)
+          .select(col("doc_id"), col("payload"),
+            explode(expr("sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT))"))
+              .as("frame_idx"))
+          .select(col("doc_id"),
+            expr("md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
+              .as("fh"))
+          .distinct()
+        val n = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
+        val buckets = fr.groupBy(col("fh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        graft.dedup.Dedup.bucketPairs(buckets)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .join(n.select(col("doc_id").as("doc_a"), col("nfr").as("na")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("nfr").as("nb")), "doc_b")
+          .withColumn("containment_permille",
+            expr("(1000 * n_shared) div least(na, nb)"))
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            col("containment_permille"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+             |           FROM documents),
+             |idx AS (SELECT doc_id, text,
+             |          unnest(range(0, (nb + 31) // 32, 4)) AS i FROM f),
+             |h AS (SELECT DISTINCT doc_id,
+             |        md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS fh
+             |      FROM idx),
+             |n AS (SELECT doc_id, COUNT(*) AS nfr FROM h GROUP BY doc_id),
+             |keep AS (SELECT fh FROM h GROUP BY fh
+             |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+             |      FROM h a JOIN keep k ON a.fh = k.fh
+             |           JOIN h b ON b.fh = a.fh AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+             |       (1000 * CAST(n_shared AS BIGINT)) // least(na.nfr, nb.nfr)
+             |         AS containment_permille
+             |FROM p JOIN n na ON na.doc_id = p.doc_a
+             |     JOIN n nb ON nb.doc_id = p.doc_b
+             |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

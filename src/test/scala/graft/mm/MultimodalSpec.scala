@@ -95,4 +95,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(x < y && h >= 0 && h <= 8, s"bad pair ($x,$y,$h)")
     }
   }
+
+  test("mm_video_dedup: a header rewrite keeps frame identity; disjoint payloads don't pair") {
+    val s = spark; import s.implicits._
+    // 256-byte payload = 8 frames, frames 0 and 4 sampled. Doc 2 rewrites
+    // doc 1's first 32 bytes IN PLACE (same length — the re-mux/metadata
+    // edit): sampled frame 0 differs, frame 4 still matches... so force a
+    // second match by using a 512-byte payload (frames 0,4,8,12 sampled;
+    // header edit kills frame 0, frames 4/8/12 survive).
+    val base = (0 until 16).map(i => ('a' + i % 26).toChar.toString * 32).mkString
+    val edited = "Z" * 32 + base.drop(32)
+    val other = (0 until 16).map(i => ('A' + (i * 7) % 26).toChar.toString * 32).mkString
+    val dir = java.nio.file.Files.createTempDirectory("video_docs").toString
+    Seq((1L, base, "en", "s0", 512L), (2L, edited, "en", "s0", 512L),
+        (3L, other, "en", "s0", 512L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.defs.find(_.name == "mm_video_dedup").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val p12 = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(p12.isDefined, s"header-edited copy must still pair: ${got.toSeq}")
+    // 4 sampled frames, the edited header kills exactly frame 0
+    assert(p12.get._3 == 3L && p12.get._4 == 750L,
+      s"expected 3/4 shared frames at 750 permille, got ${p12.get}")
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L),
+      "frame-disjoint payload must not pair")
+  }
 }
