@@ -1218,7 +1218,74 @@ object Dedup {
              |       CAST($LineTok * (d.nl - COALESCE(p.n_removed, 0)) AS BIGINT)
              |         AS n_tokens_kept
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    /** LINE-DEDUP APPLY — the other half of [[defs dd_line_dedup]]: not the
+      * per-doc removal COUNTS but the cleaned corpus itself, each document
+      * re-assembled from only the spans it globally keeps (first occurrence
+      * by (doc_id, pos), same packed-BIGINT keeper rule), in original span
+      * order. This is the operator a training pipeline actually materializes
+      * — C4's rule is "remove the line everywhere but its first occurrence",
+      * and the output here IS that corpus (emitted as md5(clean_text) to
+      * keep the driver compare narrow; the text column is one alias away).
+      *
+      * Distributed shape: the keeper table (one row per DISTINCT line) comes
+      * from a map-combinable min — the million-copy cookie banner collapses
+      * to one partial per task, never one partition. Occurrences then join
+      * the keeper table ON THE SAME line key the aggregation just shuffled
+      * on (exchange reuse: one line-keyed shuffle feeds both), a 1:1-match
+      * fan-in with no expansion. Re-assembly is a per-doc collect of that
+      * doc's own kept spans — bounded by the doc's span count, the same
+      * contract as tx_pack_sequences' per-doc token collect. Linear end to
+      * end, no pair stage, hot lines stay map-side. */
+    QueryDef(
+      "dd_line_dedup_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), expr(toks).as("t"))
+          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+        val lines = docs.filter(col("nl") >= 1)
+          .select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
+              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
+              .as(Seq("pos", "line")))
+        val keep = lines.groupBy(col("line"))
+          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
+        val cleaned = lines.join(keep, Seq("line"))
+          .filter(expr("doc_id * 1048576 + pos = kp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            collect_list(struct(col("pos"), col("line"))).as("pl"))
+          .select(col("doc_id"), col("n_kept"),
+            md5(expr("array_join(transform(array_sort(pl), x -> x.line), ' ')"))
+              .as("clean_md5"))
+        docs.select(col("doc_id"))
+          .join(cleaned, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_md5"), lit(md5Empty)).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+             |           FROM documents),
+             |d AS (SELECT doc_id, t, CAST(len(t) // $LineTok AS BIGINT) AS nl FROM t),
+             |l AS (SELECT doc_id, i AS pos,
+             |        array_to_string(t[i * $LineTok + 1 : i * $LineTok + $LineTok], ' ') AS line
+             |      FROM d, unnest(range(0, nl)) AS u(i)),
+             |k AS (SELECT line, MIN(doc_id * 1048576 + pos) AS kp FROM l GROUP BY line),
+             |kept AS (SELECT l.doc_id, l.pos, l.line
+             |         FROM l JOIN k ON k.line = l.line
+             |              AND l.doc_id * 1048576 + l.pos = k.kp),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |          md5(string_agg(line, ' ' ORDER BY pos)) AS clean_md5
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(agg.n_kept, 0) AS n_kept,
+             |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
+             |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
   )
+
+  /** md5 of the empty string — the clean_md5 of a document with no kept
+    * spans, pinned so both engines state the same constant. */
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 
   /** The dd_clean_corpus keep-set (unordered): quality gate → exact-dedup
     * canonical (min doc_id per fingerprint) → near-dup loser drop at

@@ -304,6 +304,28 @@ class DedupSpec extends AnyFunSuite {
     assert(p(900001L) == ((2L, 1L)), "the repeated span is removed, the novel one kept")
   }
 
+  test("dd_line_dedup_apply: reconstruction keeps first occurrences in span order") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("line_apply").toString
+    // A: two spans, both novel. B: repeats A's first span + one novel span
+    // (kept span must survive IN ORDER after the removed one is dropped).
+    // C: under one span width -> empty reconstruction, md5('') pinned.
+    Seq((910000L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L),
+        (910001L, "alpha beta gamma one two three", "en", "s0", 30L),
+        (910002L, "tiny doc", "en", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def m(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p = run2("dd_line_dedup_apply", dir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(p(910000L) == ((2L, m("alpha beta gamma delta epsilon zeta"))),
+      "first-occurrence doc reconstructs unchanged")
+    assert(p(910001L) == ((1L, m("one two three"))),
+      "dup span removed, novel span survives in position order")
+    assert(p(910002L) == ((0L, m(""))), "span-less doc pins the empty-string md5")
+  }
+
   test("dd_semantic_dedup: drop set is exactly the higher-id side of dd_embed_cosine pairs") {
     val verdicts = run("dd_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
