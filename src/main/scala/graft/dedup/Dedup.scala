@@ -788,6 +788,61 @@ object Dedup {
              |SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
              |ORDER BY doc_id""".stripMargin)),
 
+    /** BEST-REPRESENTATIVE SELECTION per near-dup cluster — the FineWeb /
+      * Gopher keep rule: within each transitive duplicate cluster keep the
+      * LONGEST document (ties → min doc_id), not the min-id canonical.
+      * Min-id keep is arbitrary — when a truncated scrape and its full
+      * original land in one cluster, the pipeline must keep the full copy.
+      * Emitted per clustered doc: cluster, length, keep/drop verdict.
+      *
+      * Distributed shape: rides [[connectedComponents]] over the PERSISTED
+      * ≥0.5-Jaccard pair graph (no new corpus pass), one doc-keyed length
+      * attach, then the argmax is a map-combinable MAX of ONE packed BIGINT
+      * — n_tokens·2^32 + (2^32−1−doc_id), so max-by-length ties break to
+      * min-id in the same scalar op (the dd_line_dedup packing discipline;
+      * contract: n_tokens < 2^31, doc_id < 2^32 — states the widths). A
+      * struct argmax would force SortAggregate; the packed form combines
+      * map-side, so a million-doc boilerplate cluster costs one partial per
+      * task. Verdict join is cluster-keyed, pair-graph-sized. */
+    QueryDef(
+      "dd_cluster_best",
+      (s, d) => {
+        val clusters = connectedComponents(
+          jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b")))._1
+        val len = Tables.documents(s, d)
+          .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+        val cl = clusters.join(len, Seq("doc_id"))
+        val best = cl.groupBy(col("cluster_id"))
+          .agg(max(expr("n_tokens * 4294967296 + (4294967295 - doc_id)")).as("kb"))
+          .select(col("cluster_id"), expr("4294967295 - (kb % 4294967296)").as("best_doc"))
+        cl.join(best, Seq("cluster_id"))
+          .withColumn("status",
+            when(col("doc_id") === col("best_doc"), "keep").otherwise("drop"))
+          .select(col("doc_id"), col("cluster_id"), col("n_tokens"), col("status"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |${duckJaccard(500)},
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+             |          UNION ALL SELECT doc_b, doc_a FROM jac),
+             |reach(a, r) AS (
+             |  SELECT DISTINCT a, a FROM edges
+             |  UNION
+             |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.a = e.b),
+             |cl AS (SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a),
+             |len AS (SELECT doc_id,
+             |          CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+             |        FROM documents),
+             |j AS (SELECT c.doc_id, c.cluster_id, l.n_tokens
+             |      FROM cl c JOIN len l USING (doc_id)),
+             |b AS (SELECT cluster_id,
+             |        MAX(n_tokens * 4294967296 + (4294967295 - doc_id)) AS kb
+             |      FROM j GROUP BY cluster_id)
+             |SELECT j.doc_id, j.cluster_id, j.n_tokens,
+             |       CASE WHEN j.doc_id = 4294967295 - (kb % 4294967296)
+             |            THEN 'keep' ELSE 'drop' END AS status
+             |FROM j JOIN b USING (cluster_id) ORDER BY j.doc_id""".stripMargin)),
+
     /** Embedding-cosine near-dup, IVF-cell blocked: candidates are pairs in
       * the same trained k-means cell (graft.sim.Similarity — the oracle
       * replays training exactly), verified with the exact native cosine.

@@ -326,6 +326,23 @@ class DedupSpec extends AnyFunSuite {
     assert(p(910002L) == ((0L, m(""))), "span-less doc pins the empty-string md5")
   }
 
+  test("dd_cluster_best: one keeper per cluster, longest doc wins, ties break to min id") {
+    val rows = run("dd_cluster_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty, "fixture must produce near-dup clusters")
+    // membership restates dd_dup_clusters exactly
+    val cl = run("dd_dup_clusters").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == cl,
+      "cluster membership must restate dd_dup_clusters")
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      val keeps = ms.filter(_._4 == "keep")
+      assert(keeps.length == 1, s"cluster $c: exactly one keeper, got ${keeps.length}")
+      val best = ms.minBy(m => (-m._3, m._1)) // longest, then min id
+      assert(keeps.head._1 == best._1,
+        s"cluster $c: keeper ${keeps.head._1} != longest/min-id ${best._1}")
+    }
+  }
+
   test("dd_semantic_dedup: drop set is exactly the higher-id side of dd_embed_cosine pairs") {
     val verdicts = run("dd_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
