@@ -1286,12 +1286,19 @@ object Dedup {
       * Distributed shape: the keeper table (one row per DISTINCT line) comes
       * from a map-combinable min — the million-copy cookie banner collapses
       * to one partial per task, never one partition. Occurrences then join
-      * the keeper table ON THE SAME line key the aggregation just shuffled
-      * on (exchange reuse: one line-keyed shuffle feeds both), a 1:1-match
-      * fan-in with no expansion. Re-assembly is a per-doc collect of that
-      * doc's own kept spans — bounded by the doc's span count, the same
-      * contract as tx_pack_sequences' per-doc token collect. Linear end to
-      * end, no pair stage, hot lines stay map-side. */
+      * the keeper table on the line key, a 1:1-match fan-in with no
+      * expansion (the keeper side has exactly one row per line, so a hot
+      * line fans out to its occurrences and nothing more). The narrow
+      * tokenize/explode stream is computed twice — once under the keeper
+      * aggregation, once for the join probe; Spark can't reuse the exchange
+      * because the agg side's partial combine sits below it — and that is
+      * the right trade: both passes are linear map work, while the
+      * single-pass alternatives (a window over the line key, or collecting
+      * occurrence lists per line) serialize every copy of a hot line into
+      * one partition. Re-assembly is a per-doc collect of that doc's own
+      * kept spans — bounded by the doc's span count, the same contract as
+      * tx_pack_sequences' per-doc token collect. Linear end to end, no pair
+      * stage, hot lines stay map-side. */
     QueryDef(
       "dd_line_dedup_apply",
       (s, d) => {

@@ -238,13 +238,15 @@ object Multimodal {
       * postings, inverted index on the fingerprint with the shared
       * MaxBucket cap (a stop-frame — black/silence — must not go
       * quadratic), pair rollup + two pair-sized count joins. Identical
-      * economics to dd_winnow_pairs, applied to media frames. (Oracle
-      * note: fixture payloads are pure ASCII, so DuckDB's string substr
-      * sees the same bytes Spark slices from the utf8 payload —
-      * mm_frame_sample's documented equivalence.) */
+      * economics to dd_winnow_pairs, applied to media frames; like the
+      * pHash pair graph, the result is a build-once content-keyed parquet
+      * artifact every consumer probes. (Oracle note: fixture payloads are
+      * pure ASCII, so DuckDB's string substr sees the same bytes Spark
+      * slices from the utf8 payload — mm_frame_sample's documented
+      * equivalence.) */
     QueryDef(
       "mm_video_dedup",
-      (s, d) => {
+      (s, d) => graft.Artifacts.indexParquet(s, "video_pairs", d, "documents") {
         val fr = Tables.documents(s, d)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
           .withColumn("nf", expr("(length(payload) + 31) div 32"))
@@ -269,8 +271,7 @@ object Multimodal {
             expr("(1000 * n_shared) div least(na, nb)"))
           .select(col("doc_a"), col("doc_b"), col("n_shared"),
             col("containment_permille"))
-          .orderBy("doc_a", "doc_b")
-      },
+      }.orderBy("doc_a", "doc_b"),
       Some(s"""WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
              |           FROM documents),
              |idx AS (SELECT doc_id, text,
