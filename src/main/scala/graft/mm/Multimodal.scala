@@ -78,6 +78,33 @@ object Multimodal {
       .toDF("doc_id", "luma")
   }
 
+  /** Sampled-frame fingerprints as a PER-ROW array column — the stream-safe
+    * form of [[defs mm_video_dedup]]'s frame contract (32-byte frames,
+    * every 4th sampled, md5 per frame; identical values): one narrow
+    * row-local transform, no explode, no window, so it runs unchanged on a
+    * streaming DataFrame at the landing zone. Frame-less payloads (< 1
+    * frame) get an empty array — the landing contract screens every
+    * arriving item. */
+  def withFrameFps(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("nf", expr("(length(payload) + 31) div 32"))
+      .withColumn("fps", expr(
+        "CASE WHEN nf >= 1 THEN array_distinct(transform(" +
+          "sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT)), " +
+          "i -> md5(substring(payload, CAST(i * 32 + 1 AS INT), 32)))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END"))
+      .drop("payload", "nf")
+
+  /** Frame-fingerprint index of the already-ingested media shard
+    * (doc_id % 5 ≠ 0) as a build-once content-keyed parquet artifact (the
+    * winnowFpIndexPath discipline applied to media): DISTINCT sampled-frame
+    * fingerprints, probed by the streaming media screen. Returns the path. */
+  def frameFpIndexPath(s: SparkSession, d: String): String =
+    graft.Artifacts.indexParquetPath(s, "frame_idx", d, "documents")(
+      withFrameFps(Tables.documents(s, d).filter(expr("doc_id % 5 <> 0")))
+        .select(explode(col("fps")).as("fp")).distinct())
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Binary-column metadata without decoding: byte length + content hash.

@@ -114,15 +114,50 @@ object DocsStream {
     * aggregation — and identical for batch input, which is how the spec and
     * the oracle pin it. */
   def landingVerdicts(docs: DataFrame, fpIndex: DataFrame): DataFrame =
-    withWinnowFps(docs)
+    screenFps(withWinnowFps(docs), fpIndex, "dup_corpus")
+
+  /** The shared landing-screen tail: explode a per-row `fps` array, probe
+    * the static fingerprint index (stream-static left-outer join), ONE
+    * aggregation to per-doc (n_fps, n_hits), ≥ 2 hits ⇒ `dupLabel`. The
+    * fingerprint DOMAIN is the caller's (winnowed text grams, media frame
+    * hashes — any type that equi-joins); the screen economics are shared in
+    * one audited place, like Dedup.cappedElementPairs for pair expansion. */
+  private def screenFps(withFps: DataFrame, fpIndex: DataFrame,
+      dupLabel: String): DataFrame =
+    withFps
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .join(fpIndex.select(col("fp")).distinct().withColumn("hit", lit(1)),
         Seq("fp"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(col("fp")).as("n_fps"), count(col("hit")).as("n_hits"))
       .withColumn("status",
-        when(col("n_hits") >= 2, "dup_corpus").otherwise("keep"))
+        when(col("n_hits") >= 2, dupLabel).otherwise("keep"))
       .select(col("doc_id"), col("n_fps"), col("n_hits"), col("status"))
+
+  /** Landing-zone MEDIA near-dup screen — [[landingVerdicts]] with the
+    * fingerprint domain swapped from winnowed text grams to sampled-frame
+    * hashes ([[graft.mm.Multimodal.withFrameFps]], mm_video_dedup's exact
+    * frame contract): an arriving payload is `dup_media` when ≥ 2 of its
+    * sampled frames are already in the corpus frame index — the re-mux /
+    * re-encode arrival that byte-level exact dedup misses. Same
+    * stream-legal shape: narrow row-local fps projection, explode,
+    * stream-static join against the persisted index, ONE aggregation. */
+  def mediaVerdicts(docs: DataFrame, fpIndex: DataFrame): DataFrame =
+    screenFps(graft.mm.Multimodal.withFrameFps(docs), fpIndex, "dup_media")
+
+  /** [[mediaVerdicts]] as an incremental stream over an arriving-files
+    * directory, screened against the frame index parquet (complete-mode
+    * memory sink, AvailableNow — the runIncrementalScreenStream lifecycle
+    * for media). */
+  def runMediaScreenStream(spark: SparkSession, docsDir: String,
+      idxPath: String, queryName: String = "media_screen"): DataFrame = {
+    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
+    val q = mediaVerdicts(docs, spark.read.parquet(idxPath))
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("doc_id")
+  }
 
   /** [[landingVerdicts]] as an incremental stream over an arriving-files
     * directory, screened against the index parquet (static side re-read per
@@ -268,6 +303,29 @@ object DocsStream {
               |            ELSE 'keep' END AS status
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
               |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)),
+    graft.QueryDef(
+      "st_media_dedup",
+      (s, d) => mediaVerdicts(
+        graft.Tables.documents(s, d).filter(expr("doc_id % 5 = 0")),
+        s.read.parquet(graft.mm.Multimodal.frameFpIndexPath(s, d)))
+        .orderBy("doc_id"),
+      Some("""WITH f0 AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+             |            FROM documents),
+             |i0 AS (SELECT doc_id, text,
+             |         unnest(range(0, (nb + 31) // 32, 4)) AS i FROM f0),
+             |h AS (SELECT DISTINCT doc_id,
+             |        md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS fh
+             |      FROM i0),
+             |idx AS (SELECT DISTINCT fh FROM h WHERE doc_id % 5 <> 0),
+             |newb AS (SELECT doc_id, fh FROM h WHERE doc_id % 5 = 0),
+             |hits AS (SELECT n.doc_id, COUNT(*) AS n_fps, COUNT(i.fh) AS n_hits
+             |         FROM newb n LEFT JOIN idx i ON n.fh = i.fh GROUP BY 1)
+             |SELECT d.doc_id, CAST(coalesce(h.n_fps, 0) AS BIGINT) AS n_fps,
+             |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             |       CASE WHEN coalesce(h.n_hits, 0) >= 2 THEN 'dup_media'
+             |            ELSE 'keep' END AS status
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)),
     graft.QueryDef(
       "st_quality_gate",
       (s, d) => qualityGate(graft.Tables.documents(s, d)).orderBy("source"),

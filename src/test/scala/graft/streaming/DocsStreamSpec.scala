@@ -93,6 +93,40 @@ class DocsStreamSpec extends AnyFunSuite {
     assert(batch.size.toLong == arrivals)
   }
 
+  test("streaming media screen equals the registered batch variant; re-mux arrival flagged") {
+    // Same contract as the winnow screen: the stream sees ONLY the arrivals
+    // dir plus the frame index parquet, and must produce the batch
+    // st_media_dedup verdicts exactly.
+    val land = java.nio.file.Files.createTempDirectory("media_screen").toString
+    graft.Tables.documents(spark, sf).filter(expr("doc_id % 5 = 0"))
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val idxPath = graft.mm.Multimodal.frameFpIndexPath(spark, sf)
+    val streamed = DocsStream.runMediaScreenStream(
+      spark, s"$land/arrivals", idxPath, "media_screen_spec")
+      .collect().toSeq
+    val batch = DocsStream.defs
+      .find(_.name == "st_media_dedup").get.fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.size.toLong == graft.Tables.documents(spark, sf)
+      .filter(expr("doc_id % 5 = 0")).count(), "every arrival gets a verdict")
+    // Planted re-mux: an INGESTED doc's payload with the first 32-byte frame
+    // rewritten — unchanged sampled frames keep their fingerprints, so the
+    // arrival must flag dup_media against the index.
+    val s = spark; import s.implicits._
+    val donor = graft.Tables.documents(spark, sf)
+      .filter(expr("doc_id % 5 <> 0 AND length(text) >= 512"))
+      .orderBy("doc_id").select("text").head.getString(0)
+    val remux = "Z" * 32 + donor.drop(32)
+    val dir2 = java.nio.file.Files.createTempDirectory("media_remux").toString
+    Seq((990000L, remux, "en", "s0", remux.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/arrivals")
+    val v = DocsStream.runMediaScreenStream(
+      spark, s"$dir2/arrivals", idxPath, "media_remux_spec").collect()
+    assert(v.length == 1 && v.head.getString(3) == "dup_media",
+      s"re-muxed known payload must flag dup_media: ${v.toSeq}")
+  }
+
   test("checkpointed near-dup screen resumes across runs: no arrival double-screened or missed") {
     // The round-4 landing-dedup resume discipline applied to the round-9
     // screen: arrivals land in waves, the job is killed (AvailableNow run
