@@ -1274,6 +1274,87 @@ object Dedup {
              |         AS n_tokens_kept
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
+    /** DELETION-PROPAGATION MANIFEST (the right-to-be-forgotten report):
+      * given a tombstone set (here the deterministic doc_id % 97 = 0 rule
+      * both engines state), what happens to each PERSISTED index artifact —
+      * artifacts with per-row doc attribution (the MinHash signature table,
+      * the SimHash code table, the Jaccard pair graph) support targeted
+      * `delete_rows`, while the winnowed-fp index stores DISTINCT
+      * fingerprints with NO doc attribution, so deletion forces a
+      * `rebuild`; its n_purged is the fingerprint count that must disappear
+      * afterwards (fps unique to tombstoned ingested docs — an fp shared
+      * with any live doc survives the rebuild). This is a real design
+      * consequence surfaced as data: deduplicated indexes trade deletability
+      * for size, and a compliance pass must know which is which.
+      *
+      * Scale shape: each count probes the artifact (or, for the winnow
+      * uniqueness test, the winnow posting stream) with map-combinable
+      * aggregates and ONE anti-join on fp; output is 4 rows. The tombstone
+      * predicate stands in for a broadcast tombstone dictionary — swapping
+      * `% 97 = 0` for a semi-join against a tombstone table changes no plan
+      * shape (the dd_decontaminate broadcast discipline). */
+    QueryDef(
+      "dd_purge_manifest",
+      (s, d) => {
+        val tomb = "doc_id % 97 = 0"
+        val mh = minhashSigStored(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(expr(tomb), 1L).otherwise(0L)).as("n_purged"))
+          .select(lit("mh_sig").as("artifact"), lit("delete_rows").as("action"),
+            col("n_rows"), col("n_purged"))
+        val sh = simhash60Stored(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(expr(tomb), 1L).otherwise(0L)).as("n_purged"))
+          .select(lit("simhash60").as("artifact"), lit("delete_rows").as("action"),
+            col("n_rows"), col("n_purged"))
+        val jp = jaccardPairs(s, d, permille = 0).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(expr("doc_a % 97 = 0 OR doc_b % 97 = 0"), 1L).otherwise(0L))
+            .as("n_purged"))
+          .select(lit("jac_pairs").as("artifact"), lit("delete_rows").as("action"),
+            col("n_rows"), col("n_purged"))
+        val wPost = graft.text.TextStats.winnowedFpRows(s, d)
+          .filter(expr("doc_id % 5 <> 0"))
+        val wGone = wPost.filter(expr(tomb)).select(col("fp")).distinct()
+          .join(wPost.filter(expr(s"NOT ($tomb)")).select(col("fp")).distinct(),
+            Seq("fp"), "left_anti")
+        val wn = s.read.parquet(winnowFpIndexPath(s, d))
+          .agg(count(lit(1)).as("n_rows"))
+          .crossJoin(wGone.agg(count(lit(1)).as("n_purged")))
+          .select(lit("winnow_idx").as("artifact"), lit("rebuild").as("action"),
+            col("n_rows"), col("n_purged"))
+        mh.unionAll(sh).unionAll(jp).unionAll(wn).orderBy("artifact")
+      },
+      Some(s"""WITH ${duckJaccard(0)},
+             |${graft.text.TextStats.duckWinnowChain},
+             |mh AS (SELECT COUNT(*) AS n_rows,
+             |         CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS n_purged
+             |       FROM documents
+             |       WHERE len(string_split_regex(trim(text), ' +')) >= 3),
+             |shc AS (SELECT COUNT(*) AS n_rows,
+             |          CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |            AS n_purged
+             |        FROM documents),
+             |jp AS (SELECT COUNT(*) AS n_rows,
+             |         CAST(SUM(CASE WHEN doc_a % 97 = 0 OR doc_b % 97 = 0
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+             |       FROM jac),
+             |wpost AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m
+             |          WHERE doc_id % 5 <> 0),
+             |wrows AS (SELECT COUNT(DISTINCT fp) AS n_rows FROM wpost),
+             |wgone AS (SELECT COUNT(*) AS n_purged FROM
+             |            (SELECT DISTINCT fp FROM wpost WHERE doc_id % 97 = 0
+             |             EXCEPT
+             |             SELECT DISTINCT fp FROM wpost WHERE doc_id % 97 <> 0))
+             |SELECT 'jac_pairs' AS artifact, 'delete_rows' AS action, n_rows, n_purged
+             |  FROM jp
+             |UNION ALL SELECT 'mh_sig', 'delete_rows', n_rows, n_purged FROM mh
+             |UNION ALL SELECT 'simhash60', 'delete_rows', n_rows, n_purged FROM shc
+             |UNION ALL SELECT 'winnow_idx', 'rebuild', wrows.n_rows,
+             |            CAST(wgone.n_purged AS BIGINT) FROM wrows, wgone
+             |ORDER BY artifact""".stripMargin)),
+
     /** LINE-DEDUP APPLY — the other half of [[defs dd_line_dedup]]: not the
       * per-doc removal COUNTS but the cleaned corpus itself, each document
       * re-assembled from only the spans it globally keeps (first occurrence

@@ -343,6 +343,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_purge_manifest: attributed artifacts delete rows, the fp index rebuilds") {
+    val rows = run("dd_purge_manifest").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("jac_pairs", "mh_sig", "simhash60", "winnow_idx"))
+    rows.foreach { case (a, (_, n, p)) =>
+      assert(p >= 0 && p <= n, s"$a: purge count $p out of range 0..$n")
+    }
+    assert(rows("winnow_idx")._1 == "rebuild", "unattributed index must rebuild")
+    assert(rows.filterKeys(_ != "winnow_idx").values.forall(_._1 == "delete_rows"))
+    // simhash60 covers every doc; the signature table only docs with >= 3 tokens
+    assert(rows("mh_sig")._2 <= rows("simhash60")._2)
+    // tombstone rule restated directly against the corpus
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows("simhash60")._3 == docs.filter(expr("doc_id % 97 = 0")).count())
+    assert(rows("simhash60")._3 > 0, "fixture must contain tombstoned docs")
+  }
+
   test("dd_semantic_dedup: drop set is exactly the higher-id side of dd_embed_cosine pairs") {
     val verdicts = run("dd_semantic_dedup").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
