@@ -1274,6 +1274,115 @@ object Dedup {
              |         AS n_tokens_kept
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
+    /** DEDUP FUNNEL — per-source token mass surviving each pipeline stage:
+      * raw → quality gate → exact dedup (min-doc per fingerprint) →
+      * near-dup drop (≥0.5 Jaccard losers) → line-level dedup of the
+      * surviving corpus. The per-release accounting table a training team
+      * actually watches: which stage is eating which source's tokens. The
+      * first four stages restate [[cleanCorpusKeepers]]'s exact semantics
+      * (same gate, same canonical pick, same loser set); the line stage
+      * runs the dd_line_dedup keeper rule over ONLY the surviving docs, so
+      * its mass is the tokens the packed corpus actually ships (span-
+      * covered tokens: partial tail spans are outside the line model on
+      * both sides).
+      *
+      * Scale shape: stage verdicts are doc-keyed flags carried in ONE
+      * frame (no per-stage corpus re-scan); the near-dup set probes the
+      * persisted pair-graph artifact; the line stage adds the standard
+      * two line-keyed map-combinable shuffles; final rollup is
+      * O(sources). */
+    QueryDef(
+      "dd_dedup_funnel",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))")
+              .as("n_stop"),
+            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+          .withColumn("q_ok",
+            expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+        val exactKeep = base.filter(col("q_ok"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("e_ok"))
+        val nearLoser = jaccardPairs(s, d, permille = 500)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("n_bad", lit(true))
+        val flagged = base
+          .join(exactKeep, Seq("doc_id"), "left_outer")
+          .join(nearLoser, Seq("doc_id"), "left_outer")
+          .withColumn("e_ok", coalesce(col("e_ok"), lit(false)))
+          .withColumn("s_ok", col("e_ok") && coalesce(col("n_bad"), lit(false)) =!= true)
+        val surv = flagged.filter(col("s_ok"))
+          .select(col("doc_id"), col("source"), expr(toks).as("t"))
+          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+        val lines = surv.filter(col("nl") >= 1)
+          .select(col("doc_id"), col("source"),
+            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
+              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
+              .as(Seq("pos", "line")))
+        val lineTok = lines.groupBy(col("line"))
+          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
+          .select(expr("kp div 1048576").as("doc_id"))
+          .groupBy(col("doc_id")).agg(expr(s"$LineTok * count(1)").as("tok_line_doc"))
+        val lineBySrc = surv.select(col("doc_id"), col("source"))
+          .join(lineTok, Seq("doc_id"), "left_outer")
+          .groupBy(col("source"))
+          .agg(sum(coalesce(col("tok_line_doc"), lit(0L))).as("tok_line"))
+        flagged.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).as("tok_raw"),
+            sum(when(col("q_ok"), col("n_tokens")).otherwise(0L)).as("tok_quality"),
+            sum(when(col("e_ok"), col("n_tokens")).otherwise(0L)).as("tok_exact"),
+            sum(when(col("s_ok"), col("n_tokens")).otherwise(0L)).as("tok_near"))
+          .join(lineBySrc, Seq("source"), "left_outer")
+          .withColumn("tok_line", coalesce(col("tok_line"), lit(0L)))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${duckJaccard(500)},
+             |base AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             |           AS n_tokens,
+             |         len(list_filter(string_split_regex(trim(text), ' +'),
+             |                         t -> t IN ('the', 'a', 'of', 'and', 'to')))
+             |           AS n_stop,
+             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         string_split_regex(trim(text), ' +') AS t
+             |  FROM documents),
+             |b2 AS (SELECT *, (n_tokens BETWEEN 10 AND 1000
+             |                  AND (100 * n_stop) // n_tokens < 40) AS q_ok FROM base),
+             |ek AS (SELECT MIN(doc_id) AS doc_id FROM b2 WHERE q_ok GROUP BY fp),
+             |nl_ AS (SELECT DISTINCT doc_b AS doc_id FROM jac),
+             |fl AS (SELECT b2.*, (ek.doc_id IS NOT NULL) AS e_ok,
+             |              (ek.doc_id IS NOT NULL AND nl_.doc_id IS NULL) AS s_ok
+             |       FROM b2 LEFT JOIN ek USING (doc_id) LEFT JOIN nl_ USING (doc_id)),
+             |surv AS (SELECT doc_id, source, t,
+             |                CAST(len(t) // $LineTok AS BIGINT) AS nl FROM fl WHERE s_ok),
+             |l AS (SELECT doc_id, source, i AS pos,
+             |        array_to_string(t[i * $LineTok + 1 : i * $LineTok + $LineTok], ' ')
+             |          AS line
+             |      FROM surv, unnest(range(0, nl)) AS u(i)),
+             |kp AS (SELECT MIN(doc_id * 1048576 + pos) AS kp FROM l GROUP BY line),
+             |lt AS (SELECT kp // 1048576 AS doc_id,
+             |              CAST($LineTok * COUNT(*) AS BIGINT) AS tok_line_doc
+             |       FROM kp GROUP BY 1),
+             |ls AS (SELECT s.source,
+             |              CAST(SUM(COALESCE(lt.tok_line_doc, 0)) AS BIGINT) AS tok_line
+             |       FROM surv s LEFT JOIN lt USING (doc_id) GROUP BY s.source),
+             |agg AS (SELECT source,
+             |          CAST(SUM(n_tokens) AS BIGINT) AS tok_raw,
+             |          CAST(SUM(CASE WHEN q_ok THEN n_tokens ELSE 0 END) AS BIGINT)
+             |            AS tok_quality,
+             |          CAST(SUM(CASE WHEN e_ok THEN n_tokens ELSE 0 END) AS BIGINT)
+             |            AS tok_exact,
+             |          CAST(SUM(CASE WHEN s_ok THEN n_tokens ELSE 0 END) AS BIGINT)
+             |            AS tok_near
+             |        FROM fl GROUP BY source)
+             |SELECT agg.source, tok_raw, tok_quality, tok_exact, tok_near,
+             |       COALESCE(ls.tok_line, 0) AS tok_line
+             |FROM agg LEFT JOIN ls ON ls.source = agg.source
+             |ORDER BY agg.source""".stripMargin)),
+
     /** DELETION-PROPAGATION MANIFEST (the right-to-be-forgotten report):
       * given a tombstone set (here the deterministic doc_id % 97 = 0 rule
       * both engines state), what happens to each PERSISTED index artifact —

@@ -343,6 +343,50 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_dedup_funnel: per-source mass is monotone and the near stage equals the clean corpus") {
+    val rows = run("dd_dedup_funnel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, raw, q, e, n, l) =>
+      assert(raw >= q && q >= e && e >= n,
+        s"$src: stage mass must be non-increasing: $raw/$q/$e/$n")
+      assert(l <= n, s"$src: line mass $l cannot exceed surviving mass $n")
+    }
+    // the sf0.01 fixture passes the quality gate wholesale and has no exact
+    // duplicates (oracle agrees), so those stages fire only on the planted
+    // fixture below; the near-dup and line stages must fire here
+    assert(rows.exists { case (_, _, _, e, n, _) => n < e }, "near-dup stage must fire")
+    assert(rows.exists { case (_, _, _, _, n, l) => l < n }, "line stage must fire")
+    // tok_near restates the clean corpus exactly
+    val cleanTok = run("dd_clean_corpus")
+      .join(graft.Tables.documents(spark, sf), Seq("doc_id"))
+      .agg(sum(expr("CAST(size(split(trim(text), ' +')) AS BIGINT)")))
+      .head.getLong(0)
+    assert(rows.map(_._5).sum == cleanTok,
+      "funnel tok_near must equal the clean-corpus token mass")
+    // Planted corpus exercising the two stages the natural fixture skips:
+    // doc 1 all-stopword (quality drop), doc 3 an exact copy of doc 2
+    // (exact drop), doc 4 a one-word extension of doc 2 (near-dup drop at
+    // jaccard 10/11).
+    val s = spark; import s.implicits._
+    val w = (1 to 12).map(i => s"word$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("funnel_plant").toString
+    Seq((1L, ("the " * 11).trim, "en", "s0", 43L),
+        (2L, w, "en", "s0", w.length.toLong),
+        (3L, w, "en", "s0", w.length.toLong),
+        (4L, w + " word13", "en", "s0", w.length + 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = run2("dd_dedup_funnel", dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
+    val (raw, q, e, n) = p
+    assert(raw == 11 + 12 + 12 + 13, s"raw mass: $p")
+    assert(q == raw - 11, "quality gate drops the all-stopword doc")
+    assert(e == q - 12, "exact stage drops the identical copy")
+    assert(n == e - 13, "near-dup stage drops the extended copy")
+  }
+
   test("dd_purge_manifest: attributed artifacts delete rows, the fp index rebuilds") {
     val rows = run("dd_purge_manifest").collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
