@@ -34,6 +34,11 @@ PAIR_QUERIES = {
     # dd_semantic_dedup shares dd_embed_cosine's cell-blocked pair mass
     # (its verdict rollup is linear on top).
     "dd_semantic_dedup",
+    # round-10 pair-graph producers/consumers: mm_video_dedup's output is
+    # frame-bucket pairs; the rest run or probe the Jaccard pair chain
+    # (cluster closure, funnel's near stage, purge counts, containment).
+    "mm_video_dedup", "dd_cluster_best", "dd_dedup_funnel",
+    "dd_purge_manifest", "dd_containment", "mm_phash_dedup",
 }
 
 # Verification companions that deliberately run the EXACT operator next to
@@ -56,10 +61,12 @@ def purge_artifacts() -> None:
     (content-keyed artifacts would otherwise survive from earlier runs)."""
     import glob
     import shutil
-    for p in glob.glob("/tmp/graft_mh_sig_*") + glob.glob("/tmp/graft_jac_pairs_*") \
-            + glob.glob("/tmp/graft_winnow_idx_*") + glob.glob("/tmp/graft_simhash60_*") \
-            + glob.glob("/tmp/graft_simhash_pairs_*"):
-        shutil.rmtree(p, ignore_errors=True)
+    names = ["mh_sig", "jac_pairs", "winnow_idx", "simhash60", "simhash_pairs",
+             "phash_pairs", "video_pairs", "frame_idx", "ivf_cells_k*",
+             "pq_codes", "drift"]
+    for n in names:
+        for p in glob.glob(f"/tmp/graft_{n}_*"):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def run_bench(sf_dir: str, label: str, name_filter: str | None = None) -> dict:
