@@ -1422,8 +1422,14 @@ object Dedup {
             .as("n_purged"))
           .select(lit("jac_pairs").as("artifact"), lit("delete_rows").as("action"),
             col("n_rows"), col("n_purged"))
-        val wPost = graft.text.TextStats.winnowedFpRows(s, d)
-          .filter(expr("doc_id % 5 <> 0"))
+        // doc-ATTRIBUTED winnow postings as their own artifact: the
+        // uniqueness test deletion requires can't use the fp-only index
+        // (no attribution — that's the point of the rebuild verdict), and
+        // recomputing the posting stream per compliance query would be the
+        // manifest's only non-probe cost.
+        val wPost = graft.Artifacts.indexParquet(s, "winnow_post", d, "documents")(
+          graft.text.TextStats.winnowedFpRows(s, d)
+            .filter(expr("doc_id % 5 <> 0")).select(col("doc_id"), col("fp")))
         val wGone = wPost.filter(expr(tomb)).select(col("fp")).distinct()
           .join(wPost.filter(expr(s"NOT ($tomb)")).select(col("fp")).distinct(),
             Seq("fp"), "left_anti")

@@ -62,7 +62,7 @@ def purge_artifacts() -> None:
     import glob
     import shutil
     names = ["mh_sig", "jac_pairs", "winnow_idx", "simhash60", "simhash_pairs",
-             "phash_pairs", "video_pairs", "frame_idx", "ivf_cells_k*",
+             "phash_pairs", "video_pairs", "frame_idx", "winnow_post", "ivf_cells_k*",
              "pq_codes", "drift"]
     for n in names:
         for p in glob.glob(f"/tmp/graft_{n}_*"):
