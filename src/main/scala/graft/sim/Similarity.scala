@@ -731,6 +731,71 @@ object Similarity {
               |  ON i.q_id = b.q_id AND i.cand_id = b.cand_id
               |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin)),
 
+    /** NPROBE TUNING SWEEP — the recall-vs-probe-budget curve an IVF
+      * operator is actually tuned on: aggregate recall@3 vs brute force at
+      * nprobe ∈ {1, 2, 4}, one row per setting. This is the artifact a
+      * capacity review reads — "what recall does each unit of probe budget
+      * buy on OUR corpus" — and it must come from the same engine-exact
+      * index the serving path uses (the memoized trained model + stored
+      * cell table; the oracle replays training and ranks candidates per
+      * (nprobe, query) from one shared probe ranking). Cost: the brute
+      * pass runs ONCE on the 8-query sample; each sweep point reuses the
+      * persisted index, so the sweep is 3 candidate joins, not 3 index
+      * builds. Monotonicity (more probes ⇒ recall can only rise) is
+      * spec-asserted. */
+    QueryDef(
+      "sim_nprobe_sweep",
+      (s, d) => {
+        val brute = bruteTopK(s, d, 3).select(col("q_id"), col("cand_id"))
+        Seq(1, 2, 4).map { np =>
+          val ivf = annIvfSearch(s, d, K, np)
+            .select(col("q_id"), col("cand_id")).withColumn("hit", lit(1))
+          brute.join(ivf, Seq("q_id", "cand_id"), "left_outer")
+            .agg(countDistinct(col("q_id")).as("n_queries"),
+              count(col("hit")).as("n_hits"))
+            .select(lit(np).as("nprobe"), col("n_queries"), col("n_hits"),
+              expr("(1000 * n_hits) div (3 * n_queries)").as("recall_permille"))
+        }.reduce(_.unionAll(_)).orderBy("nprobe")
+      },
+      Some {
+        val pcos = duckCosOf("e.v", "c.cv")
+        s"""WITH ${duckKmeansChain()},
+           |probes0 AS (SELECT e.vec_id AS q_id, e.v AS va, c.cid AS probe_cell,
+           |              row_number() OVER (PARTITION BY e.vec_id
+           |                                 ORDER BY $pcos DESC, c.cid ASC) AS rn
+           |            FROM e, c$Iters c WHERE e.vec_id < 8),
+           |npv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+           |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
+           |          FROM assign a JOIN e USING (vec_id)),
+           |vis AS (SELECT n.nprobe, p.q_id, c.cand_id,
+           |          row_number() OVER (PARTITION BY n.nprobe, p.q_id
+           |            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC)
+           |            AS rank
+           |        FROM probes0 p JOIN npv n ON p.rn <= n.nprobe
+           |             JOIN cands c
+           |               ON c.cell = p.probe_cell AND c.cand_id <> p.q_id),
+           |ivf AS (SELECT nprobe, q_id, cand_id FROM vis WHERE rank <= 3),
+           |brute AS (SELECT q_id, cand_id FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+           |        FROM embeddings WHERE vec_id < 8) q,
+           |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb
+           |        FROM embeddings) c
+           |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3),
+           |x AS (SELECT n.nprobe, b.q_id, b.cand_id, i.cand_id AS hit
+           |      FROM npv n CROSS JOIN brute b
+           |      LEFT JOIN ivf i ON i.nprobe = n.nprobe AND i.q_id = b.q_id
+           |           AND i.cand_id = b.cand_id)
+           |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+           |       CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           |       CAST(COUNT(hit) AS BIGINT) AS n_hits,
+           |       (1000 * CAST(COUNT(hit) AS BIGINT)) // (3 * COUNT(DISTINCT q_id))
+           |         AS recall_permille
+           |FROM x GROUP BY nprobe ORDER BY nprobe""".stripMargin
+      }),
+
     /** FILTERED ANN — top-3 within the query's LABEL, the
       * metadata-predicate vector search every retrieval system serves
       * ("nearest within this category/tenant/language"). The predicate is

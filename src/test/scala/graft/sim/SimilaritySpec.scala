@@ -143,6 +143,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall $mean below the ANN gate")
   }
 
+  test("sim_nprobe_sweep: recall is monotone in the probe budget") {
+    val rows = run("sim_nprobe_sweep").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4))
+    assert(rows.forall(_._2 == 8L), "every sweep point scores the full query sample")
+    rows.foreach { case (np, _, h, p) =>
+      assert(h >= 0 && h <= 24 && p >= 0 && p <= 1000, s"np=$np bounds: $h/$p")
+    }
+    // more probes can only surface more of the brute top-3
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 <= b._3 },
+      s"recall must be monotone in nprobe: ${rows.toSeq}")
+    assert(rows.last._4 >= 900, "nprobe=4 of K=5 cells must be near-exhaustive")
+  }
+
   test("sim_knn_graph: dense per-src ranks, descending cosine, bounded by brute force") {
     val g = run("sim_knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
