@@ -96,6 +96,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_video_dedup: a stop-frame shared by a hot corpus cannot go quadratic") {
+    val s = spark; import s.implicits._
+    // 1200 payloads that share ONE sampled frame (a black/silence stand-in:
+    // identical first 32 bytes) and are otherwise unique. The stop-frame
+    // bucket exceeds MaxBucket (1000) so it must be DROPPED, and since no
+    // two payloads share a second frame, the pair output must be empty —
+    // the cap property the shared bucket expansion guarantees for frames.
+    val black = "B" * 32
+    val dir = java.nio.file.Files.createTempDirectory("video_hot").toString
+    (0 until 1200).map { i =>
+      val uniq = (0 until 15).map(j => f"u${i}%04d_${j}%02d".padTo(10, 'x')).mkString("")
+      (i.toLong, black + uniq, "en", "s0", (32 + uniq.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val n = Multimodal.defs.find(_.name == "mm_video_dedup").get.fn(spark, dir).count()
+    assert(n == 0, s"stop-frame bucket above MaxBucket must be dropped, got $n pairs")
+  }
+
   test("mm_video_dedup: a header rewrite keeps frame identity; disjoint payloads don't pair") {
     val s = spark; import s.implicits._
     // 256-byte payload = 8 frames, frames 0 and 4 sampled. Doc 2 rewrites

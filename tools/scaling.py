@@ -49,9 +49,11 @@ EXACT_COMPANIONS = {"an_approx_distinct_bound", "an_approx_percentile_bound"}
 
 
 # Queries measured at the extra 10x-replica decade point (the 5 highest
-# decade factors of round 9, all pair-output by construction).
+# decade factors of round 9 plus round 10's new pair-output query — all
+# pair-output by construction; the replica prefixes shift every 32-byte
+# frame, so mm_video_dedup's replicas are frame-disjoint too).
 DECADE_QUERIES = ["dd_simhash_pairs", "dd_winnow_pairs", "jn_fuzzy_name",
-                  "jn_fuzzy_multiblock", "sim_rp_pairs"]
+                  "jn_fuzzy_multiblock", "sim_rp_pairs", "mm_video_dedup"]
 SF1X_DIR = "/tmp/graft_sf1x"
 
 
