@@ -186,14 +186,39 @@ object DocsStream {
     * files are re-listed on restart). `maxFilesPerTrigger` > 0 forces
     * multi-batch runs (spec). */
   def runScreenToParquet(spark: SparkSession, docsDir: String, idxPath: String,
-      outDir: String, checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit = {
+      outDir: String, checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit =
+    runVerdictsToParquet(spark, docsDir, idxPath, outDir, checkpointDir,
+      landingVerdicts, maxFilesPerTrigger)
+
+  /** [[mediaVerdicts]] under the same checkpointed landing lifecycle — the
+    * media screen inherits the winnow screen's resume guarantees because
+    * the lifecycle is the SAME code path, parameterized only by which
+    * verdict function runs per batch. */
+  def runMediaScreenToParquet(spark: SparkSession, docsDir: String, idxPath: String,
+      outDir: String, checkpointDir: String, maxFilesPerTrigger: Int = 0): Unit =
+    runVerdictsToParquet(spark, docsDir, idxPath, outDir, checkpointDir,
+      mediaVerdicts, maxFilesPerTrigger)
+
+  /** The shared checkpointed landing job: arriving files → per-batch
+    * verdicts against a static index → append to a parquet landing table.
+    * Offsets live in `checkpointDir`, so a kill/restart between runs can
+    * neither double-screen an arrival (offsets only commit after the batch
+    * lands) nor miss one (uncommitted files re-list on restart); verdicts
+    * are per-document (no cross-doc state), so per-micro-batch computation
+    * inside `foreachBatch` is globally correct for ANY verdict function
+    * with that property. `maxFilesPerTrigger` > 0 forces multi-batch runs
+    * (spec). */
+  private def runVerdictsToParquet(spark: SparkSession, docsDir: String,
+      idxPath: String, outDir: String, checkpointDir: String,
+      verdicts: (DataFrame, DataFrame) => DataFrame,
+      maxFilesPerTrigger: Int): Unit = {
     val idx = spark.read.parquet(idxPath)
     val reader = spark.readStream.schema(docsSchema)
     if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val q = reader.parquet(docsDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        landingVerdicts(batch, idx).write.mode("append").parquet(outDir); ()
+        verdicts(batch, idx).write.mode("append").parquet(outDir); ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

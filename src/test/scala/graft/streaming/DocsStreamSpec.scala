@@ -172,6 +172,44 @@ class DocsStreamSpec extends AnyFunSuite {
       "resumed landing table != batch verdicts for the same arrivals")
   }
 
+  test("checkpointed media screen resumes across runs via the shared landing lifecycle") {
+    // Same kill/restart contract as the winnow screen — the lifecycle is
+    // literally the same code path, so this pins that the media verdict
+    // function composes with it: two waves, restart between them with
+    // maxFilesPerTrigger=1, exactly one verdict per arrival, equal to the
+    // batch st_media_dedup rows.
+    val land = java.nio.file.Files.createTempDirectory("media_ckpt").toString
+    val (src, out, ckpt) = (s"$land/src", s"$land/out", s"$land/ckpt")
+    new java.io.File(src).mkdirs()
+    val arrivals = graft.Tables.documents(spark, sf).filter(expr("doc_id % 5 = 0"))
+    val mid = arrivals.selectExpr("percentile_approx(doc_id, 0.5)").head.getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$land/_tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    val idxPath = graft.mm.Multimodal.frameFpIndexPath(spark, sf)
+    stage(arrivals.filter(col("doc_id") <= mid), "wave1")
+    DocsStream.runMediaScreenToParquet(spark, src, idxPath, out, ckpt)
+    val afterRun1 = spark.read.parquet(out).count()
+    stage(arrivals.filter(col("doc_id") > mid), "wave2")
+    DocsStream.runMediaScreenToParquet(spark, src, idxPath, out, ckpt,
+      maxFilesPerTrigger = 1)
+    val landed = spark.read.parquet(out).collect().toSeq
+    val ids = landed.map(_.getLong(0))
+    assert(ids.distinct.size == ids.size, "an arrival was screened twice")
+    assert(afterRun1 < ids.size, "resumed run landed nothing — not incremental")
+    val batch = DocsStream.defs.find(_.name == "st_media_dedup").get
+      .fn(spark, sf).collect().toSeq
+    assert(landed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1) ==
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))),
+      "resumed media landing table != batch verdicts for the same arrivals")
+  }
+
   test("streaming quality gate equals the registered batch variant") {
     val land = java.nio.file.Files.createTempDirectory("docs_gate").toString
     graft.Tables.documents(spark, sf)
