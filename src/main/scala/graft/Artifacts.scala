@@ -88,6 +88,37 @@ object Artifacts {
       (build: => T): T =
     cache.getOrElseUpdate(key, build)
 
+  /** Retention sweep for the artifact store: delete published artifacts
+    * whose `_SUCCESS` is older than `maxAgeMs`, plus writer temp dirs older
+    * than the same horizon (a crashed writer's `_w########` leftover is
+    * garbage the moment its JVM died). Content keying makes this safe at
+    * any time: a live corpus snapshot re-publishes under the same key on
+    * next touch, and a reader never holds a path without its `_SUCCESS`
+    * (the fast-path map is invalidated for swept keys). On a cluster this
+    * is the nightly janitor over the shared store prefix. Returns the
+    * number of directories removed. */
+  def gc(maxAgeMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val root = new java.io.File(baseDir)
+    // Store-shaped names ONLY — graft_<name>_<12-hex content sig>, plus
+    // writer temps with a _w<8-hex> suffix. The tmpdir also hosts unrelated
+    // graft-prefixed dirs (spec temps, the scaling fixture); those are not
+    // this store's to delete.
+    val storeName = "^graft_.+_[0-9a-f]{12}(_w[0-9a-f]{8})?$".r
+    val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && storeName.matches(f.getName))
+      .filter { f =>
+        val success = new java.io.File(f, "_SUCCESS")
+        if (success.exists()) success.lastModified() < cutoff
+        else f.lastModified() < cutoff // half-written leftover or temp dir
+      }
+    victims.foreach { f =>
+      published.filterInPlace((_, p) => p != f.getAbsolutePath)
+      deleteRecursively(f)
+    }
+    victims.size
+  }
+
   // Published-artifact paths, keyed by (name, content-sig). Only a fast-path
   // map: the durable guard is the _SUCCESS file, which other JVMs also honor.
   private val published = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -53,6 +53,30 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.contentKey(dir, "documents") != k1)
   }
 
+  test("gc sweeps only store-shaped dirs past the horizon; a swept artifact rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art5").toString
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+    var builds = 0
+    def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
+    val p1 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents")(build)
+    assert(builds == 1 && new java.io.File(p1, "_SUCCESS").exists())
+    // a NON-store graft dir at the store root must never be swept
+    val decoy = new java.io.File(Artifacts.baseDir, "graft_sf_decoy")
+    decoy.mkdirs()
+    try {
+      assert(Artifacts.gc(Long.MaxValue / 2) == 0, "nothing is older than the far horizon")
+      val swept = Artifacts.gc(-1) // everything store-shaped is "old"
+      assert(swept >= 1, "the published artifact must be swept at horizon 0")
+      assert(!new java.io.File(p1).exists())
+      assert(decoy.exists(), "gc must not touch non-store dirs")
+      // next touch re-publishes under the same content key
+      val p2 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents")(build)
+      assert(p2 == p1 && builds == 2)
+      assert(new java.io.File(p2, "_SUCCESS").exists())
+      assert(spark.read.parquet(p2).count() == 2)
+    } finally { decoy.delete(): Unit }
+  }
+
   test("a consumer (winnow fp index) rebuilds over the rewritten corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_art4").toString
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
