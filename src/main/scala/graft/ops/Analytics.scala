@@ -680,6 +680,65 @@ object Analytics {
              |FROM s GROUP BY user_id, session_seq
              |ORDER BY user_id, session_seq""".stripMargin)),
 
+    /** FIRST-TOUCH ATTRIBUTION — every `purchase` event credited to the
+      * FIRST event of its session (the entry channel), with time-to-convert:
+      * the marketing-attribution shape every event warehouse serves, built
+      * on [[defs an_sessionize]]'s exact gaps-and-islands numbering. Ties
+      * are made deterministic by ordering on (ms, event_id) — event_id is
+      * unique, so equal-millisecond rows attribute identically in both
+      * engines (an_sessionize could ignore ties because its outputs were
+      * tie-invariant; first_type is NOT, so the order must be total).
+      *
+      * Scale shape: ONE shuffle on user_id that every window reuses — the
+      * session-numbering windows key on user_id, and the per-session
+      * first_value windows key on (user_id, session_seq), which a user_id
+      * hash partitioning already co-locates (ClusteredDistribution is
+      * satisfied; no second exchange, no self-join — first_value replaces
+      * the firsts-table join). Millions of users = millions of small
+      * independent partitions; no global sort before the presentation
+      * ORDER BY. */
+    QueryDef(
+      "an_attribution",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wu = W.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+        val ws = W.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ms"), col("event_id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000000").as("ms"))
+          .withColumn("new_sess",
+            when(lag(col("ms"), 1).over(wu).isNull, 1L)
+              .when(col("ms") - lag(col("ms"), 1).over(wu) > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("new_sess")).over(
+            wu.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("first_type", first(col("event_type")).over(ws))
+          .withColumn("first_ms", first(col("ms")).over(ws))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("session_seq"),
+            col("first_type"), (col("ms") - col("first_ms")).as("ms_to_convert"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+             |           FROM events),
+             |m AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+             |                       OR ms - lag(ms) OVER w > 1800000
+             |                     THEN 1 ELSE 0 END AS new_sess
+             |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+             |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+             |                       ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+             |                     AS BIGINT) AS session_seq FROM m),
+             |f AS (SELECT *, first_value(event_type) OVER ws AS first_type,
+             |             first_value(ms) OVER ws AS first_ms
+             |      FROM s WINDOW ws AS (PARTITION BY user_id, session_seq
+             |                           ORDER BY ms, event_id
+             |                           ROWS UNBOUNDED PRECEDING))
+             |SELECT event_id, user_id, session_seq, first_type,
+             |       CAST(ms - first_ms AS BIGINT) AS ms_to_convert
+             |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     /** SHARD DRIFT REPORT — per daily shard, the total-variation distance
       * (in 1e-6 units) between the shard's event-type mix and the corpus
       * mix. The monitoring pass a 100 TB ingest runs on every new partition:

@@ -86,6 +86,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("an_attribution: every purchase attributed, sessions restate an_sessionize, one shuffle") {
+    val sf = TestSpark.sf
+    val df = Analytics.defs.find(_.name == "an_attribution").get.fn(spark, sf)
+    // ONE user_id hash exchange feeds all three windows; the only other
+    // exchange is the presentation sort's rangepartitioning
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      "the per-session windows must reuse the user_id partitioning")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val nPurch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == nPurch, "every purchase event must report")
+    assert(rows.forall(_._5 >= 0), "time-to-convert is non-negative")
+    // a purchase with lag 0 opened its session: first touch IS the purchase
+    rows.filter(_._5 == 0L).foreach { r =>
+      assert(r._4 == "purchase", s"zero-lag purchase must self-attribute: $r")
+    }
+    assert(rows.exists(_._4 != "purchase"), "fixture must exercise cross-type attribution")
+    // attributed (user, session) pairs are a subset of an_sessionize's sessions
+    val sess = Analytics.defs.find(_.name == "an_sessionize").get.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._2, r._3)).toSet.subsetOf(sess),
+      "attribution sessions must restate the sessionize numbering")
+  }
+
   test("an_skew_report: top-5 via distributed TakeOrdered, shares consistent") {
     val sf = TestSpark.sf
     val q = Analytics.defs.find(_.name == "an_skew_report").get
