@@ -447,6 +447,63 @@ object TextStats {
              |         <> (carry_in + cum_in_shard - 1) // 256 AS is_split
              |FROM s JOIN c USING (source, shard) ORDER BY source, doc_id""".stripMargin)),
 
+    /** SPAN CORRUPTION (the T5/span-denoising objective prep): mask every
+      * 5th 3-token span — positions i with (i div 3) % 5 = 0 — replacing
+      * each masked span with ONE `<extra_id_k>` sentinel (k = i div 15, the
+      * span's order among masked spans) and emitting the corrupted input
+      * and the target (the masked tokens, in order) as md5 digests plus
+      * exact counts. Deterministic by construction — no RNG, the span
+      * schedule is pure integer arithmetic — so the corruption is
+      * reproducible across engines, runs, and shards, which is what makes
+      * a distributed objective-prep pass auditable (re-running a shard
+      * yields byte-identical training pairs). ~20% token corruption rate,
+      * the T5 default neighborhood.
+      *
+      * Scale shape: entirely row-local — one narrow projection of array
+      * HOFs inside codegen, zero shuffles before the presentation sort.
+      * The corruption schedule being positional (not content-keyed) means
+      * NO skew by construction. */
+    QueryDef(
+      "tx_mask_spans",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .withColumn("n_tokens", expr("CAST(size(tk) AS BIGINT)"))
+        .withColumn("corrupted", expr(
+          "array_join(filter(transform(sequence(0, CAST(n_tokens AS INT) - 1), " +
+            "i -> CASE WHEN (i div 3) % 5 <> 0 THEN tk[i] " +
+            "WHEN i % 3 = 0 THEN concat('<extra_id_', CAST(i div 15 AS STRING), '>') " +
+            "ELSE NULL END), x -> x IS NOT NULL), ' ')"))
+        .withColumn("target", expr(
+          "array_join(transform(filter(sequence(0, CAST(n_tokens AS INT) - 1), " +
+            "i -> (i div 3) % 5 = 0), i -> tk[i]), ' ')"))
+        .withColumn("n_masked", expr(
+          "CAST(size(filter(sequence(0, CAST(n_tokens AS INT) - 1), " +
+            "i -> (i div 3) % 5 = 0)) AS BIGINT)"))
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          md5(col("corrupted")).as("corrupted_md5"),
+          md5(col("target")).as("target_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk,
+             |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+             |                    AS n_tokens
+             |           FROM documents),
+             |m AS (SELECT doc_id, n_tokens,
+             |        array_to_string(list_filter(list_transform(
+             |          range(0, n_tokens), i ->
+             |            CASE WHEN (i // 3) % 5 <> 0 THEN tk[CAST(i + 1 AS INTEGER)]
+             |                 WHEN i % 3 = 0
+             |                   THEN '<extra_id_' || CAST(i // 15 AS VARCHAR) || '>'
+             |                 ELSE NULL END), x -> x IS NOT NULL), ' ') AS corrupted,
+             |        array_to_string(list_transform(list_filter(
+             |          range(0, n_tokens), i -> (i // 3) % 5 = 0),
+             |          i -> tk[CAST(i + 1 AS INTEGER)]), ' ') AS target,
+             |        CAST(len(list_filter(range(0, n_tokens), i -> (i // 3) % 5 = 0))
+             |             AS BIGINT) AS n_masked
+             |      FROM t)
+             |SELECT doc_id, n_tokens, n_masked,
+             |       md5(corrupted) AS corrupted_md5, md5(target) AS target_md5
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     /** BLOCKLIST MASKING: count, per document, the tokens that belong to a
       * corpus-derived blocklist (here: the 5 most frequent tokens, ties
       * broken by token — the PII-scrub / vocabulary-filter plumbing; the

@@ -12,6 +12,30 @@ import graft.TestSpark
 class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("tx_mask_spans: planted doc corrupts to the exact T5 span schedule") {
+    val s = spark; import s.implicits._
+    // 17 tokens t0..t16: masked groups g = i div 3 with g % 5 = 0 are
+    // g=0 (i=0,1,2) and g=5 (i=15,16) -> sentinels <extra_id_0>, <extra_id_1>.
+    val text = (0 until 17).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("mask_docs").toString
+    Seq((1L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def m(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r = TextStats.defs.find(_.name == "tx_mask_spans").get.fn(spark, dir)
+      .collect().head
+    assert(r.getLong(1) == 17L && r.getLong(2) == 5L, s"counts: $r")
+    val corrupted = "<extra_id_0> " + (3 to 14).map(i => s"t$i").mkString(" ") +
+      " <extra_id_1>"
+    assert(r.getString(3) == m(corrupted), "corrupted stream must match the schedule")
+    assert(r.getString(4) == m("t0 t1 t2 t15 t16"), "target must be the masked tokens in order")
+    // determinism: the schedule is positional, so a re-run is byte-identical
+    val again = TextStats.defs.find(_.name == "tx_mask_spans").get.fn(spark, dir)
+      .collect().head
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("pack_sequences: a 600-token doc spans 3+ windows; windows tile with no gaps") {
     val s = spark; import s.implicits._
     // One source: 100 + 600 + 30 tokens. Windows of 256:
