@@ -1274,6 +1274,91 @@ object Dedup {
              |         AS n_tokens_kept
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
 
+    /** LSH BAND-LAYOUT TUNING — the b×r trade table MinHash-LSH is tuned
+      * on: for each layout of the SAME 64 stored hashes (8×8, 16×4, 32×2),
+      * the capped candidate-pair count, how many candidates are true ≥0.5
+      * pairs, and the resulting recall/precision (permille). More rows per
+      * band ⇒ fewer, higher-precision candidates; more bands ⇒ higher
+      * recall at more pair mass — this query turns the S-curve algebra
+      * into measured numbers on THIS corpus, the dd_* analog of
+      * sim_nprobe_sweep (eval-as-operator: rerun per corpus, not per
+      * notebook). Ground truth is the persisted ≥0.5 Jaccard pair graph;
+      * candidates come from the persisted signature table — three band
+      * expansions, zero new corpus passes, every bucket through the shared
+      * cap. */
+    QueryDef(
+      "dd_band_tuning",
+      (s, d) => {
+        val sig = minhashSigStored(s, d)
+        val jac = jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b"))
+        val tot = jac.agg(count(lit(1)).as("n_true_total"))
+        Seq((8, 8), (16, 4), (32, 2)).map { case (b, r) =>
+          val bandKeys = (0 until b).map { bi =>
+            val cols = (0 until r).map(j => s"mh${bi * r + j}")
+            expr(s"md5(concat_ws('|', $bi, ${cols.mkString(", ")}))")
+          }
+          val buckets = sig
+            .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+            .groupBy(col("bk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          val cands = bucketPairs(buckets).distinct()
+          cands.agg(count(lit(1)).as("n_cands"))
+            .crossJoin(cands.join(jac, Seq("doc_a", "doc_b"), "left_semi")
+              .agg(count(lit(1)).as("n_true_cands")))
+            .crossJoin(tot)
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_cands"), col("n_true_cands"),
+              expr("CASE WHEN n_true_total = 0 THEN 0 " +
+                "ELSE (1000 * n_true_cands) div n_true_total END").as("recall_permille"),
+              expr("CASE WHEN n_cands = 0 THEN 0 " +
+                "ELSE (1000 * n_true_cands) div n_cands END").as("precision_permille"))
+        }.reduce(_.unionAll(_)).orderBy("bands")
+      },
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i")
+          .mkString(",\n|          ")
+        val bandArms = Seq((8, 8), (16, 4), (32, 2)).flatMap { case (b, r) =>
+          (0 until b).map { bi =>
+            val cols = (0 until r).map(j => s"mh${bi * r + j}").mkString(", ")
+            s"SELECT $b AS bands, $r AS rws, doc_id, " +
+              s"md5(concat_ws('|', $bi, $cols)) AS bk FROM sig"
+          }
+        }.mkString("\n|  UNION ALL ")
+        s"""WITH ${duckJaccard(500)},
+           |hs AS (SELECT doc_id, md5(sng) AS m FROM ex),
+           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
+           |       FROM hs),
+           |sig AS (SELECT doc_id,
+           |          $mins
+           |        FROM hh GROUP BY doc_id),
+           |bands AS (
+           |  $bandArms),
+           |bkeep AS (SELECT bands, bk FROM bands GROUP BY bands, bk
+           |          HAVING COUNT(*) <= $MaxBucket),
+           |cand AS (SELECT DISTINCT a.bands, a.rws, a.doc_id AS doc_a, c.doc_id AS doc_b
+           |         FROM bands a JOIN bkeep k ON k.bands = a.bands AND k.bk = a.bk
+           |              JOIN bands c ON c.bands = a.bands AND c.bk = a.bk
+           |                   AND a.doc_id < c.doc_id),
+           |tot AS (SELECT COUNT(*) AS n_true_total FROM jac),
+           |st AS (SELECT cand.bands, cand.rws,
+           |         COUNT(*) AS n_cands,
+           |         CAST(SUM(CASE WHEN jac.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+           |              AS BIGINT) AS n_true_cands
+           |       FROM cand LEFT JOIN jac
+           |         ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+           |       GROUP BY cand.bands, cand.rws)
+           |SELECT CAST(bands AS INTEGER) AS bands,
+           |       CAST(rws AS INTEGER) AS rows_per_band,
+           |       n_cands, n_true_cands,
+           |       CASE WHEN tot.n_true_total = 0 THEN 0
+           |            ELSE (1000 * n_true_cands) // tot.n_true_total END
+           |         AS recall_permille,
+           |       CASE WHEN n_cands = 0 THEN 0
+           |            ELSE (1000 * n_true_cands) // n_cands END AS precision_permille
+           |FROM st, tot ORDER BY bands""".stripMargin
+      }),
+
     /** DEDUP FUNNEL — per-source token mass surviving each pipeline stage:
       * raw → quality gate → exact dedup (min-doc per fingerprint) →
       * near-dup drop (≥0.5 Jaccard losers) → line-level dedup of the
