@@ -48,11 +48,17 @@ object Artifacts {
     * the artifact files would. */
   def contentKey(d: String, table: String): String = s"$d@${tableSig(d, table)}"
 
-  /** Artifact store root: `GRAFT_ARTIFACT_DIR` when set (on a cluster, a
-    * durable shared path — every executor and every job sees one copy per
-    * corpus snapshot), the JVM tmpdir otherwise (the sandbox default). */
+  /** Artifact store root: the `graft.artifact.dir` system property when set
+    * (in-JVM override — lets a destructive spec like ArtifactsSpec's gc test
+    * point the store at a private root instead of sweeping the shared tmpdir
+    * out from under a concurrently-running Verify/Bench JVM), else
+    * `GRAFT_ARTIFACT_DIR` (on a cluster, a durable shared path — every
+    * executor and every job sees one copy per corpus snapshot), else the JVM
+    * tmpdir (the sandbox default). */
   def baseDir: String =
-    sys.env.getOrElse("GRAFT_ARTIFACT_DIR", sys.props("java.io.tmpdir"))
+    sys.props.get("graft.artifact.dir")
+      .orElse(sys.env.get("GRAFT_ARTIFACT_DIR"))
+      .getOrElse(sys.props("java.io.tmpdir"))
 
   /** Path of the build-once parquet artifact `name` derived from
     * `d/table.parquet`, building it if this content signature has no

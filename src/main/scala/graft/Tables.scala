@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table readers (TESTDATA.md).
   *
@@ -26,7 +28,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+  /** Events with `ts` normalized to BIGINT epoch-nanos at the reader
+    * boundary, whatever physical type the fixture was generated with.
+    * The engine's contract (mirroring the reference's BIGINT staging
+    * column, sql_queries.py:16-28) is `ts: LongType` nanos; fixtures have
+    * shipped it both as parquet TIMESTAMP(NANOS) (read as BIGINT via
+    * `nanosAsLong`) and as TIMESTAMP(MICROS) (read as a timestamp type).
+    * Dispatching on the observed dtype here — instead of at the ~20 call
+    * sites doing `ts div 1000000` — means a fixture regeneration changes
+    * exactly one line of plan, not 20 queries. The session TZ is pinned
+    * UTC (Sessions.scala), so casting a TIMESTAMP_NTZ value to timestamp
+    * is exact and `unix_micros * 1000` loses nothing the reference kept. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts", expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+    }
+  }
   // Note on scan splits: the fixture ships one row group per file, so the
   // first narrow segment of each pipeline runs on one core until its first
   // exchange. A round-robin repartition after read was measured (bench

@@ -11,13 +11,22 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // A query whose constructor or execution throws must still leave a
+    // visible trace: r10 showed that silently-absent outputs shrink the
+    // driver's correctness matrix (21 broken queries simply vanished from
+    // CORRECTNESS_r10.json). Collect failures and dump them as
+    // errors.json alongside oracle_sql.json so every registered query is
+    // accounted for in the round's artifacts.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
+          errors(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -35,6 +44,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed (see errors.json)")
     spark.stop()
   }
 }

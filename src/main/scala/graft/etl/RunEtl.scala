@@ -16,8 +16,9 @@ object RunEtl {
 
   /** (sfDir, outDir, cpus) from config + argv; argv wins. Exposed for the
     * spec — no SparkSession involved. */
-  def resolve(args: Array[String]): (String, String, String) = {
-    val (sfDir, outDir, cpus, _) = resolveCfg(args)
+  def resolve(args: Array[String],
+      env: Map[String, String] = sys.env): (String, String, String) = {
+    val (sfDir, outDir, cpus, _) = resolveCfg(args, env)
     (sfDir, outDir, cpus)
   }
 
@@ -25,7 +26,8 @@ object RunEtl {
     * the session's cloud-FS wiring ([[Sessions.applyCloudFs]]) so a dwh.cfg
     * with `[AWS]` credentials makes `s3a://` locations readable — the
     * reference's COPY-from-S3 run shape (sql_queries.py:122-136). */
-  def resolveCfg(args: Array[String]): (String, String, String, GraftConfig.Config) = {
+  def resolveCfg(args: Array[String],
+      env: Map[String, String] = sys.env): (String, String, String, GraftConfig.Config) = {
     val (cfgPath, positional) = args.indexOf("--config") match {
       case -1 => (None, args.toSeq)
       case i if i + 1 < args.length => (Some(args(i + 1)), args.toSeq.patch(i, Nil, 2))
@@ -37,7 +39,10 @@ object RunEtl {
         "(sfDir from argv or [GRAFT] SF_DIR)"))
     val outDir = positional.lift(1).orElse(cfg.get("GRAFT", "OUT_DIR"))
       .getOrElse(sys.error("outDir missing: pass it or set [GRAFT] OUT_DIR"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", cfg.getOr("GRAFT", "CPUS", "4"))
+    // env is injectable so specs can pin it (Map.empty) — the precedence
+    // env > config is documented behavior, but a spec asserting the config
+    // leg must not flip when the harness itself exports SPARK_GRAFT_CPUS.
+    val cpus = env.getOrElse("SPARK_GRAFT_CPUS", cfg.getOr("GRAFT", "CPUS", "4"))
     (sfDir, outDir, cpus, cfg)
   }
 

@@ -149,8 +149,14 @@ object Ingest {
     val sigFiles =
       if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
       else Seq(src)
+    // The trailing format tag versions the STAGED representation (ts as
+    // BIGINT nanos). Bumping it orphans every staging dir written under an
+    // older serialization — necessary when the serialized type changes even
+    // though the fixture bytes did not (as when Tables.events gained ts
+    // normalization: same parquet mtimes, different JSON payload).
     val sig = sfDir +
-      sigFiles.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
+      sigFiles.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString +
+      "|fmt=ts_ns_v2"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-events-json-$key")
@@ -187,8 +193,17 @@ object Ingest {
       (s, d) => {
         val json = stagedEventsJson(s, d)
         readJsonViaJsonpaths(s, json, eventsFixtureManifest, eventsFixtureTarget)
-          .select(col("evt_id"), expr("ts_ns div 1000000").as("ms"), col("uid"),
-            col("etype"), col("val"), col("props_json"))
+          // The fixture's ts is never null, so a null here means exactly one
+          // thing: the staged JSON serialized ts in a shape the LongType
+          // read schema can't parse (e.g. an ISO string). A schema'd JSON
+          // read nulls unparseable fields silently — schema_match would stay
+          // true while every ms diverged — so fail the query loudly instead.
+          .select(col("evt_id"),
+            expr("""CASE WHEN ts_ns IS NULL
+                   |  THEN CAST(raise_error(
+                   |    'staged events JSON: ts_ns read null — serialized type drifted from BIGINT nanos') AS BIGINT)
+                   |  ELSE ts_ns div 1000000 END""".stripMargin).as("ms"),
+            col("uid"), col("etype"), col("val"), col("props_json"))
           .orderBy("evt_id")
       },
       Some("""SELECT event_id AS evt_id, epoch_ms(ts) AS ms, user_id AS uid,

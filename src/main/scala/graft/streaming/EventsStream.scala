@@ -45,8 +45,8 @@ object EventsStream extends Serializable {
   final case class Sess(user_id: Long, session_start_ms: Long, n_events: Long,
       sum_cents: Long, seq: Long)
 
-  /** Streaming-source schema: matches the fixture parquet read with
-    * nanosAsLong (ts = BIGINT nanoseconds). */
+  /** Streaming-source schema with ts = BIGINT nanoseconds — the engine's
+    * post-normalization contract (see [[graft.Tables.events]]). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -54,6 +54,30 @@ object EventsStream extends Serializable {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** `readStream` over a landing directory of event parquet files, with `ts`
+    * normalized to BIGINT epoch-nanos — the streaming twin of
+    * [[graft.Tables.events]]'s reader-boundary dispatch. FileStreamSource
+    * needs the schema declared up front, so the physical ts type is probed
+    * with a static metadata-only read of the same directory (landing files
+    * have shipped both BIGINT-nanos and TIMESTAMP(MICROS) shapes across
+    * fixture generations; reading TIMESTAMP micros through a LongType schema
+    * would silently reinterpret micros as nanos — a 1000x time shift — which
+    * is exactly the round-10 regression class this guards against). All
+    * micro-batches of one query run under the schema probed at start; a
+    * mid-stream type flip in the landing zone surfaces as a read error, not
+    * a silent unit change. */
+  private def readEventsStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val srcSchema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val reader = spark.readStream.schema(srcSchema)
+    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val raw = reader.parquet(eventsDir)
+    if (tsType == LongType) raw
+    else raw.withColumn("ts", expr("unix_micros(cast(ts AS timestamp)) * 1000"))
+  }
 
   private def hourly(events: DataFrame): DataFrame =
     events
@@ -74,9 +98,7 @@ object EventsStream extends Serializable {
     * path is rejected), and the realistic landing-zone shape. */
   def runHourlyCountsStream(spark: SparkSession, eventsDir: String,
       queryName: String = "hourly_stream"): DataFrame = {
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(eventsDir)
+    val events = readEventsStream(spark, eventsDir)
     val agg = hourly(
       events
         .withColumn("ts_watermark", timestamp_seconds(expr("(ts div 1000000) div 1000")))
@@ -118,9 +140,7 @@ object EventsStream extends Serializable {
     * directory, with the customer dim read as a static batch table. */
   def runEnrichSegmentStream(spark: SparkSession, eventsDir: String, sfDir: String,
       queryName: String = "enrich_stream"): DataFrame = {
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(eventsDir)
+    val events = readEventsStream(spark, eventsDir)
     val agg = enrichSegment(
       events
         .withColumn("ts_watermark", timestamp_seconds(expr("(ts div 1000000) div 1000")))
@@ -220,9 +240,7 @@ object EventsStream extends Serializable {
       watermarkDelay: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val reader = spark.readStream.schema(eventsSchema)
-    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val events = reader.parquet(eventsDir)
+    val events = readEventsStream(spark, eventsDir, maxFilesPerTrigger)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .withColumn("et", expr("timestamp_millis(ms)"))
@@ -400,7 +418,7 @@ object EventsStream extends Serializable {
       queryName: String = "drift_stream"): DataFrame = {
     val countsDir = java.nio.file.Files
       .createTempDirectory(s"graft_$queryName").toString
-    val counts = dayTypeCounts(spark.readStream.schema(eventsSchema).parquet(eventsDir))
+    val counts = dayTypeCounts(readEventsStream(spark, eventsDir))
     val q = counts.writeStream
       .outputMode("complete")
       .foreachBatch { (b: DataFrame, _: Long) =>

@@ -54,11 +54,19 @@ class ArtifactsSpec extends AnyFunSuite {
   }
 
   test("gc sweeps only store-shaped dirs past the horizon; a swept artifact rebuilds") {
+    // Destructive test: run against a PRIVATE store root. gc(-1) on the
+    // shared tmpdir would delete artifacts a concurrently-running
+    // Verify/Bench JVM is reading (observed round 11: 15 sf0.01 queries
+    // failed PATH_NOT_FOUND while this suite ran in parallel).
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_art5_store").toString
+    sys.props("graft.artifact.dir") = isoRoot
+    try {
     val dir = java.nio.file.Files.createTempDirectory("graft_art5").toString
     writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
     var builds = 0
     def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
     val p1 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents")(build)
+    assert(p1.startsWith(isoRoot), "spec artifact must land in the private root")
     assert(builds == 1 && new java.io.File(p1, "_SUCCESS").exists())
     // a NON-store graft dir at the store root must never be swept
     val decoy = new java.io.File(Artifacts.baseDir, "graft_sf_decoy")
@@ -75,6 +83,7 @@ class ArtifactsSpec extends AnyFunSuite {
       assert(new java.io.File(p2, "_SUCCESS").exists())
       assert(spark.read.parquet(p2).count() == 2)
     } finally { decoy.delete(): Unit }
+    } finally { sys.props.remove("graft.artifact.dir"): Unit }
   }
 
   test("a consumer (winnow fp index) rebuilds over the rewritten corpus") {

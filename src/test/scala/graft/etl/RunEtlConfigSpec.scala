@@ -67,16 +67,23 @@ class RunEtlConfigSpec extends AnyFunSuite {
   test("RunEtl resolution: config supplies defaults, argv overrides") {
     val path = Files.createTempFile("dwh", ".cfg")
     Files.writeString(path, dwhCfg)
+    // env pinned empty: these assertions exercise the config/argv legs and
+    // must not flip when the harness itself exports SPARK_GRAFT_CPUS.
+    val noEnv = Map.empty[String, String]
     // config only
-    assert(RunEtl.resolve(Array("--config", path.toString)) ==
+    assert(RunEtl.resolve(Array("--config", path.toString), noEnv) ==
       (("/root/testdata/sf0.001", "/tmp/etl_out", "8")))
     // positional argv wins over config
-    assert(RunEtl.resolve(Array("--config", path.toString, "/data/sf1", "/tmp/other")) ==
+    assert(RunEtl.resolve(Array("--config", path.toString, "/data/sf1", "/tmp/other"), noEnv) ==
       (("/data/sf1", "/tmp/other", "8")))
     // bare argv still works (round-2 calling convention unchanged)
-    assert(RunEtl.resolve(Array("/data/sf1", "/tmp/other")) ==
+    assert(RunEtl.resolve(Array("/data/sf1", "/tmp/other"), noEnv) ==
       (("/data/sf1", "/tmp/other", "4")))
+    // documented precedence: SPARK_GRAFT_CPUS beats [GRAFT] CPUS
+    assert(RunEtl.resolve(Array("--config", path.toString),
+      Map("SPARK_GRAFT_CPUS" -> "16")) ==
+      (("/root/testdata/sf0.001", "/tmp/etl_out", "16")))
     // nothing → loud usage error
-    intercept[RuntimeException] { RunEtl.resolve(Array.empty) }
+    intercept[RuntimeException] { RunEtl.resolve(Array.empty, noEnv) }
   }
 }
