@@ -1085,17 +1085,17 @@ object Dedup {
       * re-crawl) lights up by shared-chunk mass even when whole-doc
       * fingerprints all differ, and CDC boundaries mean an insertion only
       * perturbs the chunks it touches. Chunk identity is the additive
-      * fingerprint + gram count from graft.text.TextStats.cdcChunkRows;
-      * the index is ~1/16 the gram count (one entry per chunk, not per
-      * gram — the storage math that makes chunk indexes affordable at
-      * 100 TB). One chunk-key shuffle counts distinct docs per chunk, one
-      * join back on the same key, one doc rollup. */
+      * fingerprint + gram count from graft.text.TextStats.cdcChunkIndex —
+      * the PERSISTED chunk index (~1/16 the gram count: one entry per
+      * chunk, not per gram — the storage math that makes chunk indexes
+      * affordable at 100 TB), so serving probes the artifact instead of
+      * re-chunking the corpus. One chunk-key shuffle counts distinct docs
+      * per chunk, one join back on the same key, one doc rollup. */
     QueryDef(
       "dd_cdc_dedup",
       (s, d) => {
-        val ch = graft.text.TextStats.cdcChunkRows(s, d)
-          .groupBy(col("doc_id"), col("chunk_seq"))
-          .agg(count(lit(1)).as("cg"), sum(col("ghash")).as("cfp"))
+        val ch = graft.text.TextStats.cdcChunkIndex(s, d)
+          .select(col("doc_id"), col("chunk_seq"), col("cg"), col("cfp"))
         val idx = ch.groupBy(col("cfp"), col("cg"))
           .agg(countDistinct(col("doc_id")).as("nd"))
         ch.join(idx, Seq("cfp", "cg"))

@@ -752,11 +752,9 @@ object TextStats {
     QueryDef(
       "tx_cdc_chunks",
       (s, d) =>
-        cdcChunkRows(s, d)
-          .groupBy(col("doc_id"), col("chunk_seq"))
-          .agg(count(lit(1)).as("n_grams"), sum(col("ghash")).as("fp_sum"),
-            min(col("pos")).cast("long").as("pos_first"),
-            max(col("pos")).cast("long").as("pos_last"))
+        cdcChunkIndex(s, d)
+          .select(col("doc_id"), col("chunk_seq"), col("cg").as("n_grams"),
+            col("cfp").as("fp_sum"), col("pos_first"), col("pos_last"))
           .orderBy("doc_id", "chunk_seq"),
       Some(s"""WITH $duckCdcChain
              |SELECT doc_id, chunk_seq, COUNT(*) AS n_grams,
@@ -851,6 +849,24 @@ object TextStats {
         sum(when(col("ghash") % 16 === 0, 1L).otherwise(0L)).over(wCum))
       .select(col("doc_id"), col("pos"), col("ghash"), col("chunk_seq"))
   }
+
+  /** The per-chunk CDC INDEX — one row per chunk `(doc_id, chunk_seq)` with
+    * gram count `cg`, additive fingerprint `cfp`, and position span —
+    * persisted as a content-keyed artifact (same lifecycle as the winnow
+    * fingerprint and minhash signature indexes). This is the table storage
+    * dedup actually keeps: ~1/16 the gram count, so at 100 TB the index is
+    * TB-scale while the gram stream it summarizes would be corpus-scale.
+    * Both [[tx_cdc_chunks]] and graft.dedup's chunk-level dedup serve from
+    * this artifact; the two-window chunking pass runs once per corpus
+    * CONTENT, not once per query. */
+  def cdcChunkIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.Artifacts.indexParquet(s, "cdc_chunks", d, "documents")(
+      cdcChunkRows(s, d)
+        .groupBy(col("doc_id"), col("chunk_seq"))
+        .agg(count(lit(1)).as("cg"), sum(col("ghash")).as("cfp"),
+          min(col("pos")).cast("long").as("pos_first"),
+          max(col("pos")).cast("long").as("pos_last")))
 
   /** DuckDB CTE chain ending in `c(doc_id, pos, ghash, chunk_seq)` — the
     * oracle replay of [[cdcChunkRows]], shared with the chunk-dedup oracle. */
