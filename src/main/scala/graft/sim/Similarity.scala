@@ -154,6 +154,52 @@ object Similarity {
   /** Trained-cell assignment for every vector: (vec_id, cell, cos6). */
   def assignCells(s: SparkSession, d: String): DataFrame = cellsStored(s, d, K)
 
+  /** UPDATED versions of the indexed `vec_id % 5 = 0` vectors — components
+    * rotated left one position — the deterministic "document re-embedded
+    * after an edit" stand-in both engines can state literally (rotation
+    * changes the direction, so assignments genuinely move; a scalar rescale
+    * would be cosine-invariant and test nothing). */
+  def rotatedArrivals(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).filter(expr("vec_id % 5 = 0"))
+      .select(col("vec_id"),
+        expr("concat(slice(v, 2, size(v) - 1), array(element_at(v, 1)))").as("v"))
+
+  /** INDEX MAINTENANCE (the st_ann_upsert batch semantics): re-arrived
+    * vectors are assigned against the TRAINED centroids — no retrain, the
+    * operational property IVF buys — and supersede their stored assignment
+    * latest-wins. Output: per re-arrival, the stored cell, the new cell,
+    * and whether it moved (the mover count is the retraining-pressure
+    * metric: movers accumulate as the corpus drifts from the trained
+    * snapshot, the same signal st_cell_drift watches distributionally).
+    * Plan shape: the stored assignment artifact is probed (no corpus
+    * re-scan); only the arrival slice touches the centroid broadcast. */
+  def upsertAssign(s: SparkSession, d: String): DataFrame = {
+    val cdf = centroidsDf(s, trainKMeans(s, d, K, Iters))
+    val newAsg = nearest(rotatedArrivals(s, d), cdf)
+      .select(col("vec_id"), col("cid").as("new_cell"))
+    val old = assignCells(s, d).select(col("vec_id"), col("cell").as("old_cell"))
+    newAsg.join(old, "vec_id")
+      .select(col("vec_id"), col("old_cell"), col("new_cell"),
+        (col("old_cell") =!= col("new_cell")).as("moved"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle SQL for `st_ann_upsert` — lives here to reuse the private
+    * k-means replay ([[duckKmeansChain]]) and cosine builders. */
+  def upsertOracleSql: String =
+    s"""WITH ${duckKmeansChain()},
+       |arr AS (SELECT vec_id, list_concat(v[2:], [v[1]]) AS v2 FROM e
+       |        WHERE vec_id % 5 = 0),
+       |na AS (SELECT vec_id, cid AS new_cell FROM (
+       |  SELECT a.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY ${duckCosOf("a.v2", "c.cv")} DESC,
+       |                                     c.cid ASC) AS rn
+       |  FROM arr a, c$Iters c) WHERE rn = 1)
+       |SELECT n.vec_id, s.cell AS old_cell, n.new_cell,
+       |       s.cell <> n.new_cell AS moved
+       |FROM na n JOIN assign s USING (vec_id) ORDER BY vec_id""".stripMargin
+
   /** DuckDB WITH-fragment replaying k-means training and the final
     * assignment — `assign` ends as (vec_id, cell, cos6). Shared by every
     * oracle that consumes trained cells (also graft.dedup's embedding

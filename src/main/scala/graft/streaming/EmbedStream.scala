@@ -41,6 +41,42 @@ object EmbedStream {
     }).getField("cid")
   }
 
+  /** INDEX UPSERT as an incremental stream — the maintenance leg of the ANN
+    * lifecycle (build: sim_ivf_assign; serve: sim_ann_ivf; monitor:
+    * st_cell_drift; maintain: here). Arriving vectors are assigned to their
+    * nearest TRAINED cell with the stream-legal fold (no retrain, no
+    * streaming state — the assignment is a narrow per-row map) and appended
+    * to a parquet DELTA LOG stamped with the micro-batch sequence;
+    * compaction keeps the max-sequence row per vec_id — the same
+    * latest-wins upsert-by-key discipline as the sessionizer's emission
+    * protocol (EventsStream.compactSessions). At 100 TB the log is the
+    * index's write-ahead delta partition and compaction is the periodic
+    * merge into the base assignment artifact — arrivals never touch the
+    * indexed corpus. `maxFilesPerTrigger` > 0 forces multi-batch runs so
+    * the spec can prove a later re-arrival supersedes an earlier one. */
+  def runUpsertStream(spark: SparkSession, embDir: String,
+      cents: Seq[(Int, Seq[Double])],
+      queryName: String = "ann_upsert",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val logDir = java.nio.file.Files.createTempDirectory(s"graft_$queryName").toString
+    val reader = spark.readStream.schema(embSchema)
+    if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val q = reader.parquet(embDir)
+      .withColumn("cell",
+        cellExpr(spark, cents, col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("cell"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("batch_seq", lit(id)).write.mode("append").parquet(logDir); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(logDir)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("batch_seq"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
+
   /** Arriving-vector cell counts as an incremental stream over a directory
     * of arriving embedding files: narrow nearest-cell map + ONE aggregation
     * over K cell keys (state O(K), not O(vectors)); complete-mode memory
@@ -102,5 +138,16 @@ object EmbedStream {
               |       (1000 * n_new) // tot_new AS new_permille,
               |       abs((1000 * n_new) // tot_new
               |           - (1000 * n_index) // tot_index) AS drift_permille
-              |FROM j, tot ORDER BY cell""".stripMargin)))
+              |FROM j, tot ORDER BY cell""".stripMargin)),
+
+    /** ANN INDEX UPSERT (batch semantics; stream ≡ batch pinned by
+      * EmbedStreamSpec): re-embedded vectors (the % 5 = 0 slice, rotated —
+      * the deterministic "document edited and re-embedded" stand-in) are
+      * assigned against the trained centroids and supersede their stored
+      * assignment latest-wins. `moved` marks assignments that changed —
+      * the accumulating mover mass is the retraining trigger. */
+    graft.QueryDef(
+      "st_ann_upsert",
+      (s, d) => graft.sim.Similarity.upsertAssign(s, d),
+      Some(graft.sim.Similarity.upsertOracleSql)))
 }

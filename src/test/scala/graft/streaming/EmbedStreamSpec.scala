@@ -27,6 +27,44 @@ class EmbedStreamSpec extends AnyFunSuite {
       s"stream cell counts $streamed != batch arrival counts $batch")
   }
 
+  test("streaming upsert: a later re-arrival supersedes, compacted state equals batch st_ann_upsert") {
+    // Two arrival files with ordered mtimes, one per micro-batch
+    // (maxFilesPerTrigger = 1): first the ORIGINAL % 5 = 0 vectors, then
+    // their rotated re-embeddings. Latest-wins compaction must keep only
+    // the rotated assignments — exactly the batch query's new_cell column.
+    val dir = java.nio.file.Files.createTempDirectory("embed_upsert").toString
+    val t0 = System.currentTimeMillis()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("embed_upsert_w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$dir/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime): Unit
+    }
+    val orig = graft.Tables.embeddings(spark, sf).filter(expr("vec_id % 5 = 0"))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val rot = orig.select(col("vec_id"),
+      expr("concat(slice(embedding, 2, size(embedding) - 1), " +
+        "array(element_at(embedding, 1)))").as("embedding"), col("label"))
+    stage(orig, "arrivals1", t0 - 60000)
+    stage(rot, "arrivals2", t0)
+    val cents = graft.sim.Similarity.trainKMeans(spark, sf)
+    val streamed = EmbedStream.runUpsertStream(spark, dir, cents,
+      "ann_upsert_spec", maxFilesPerTrigger = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.sim.Similarity.upsertAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed == batch,
+      s"compacted stream assignments disagree with batch upsert (stream=${streamed.size} batch=${batch.size})")
+    // the rotation must actually move some assignments, or the supersede
+    // path proved nothing
+    val movers = graft.sim.Similarity.upsertAssign(spark, sf)
+      .filter(col("moved")).count()
+    assert(movers > 0, "rotation moved no assignments — supersede untested")
+  }
+
   test("fold assignment breaks round-6 cosine ties to the lowest cid (the nearest() contract)") {
     val s = spark; import s.implicits._
     val v = Seq(1.0, 0.0, 0.0)
