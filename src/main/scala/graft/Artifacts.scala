@@ -68,7 +68,7 @@ object Artifacts {
   def indexParquetPath(s: SparkSession, name: String, d: String, table: String)
       (build: => DataFrame): String = {
     val key = s"${name}_${tableSig(d, table)}"
-    published.getOrElseUpdate(key, {
+    def publish(): String = {
       val fin = new java.io.File(baseDir, s"graft_$key")
       if (!new java.io.File(fin, "_SUCCESS").exists()) {
         val tmp = new java.io.File(baseDir,
@@ -79,7 +79,16 @@ object Artifacts {
         if (!tmp.renameTo(fin)) deleteRecursively(tmp) // lost the race: reuse winner's
       }
       fin.getAbsolutePath
-    })
+    }
+    val cached = published.getOrElseUpdate(key, publish())
+    // Self-heal a swept artifact: the fast-path map can outlive the files
+    // when ANOTHER process's retention sweep (or a manual tmp clean) removes
+    // the published dir — observed round 11 as PATH_NOT_FOUND mid-suite when
+    // a concurrent JVM gc'd the shared store. The durable guard is the
+    // _SUCCESS file, so re-check it on every handout and republish on miss:
+    // one file stat per query against a query-plan's worth of work.
+    if (new java.io.File(cached, "_SUCCESS").exists()) cached
+    else { published.remove(key); published.getOrElseUpdate(key, publish()) }
   }
 
   /** [[indexParquetPath]] + read: the artifact as a DataFrame. */

@@ -86,6 +86,31 @@ class ArtifactsSpec extends AnyFunSuite {
     } finally { sys.props.remove("graft.artifact.dir"): Unit }
   }
 
+  test("an artifact swept out-of-band (another JVM's janitor) self-heals on next handout") {
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_art6_store").toString
+    sys.props("graft.artifact.dir") = isoRoot
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_art6").toString
+      writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+      var builds = 0
+      def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
+      val p1 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents")(build)
+      assert(builds == 1)
+      // simulate a FOREIGN process deleting the published dir: the in-JVM
+      // fast-path map still holds the path, so without the _SUCCESS re-check
+      // the next consumer would read a vanished directory
+      def deleteRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete(): Unit
+      }
+      deleteRec(new java.io.File(p1))
+      assert(!new java.io.File(p1).exists())
+      val p2 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents")(build)
+      assert(p2 == p1 && builds == 2, "handout must republish, not serve the dead path")
+      assert(spark.read.parquet(p2).count() == 2)
+    } finally { sys.props.remove("graft.artifact.dir"): Unit }
+  }
+
   test("a consumer (winnow fp index) rebuilds over the rewritten corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_art4").toString
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
