@@ -132,7 +132,8 @@ object Ingest {
   def readJsonViaJsonpaths(spark: SparkSession, dataPath: String,
       manifestJson: String, target: StructType): DataFrame = {
     val (readSchema, _) = jsonpathsMapping(manifestJson, target)
-    spark.read.schema(readSchema).json(dataPath).toDF(target.fieldNames: _*)
+    spark.read.schema(readSchema).json(dataPath)
+      .toDF(target.fieldNames.toIndexedSeq: _*)
   }
 
   /** Deterministic staging dir holding a JSON-serialized copy of the fixture
