@@ -822,7 +822,166 @@ object TextStats {
              |  regexp_replace(t3, '$PiiId', '<ID>', 'g') AS clean FROM s3)
              |SELECT doc_id, n_emails, n_ips, n_phones, n_ids, md5(clean) AS clean_md5
              |FROM s4 ORDER BY doc_id""".stripMargin)),
+
+    /** BPE MERGE TRAINING (see [[bpeMerges]]): the first [[BpeRounds]]
+      * learned merges — (rank, lhs, rhs, merged, weighted pair count) —
+      * trained on the corpus word-frequency dictionary with exact
+      * deterministic selection and greedy application; the oracle replays
+      * every round. */
+    QueryDef(
+      "tx_bpe_merges",
+      (s, d) => bpeMergesDf(s, d),
+      Some(duckBpeSql())),
   )
+
+  /** Merge rounds trained by [[bpeMerges]] (the tokenizer-prep analog of
+    * Similarity.Iters: enough rounds to exercise selection, application,
+    * and merged-symbol re-pairing on the fixture; a production vocab runs
+    * the same loop tens of thousands of times). `final` without a type
+    * annotation on purpose: a constant expression is inlined at use sites,
+    * so the `defs` val — which runs duckBpeSql() during object init,
+    * LEXICALLY BEFORE this line — sees 8, not the uninitialized 0. */
+  final val BpeRounds = 8
+
+  private val bpeModels = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, String, String, String, Long)]]
+
+  /** BPE MERGE TRAINING — the tokenizer-learning step every pretraining
+    * pipeline runs before anything tokenizes: learn the first `rounds`
+    * byte-pair merges from the corpus, exactly (count-weighted pair
+    * frequencies, ties broken to the lexicographically smallest (lhs, rhs),
+    * leftmost-greedy non-overlapping application — the standard BPE rules,
+    * stated deterministically so the DuckDB oracle replays training
+    * verbatim like [[graft.sim.Similarity.duckKmeansChain]] replays
+    * k-means).
+    *
+    * Scale shape — the part that matters at 100 TB: training input is the
+    * WORD-FREQUENCY DICTIONARY (one corpus tokenize+count pass — the only
+    * corpus-scale step, the same shuffle tx_tokens already pays), and every
+    * merge round runs on the vocabulary-sized (word, syms) frame: explode
+    * to symbol pairs, one weighted count, a 1-ROW collect of the argmax
+    * (model state, the k-means discipline), and a relational leftmost-greedy
+    * rewrite. Greedy non-overlap is pure windows: mark matching positions,
+    * group consecutive marks by run (pos - row_number), keep odd ranks
+    * within each run — no per-row loop, no UDF. Each round's vocabulary is
+    * persisted and the previous unpersisted, so lineage stays one round
+    * deep. The trained merge table is memoized per corpus CONTENT like
+    * every other model artifact. */
+  def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int = BpeRounds): Seq[(Long, String, String, String, Long)] =
+    graft.Artifacts.memo(bpeModels,
+      s"${graft.Artifacts.contentKey(d, "documents")}|$rounds")(
+      bpeMergesUncached(Tables.documents(s, d), rounds))
+
+  /** Training loop over an explicit documents frame (spec entry point). */
+  private[text] def bpeMergesUncached(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    // filter(x <> ''): Java-regex split("") can emit a trailing empty token
+    // the DuckDB splitter doesn't — strip it so both engines pair the same
+    // symbols. localCheckpoint (not persist): each round's frame references
+    // the previous round's plan several times, and Catalyst copies shared
+    // subtrees during optimization — 8 rounds of persist-only lineage grew
+    // the logical plan exponentially (observed as analyzer OOM); truncating
+    // to a LogicalRDD per round keeps planning cost flat, the same reason
+    // dd_dup_clusters checkpoints its label-propagation loop.
+    var words = docs
+      .select(explode(expr(toks)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val ex = words
+        .select(col("word"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
+        .withColumn("nxt", lead(col("sym"), 1).over(wPos))
+      val bestRows = ex.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (bestRows.nonEmpty) {
+        val (a, b, cnt) =
+          (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
+        out += ((r.toLong, a, b, a + b, cnt))
+        // leftmost-greedy non-overlap: within each run of consecutive
+        // matching positions, merge the 1st, 3rd, 5th… ("aaaa" + (a,a)
+        // merges positions 0 and 2, never the overlapping 1)
+        val kept = ex.filter(col("sym") === a && col("nxt") === b)
+          .withColumn("rn", row_number().over(wPos))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("word"), col("pos") - col("rn")).orderBy(col("pos"))))
+          .filter(col("rr") % 2 === 1)
+          .select(col("word"), col("pos"))
+        val next = ex
+          .join(kept.withColumn("is_k", lit(true)), Seq("word", "pos"), "left_outer")
+          .join(kept.select(col("word"), (col("pos") + 1).as("pos"),
+            lit(true).as("is_d")), Seq("word", "pos"), "left_outer")
+          .filter(col("is_d").isNull) // the absorbed right half of each merge
+          .withColumn("ns",
+            when(col("is_k"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+          .groupBy(col("word"), col("freq"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, ns))), p -> p.ns)")
+            .as("syms"))
+          .localCheckpoint(true) // materializes eagerly; truncates lineage
+        words = next
+      }
+    }
+    out.toSeq
+  }
+
+  /** [[bpeMerges]] as the registered query frame. */
+  def bpeMergesDf(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    bpeMerges(s, d).toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
+      .orderBy("merge_rank")
+  }
+
+  /** Generated DuckDB replay of [[bpeMerges]] — `rounds` rounds of
+    * explode → weighted argmax → greedy rewrite, one CTE block per round
+    * (MATERIALIZED: each block is referenced several times; inlined CTEs
+    * would re-expand the whole chain exponentially). */
+  def duckBpeSql(rounds: Int = BpeRounds): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+             |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             |         string_split_regex(word, '') AS syms
+             |  FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+             |        FROM documents)
+             |  WHERE word <> '' GROUP BY word)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |x$r AS MATERIALIZED (SELECT word, freq, i AS pos, syms[i+1] AS sym, syms[i+2] AS nxt
+        |  FROM w${r - 1}, unnest(range(0, len(syms))) AS u(i)),
+        |b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM x$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |k$r AS MATERIALIZED (SELECT word, pos FROM (
+        |    SELECT word, pos,
+        |           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rr
+        |    FROM (SELECT x.word, x.pos,
+        |                 row_number() OVER (PARTITION BY x.word ORDER BY x.pos) AS rn
+        |          FROM x$r x JOIN b$r b ON x.sym = b.a AND x.nxt = b.b))
+        |  WHERE rr % 2 = 1),
+        |w$r AS MATERIALIZED (SELECT word, freq, list(ns ORDER BY pos) AS syms FROM (
+        |    SELECT x.word, x.freq, x.pos,
+        |           CASE WHEN k.pos IS NOT NULL THEN x.sym || x.nxt ELSE x.sym END AS ns,
+        |           kd.pos AS dpos
+        |    FROM x$r x
+        |    LEFT JOIN k$r k ON x.word = k.word AND x.pos = k.pos
+        |    LEFT JOIN k$r kd ON x.word = kd.word AND x.pos = kd.pos + 1)
+        |  WHERE dpos IS NULL GROUP BY word, freq)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" + (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, " +
+        s"a || b AS merged, cnt AS n_pairs FROM b$r").mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+    sb.toString
+  }
 
   /** CDC gram stream: one row per 4-gram with its running chunk number.
     * Boundaries are content-addressed (`ghash % 16 == 0` STARTS a new

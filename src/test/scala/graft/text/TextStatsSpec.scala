@@ -254,6 +254,29 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_bpe_merges: leftmost-greedy overlap parity, lexicographic ties, merged re-pairing") {
+    val s = spark; import s.implicits._
+    def docs(texts: String*) = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "s0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // "aaaa" x3 + "ab" x2: round 1 picks (a,a) with weighted count 9 (three
+    // overlapping adjacencies per "aaaa" — the naive adjacent count BPE
+    // selects on) over (a,b)=2; greedy application merges positions 0 and 2
+    // ONLY (parity rule: the overlapping middle pair never merges), so
+    // round 2 sees "aa aa" and picks (aa,aa)=3 — which also proves a merged
+    // symbol re-pairs with itself.
+    val m1 = TextStats.bpeMergesUncached(docs("aaaa aaaa aaaa ab ab"), 2)
+    assert(m1 == Seq((1L, "a", "a", "aa", 9L), (2L, "aa", "aa", "aaaa", 3L)),
+      s"got $m1")
+    // pure tie: (x,y) and (y,z) both count 2 -> lexicographically smallest
+    // (lhs, rhs) wins
+    val m2 = TextStats.bpeMergesUncached(docs("xy xy yz yz"), 1)
+    assert(m2 == Seq((1L, "x", "y", "xy", 2L)), s"got $m2")
+    // single-char words contribute no pairs and survive every round
+    val m3 = TextStats.bpeMergesUncached(docs("a b c d"), 1)
+    assert(m3.isEmpty, s"no pairs exist, got $m3")
+  }
+
   test("tx_pii_scrub: planted footer counts once per class; in-text PII is also caught") {
     val sf = TestSpark.sf
     val q = TextStats.defs.find(_.name == "tx_pii_scrub").get
