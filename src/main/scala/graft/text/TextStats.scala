@@ -832,6 +832,14 @@ object TextStats {
       "tx_bpe_merges",
       (s, d) => bpeMergesDf(s, d),
       Some(duckBpeSql())),
+
+    /** BPE application (see [[bpeApplyDf]]): per-doc word and subword
+      * counts under the learned merge table — the corpus-side half of the
+      * tokenizer story (train [[bpeMerges]] / apply here). */
+    QueryDef(
+      "tx_bpe_apply",
+      (s, d) => bpeApplyDf(s, d),
+      Some(duckBpeApplySql())),
   )
 
   /** Merge rounds trained by [[bpeMerges]] (the tokenizer-prep analog of
@@ -981,6 +989,63 @@ object TextStats {
         s"a || b AS merged, cnt AS n_pairs FROM b$r").mkString(" UNION ALL ") +
       ") ORDER BY merge_rank"
     sb.toString
+  }
+
+  /** BPE APPLICATION — tokenize the corpus with the merges [[bpeMerges]]
+    * learned: per document, whitespace words and the subword count after
+    * applying the 8 learned merges in rank order. Application is ONE
+    * codegen projection over the DISTINCT-WORD dictionary: each merge is a
+    * left fold over the symbol array (`aggregate`) that replaces a trailing
+    * `lhs` with `merged` when `rhs` arrives — equivalent to leftmost-greedy
+    * non-overlapping application because the merged symbol is strictly
+    * longer than `lhs`, so a just-merged slot can never re-match as the
+    * left half of the same pair ("aaa" + (a,a) → [aa, a], by fold and by
+    * greedy alike). The merges arrive as LITERALS from the memoized model
+    * (serving never retrains), folds nest 8 deep in one whole-stage-codegen
+    * expression — no windows, no shuffle on the apply side. The doc rollup
+    * joins tokens to the segmented dictionary WITHOUT a broadcast hint (the
+    * vocab-join convention: unbounded domain at 100 TB, AQE decides). The
+    * oracle reuses the training replay verbatim — its final w8 CTE IS the
+    * segmented dictionary. */
+  def bpeApplyDf(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    def q(x: String) = x.replace("'", "''")
+    val applied = bpeMerges(s, d).foldLeft("syms") { case (inner, (_, a, b, ab, _)) =>
+      s"""aggregate($inner, CAST(array() AS array<string>),
+         |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}'
+         |                    AND x = '${q(b)}'
+         |    THEN concat(slice(acc, 1, size(acc) - 1), array('${q(ab)}'))
+         |    ELSE concat(acc, array(x)) END)""".stripMargin
+    }
+    val dict = Tables.documents(s, d)
+      .select(explode(expr(toks)).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+      .withColumn("n_sub", expr(s"CAST(size($applied) AS BIGINT)"))
+      .select(col("word"), col("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toks)).as("word"))
+      .filter(col("word") =!= "")
+      .join(dict, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[bpeApplyDf]]: the training replay's final `w` CTE is the
+    * segmented dictionary; roll doc tokens up against its symbol counts. */
+  def duckBpeApplySql(rounds: Int = BpeRounds): String = {
+    val chain = duckBpeSql(rounds)
+    val withPart = chain.substring(0, chain.indexOf("\nSELECT * FROM ("))
+    s"""$withPart,
+       |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
+       |       FROM documents)
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(len(w.syms)) AS BIGINT) AS n_subwords
+       |FROM tk t JOIN w$rounds w USING (word)
+       |WHERE t.word <> ''
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   }
 
   /** CDC gram stream: one row per 4-gram with its running chunk number.

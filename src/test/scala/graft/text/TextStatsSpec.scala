@@ -277,6 +277,45 @@ class TextStatsSpec extends AnyFunSuite {
     assert(m3.isEmpty, s"no pairs exist, got $m3")
   }
 
+  test("tx_bpe_apply: fold application equals greedy on the overlap case; counts conserve") {
+    val s = spark; import s.implicits._
+    // Corpus where round 1 learns (a,a): "aaa" must segment as [aa, a]
+    // (2 subwords) — the fold's just-merged slot must NOT re-match as the
+    // left half of the same pair — and "aaaa" as [aa, aa].
+    val dir = java.nio.file.Files.createTempDirectory("bpe_apply").toString
+    Seq((1L, "aaa aaa aaa aaaa", "en", "s0", 16L),
+        (2L, "aaaa b", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextStats.defs.find(_.name == "tx_bpe_apply").get.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // After up to 8 merges the tiny vocab fully collapses: every word
+    // becomes 1 subword except words whose intermediate states pin the
+    // greedy rule. Compute expected by replaying the learned merges in
+    // Scala on each word.
+    val merges = TextStats.bpeMergesUncached(
+      Seq((1L, "aaa aaa aaa aaaa", "en", "s0", 16L), (2L, "aaaa b", "en", "s0", 6L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), TextStats.BpeRounds)
+    def apply1(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def segment(w: String): Int =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
+        case (sy, (_, a, b, _, _)) => apply1(sy, a, b)
+      }.length
+    val expect = Seq(
+      (1L, 4L, (3 * segment("aaa") + segment("aaaa")).toLong),
+      (2L, 2L, (segment("aaaa") + segment("b")).toLong))
+    assert(rows == expect, s"got $rows expect $expect (merges=$merges)")
+  }
+
   test("tx_pii_scrub: planted footer counts once per class; in-text PII is also caught") {
     val sf = TestSpark.sf
     val q = TextStats.defs.find(_.name == "tx_pii_scrub").get
