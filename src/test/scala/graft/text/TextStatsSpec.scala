@@ -316,6 +316,49 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows == expect, s"got $rows expect $expect (merges=$merges)")
   }
 
+  test("tx_bpe_merges: windows-path training equals the in-memory reference on seeded random corpora") {
+    val s = spark; import s.implicits._
+    // In-memory reference: standard BPE (weighted naive-adjacent counts,
+    // count-desc/(lhs,rhs)-asc selection, leftmost-greedy rescan apply).
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      var syms = words.keys.map(w => w -> w.split("").filter(_.nonEmpty).toList).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((w, f) <- words; Seq(a, b) <- syms(w).sliding(2) if syms(w).length >= 2)
+          cnt((a, b)) = cnt.getOrElse((a, b), 0L) + f
+        if (cnt.nonEmpty) {
+          val ((a, b), c) = cnt.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((r.toLong, a, b, a + b, c))
+          syms = syms.map { case (w, sy) =>
+            val ns = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { ns += (a + b); i += 2 }
+              else { ns += sy(i); i += 1 }
+            }
+            w -> ns.toList
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      // tiny alphabet forces dense overlaps and ties — the adversarial zone
+      // for the marks/runs parity and lexicographic selection
+      val words = Seq.fill(5 + rng.nextInt(6))(
+        Seq.fill(1 + rng.nextInt(6))("ab" (rng.nextInt(2))).mkString)
+      val text = words.mkString(" ")
+      val freqs = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val docs = Seq((1L, text, "en", "s0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = TextStats.bpeMergesUncached(docs, 3)
+      val exp = refBpe(freqs, 3)
+      assert(got == exp, s"trial $trial corpus='$text': got $got expect $exp")
+    }
+  }
+
   test("tx_pii_scrub: planted footer counts once per class; in-text PII is also caught") {
     val sf = TestSpark.sf
     val q = TextStats.defs.find(_.name == "tx_pii_scrub").get
