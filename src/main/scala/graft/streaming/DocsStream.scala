@@ -307,6 +307,44 @@ object DocsStream {
     spark.table(queryName).orderBy("source")
   }
 
+  /** TOKENIZER FERTILITY MONITOR — subwords-per-word of arriving text under
+    * the TRAINED BPE merges, per source: the tokenizer-health metric every
+    * production training pipeline watches (a source drifting away from the
+    * tokenizer's training distribution shows up as rising fertility long
+    * before loss curves do — the BPE analog of st_cell_drift's index-drift
+    * view, completing the tokenizer lifecycle: train tx_bpe_merges / apply
+    * tx_bpe_apply / monitor here). Words outside the training dictionary
+    * fall back to one subword per character — the byte-fallback rule real
+    * tokenizers apply to OOV text, and exactly the term that makes drifted
+    * traffic score high. Stream-legal: explode + stream-STATIC left join
+    * against the subword dictionary (no streaming join state) + ONE
+    * aggregation over O(sources) keys. */
+  def bpeFertility(docs: DataFrame, dict: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(expr(graft.text.TextStats.toks)).as("word"))
+      .filter(col("word") =!= "")
+      .join(dict, Seq("word"), "left_outer")
+      .withColumn("n_sub_eff", coalesce(col("n_sub"),
+        expr("CAST(size(filter(split(word, ''), x -> x <> '')) AS BIGINT)")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub_eff")).as("n_subwords"))
+      .withColumn("fertility_permille", expr("(1000 * n_subwords) div n_words"))
+      .select(col("source"), col("n_words"), col("n_subwords"),
+        col("fertility_permille"))
+
+  /** [[bpeFertility]] as an incremental stream over an arriving-files
+    * directory, the subword dictionary read as a static batch table
+    * (complete-mode memory sink, AvailableNow). */
+  def runFertilityStream(spark: SparkSession, docsDir: String, dict: DataFrame,
+      queryName: String = "bpe_fertility"): DataFrame = {
+    val q = bpeFertility(
+      spark.readStream.schema(docsSchema).parquet(docsDir), dict)
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("source")
+  }
+
   /** Registered batch variant (the st_* convention: batch semantics under
     * the oracle, stream ≡ batch pinned by DocsStreamSpec). */
   val defs: Seq[graft.QueryDef] = Seq(
@@ -402,5 +440,30 @@ object DocsStream {
            |       (1000 * CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT))
            |         // COUNT(*) AS pii_permille
            |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+      }),
+
+    /** Tokenizer fertility monitor (see [[bpeFertility]]): per-source
+      * subwords-per-word under the trained merges, char-fallback for OOV.
+      * The oracle replays BPE training and scores tokens against the final
+      * segmented-dictionary CTE with the same fallback. */
+    graft.QueryDef(
+      "st_bpe_fertility",
+      (s, d) => bpeFertility(graft.Tables.documents(s, d),
+        graft.text.TextStats.bpeSubwordDict(s, d)).orderBy("source"),
+      Some {
+        val r = graft.text.TextStats.BpeRounds
+        s"""${graft.text.TextStats.duckBpeChain(r)},
+           |tk AS (SELECT source, unnest(string_split_regex(trim(text), ' +')) AS word
+           |       FROM documents)
+           |SELECT t.source, COUNT(*) AS n_words,
+           |       CAST(SUM(coalesce(len(w.syms),
+           |                         len(string_split_regex(t.word, '')))) AS BIGINT)
+           |         AS n_subwords,
+           |       (1000 * CAST(SUM(coalesce(len(w.syms),
+           |                                 len(string_split_regex(t.word, '')))) AS BIGINT))
+           |         // COUNT(*) AS fertility_permille
+           |FROM tk t LEFT JOIN w$r w USING (word)
+           |WHERE t.word <> ''
+           |GROUP BY t.source ORDER BY t.source""".stripMargin
       }))
 }

@@ -19,8 +19,10 @@ import graft.{QueryDef, Tables}
 object TextStats {
 
   /** Whitespace tokenizer shared by every query (and the BPE-ish token
-    * estimate): split on runs of spaces after trim. */
-  private val toks = "split(trim(text), ' +')"
+    * estimate): split on runs of spaces after trim. `private[graft]`: the
+    * streaming fertility monitor (graft.streaming.DocsStream) must tokenize
+    * identically or the gate drifts from the batch oracle. */
+  private[graft] val toks = "split(trim(text), ' +')"
 
   /** Shared with graft.streaming.DocsStream's landing-zone quality gate —
     * the gate's verdict must be the same expression batch and stream. */
@@ -1007,7 +1009,11 @@ object TextStats {
     * vocab-join convention: unbounded domain at 100 TB, AQE decides). The
     * oracle reuses the training replay verbatim — its final w8 CTE IS the
     * segmented dictionary. */
-  def bpeApplyDf(s: org.apache.spark.sql.SparkSession, d: String)
+  /** Subword-count dictionary under the learned merges: (word, n_sub) for
+    * every distinct corpus word — the serving table the fertility monitor
+    * and the apply rollup share. Merges arrive as literals from the
+    * memoized model; the whole application is one codegen projection. */
+  def bpeSubwordDict(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     def q(x: String) = x.replace("'", "''")
     val applied = bpeMerges(s, d).foldLeft("syms") { case (inner, (_, a, b, ab, _)) =>
@@ -1017,13 +1023,18 @@ object TextStats {
          |    THEN concat(slice(acc, 1, size(acc) - 1), array('${q(ab)}'))
          |    ELSE concat(acc, array(x)) END)""".stripMargin
     }
-    val dict = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
       .distinct()
       .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
       .withColumn("n_sub", expr(s"CAST(size($applied) AS BIGINT)"))
       .select(col("word"), col("n_sub"))
+  }
+
+  def bpeApplyDf(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dict = bpeSubwordDict(s, d)
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
@@ -1033,12 +1044,18 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** The training replay's WITH-chain alone (w0 … w`rounds`), for oracles
+    * that consume the segmented dictionary: w`rounds`.syms is each word's
+    * final subword sequence. */
+  def duckBpeChain(rounds: Int = BpeRounds): String = {
+    val chain = duckBpeSql(rounds)
+    chain.substring(0, chain.indexOf("\nSELECT * FROM ("))
+  }
+
   /** Oracle for [[bpeApplyDf]]: the training replay's final `w` CTE is the
     * segmented dictionary; roll doc tokens up against its symbol counts. */
-  def duckBpeApplySql(rounds: Int = BpeRounds): String = {
-    val chain = duckBpeSql(rounds)
-    val withPart = chain.substring(0, chain.indexOf("\nSELECT * FROM ("))
-    s"""$withPart,
+  def duckBpeApplySql(rounds: Int = BpeRounds): String =
+    s"""${duckBpeChain(rounds)},
        |tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS word
        |       FROM documents)
        |SELECT t.doc_id, COUNT(*) AS n_words,
@@ -1046,7 +1063,6 @@ object TextStats {
        |FROM tk t JOIN w$rounds w USING (word)
        |WHERE t.word <> ''
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-  }
 
   /** CDC gram stream: one row per 4-gram with its running chunk number.
     * Boundaries are content-addressed (`ghash % 16 == 0` STARTS a new

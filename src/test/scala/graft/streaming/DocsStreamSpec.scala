@@ -251,4 +251,32 @@ class DocsStreamSpec extends AnyFunSuite {
       assert(permille == 1000 * nPii / nDocs)
     }
   }
+
+  test("streaming BPE fertility equals the batch variant; OOV arrivals fall back to chars") {
+    val s = spark; import s.implicits._
+    val land = java.nio.file.Files.createTempDirectory("docs_fert").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val dict = graft.text.TextStats.bpeSubwordDict(spark, sf)
+    val streamed = DocsStream.runFertilityStream(
+      spark, s"$land/arrivals", dict, "fert_spec").collect().toSeq
+    val batch = DocsStream.defs.find(_.name == "st_bpe_fertility").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // drifted traffic: a source of words the tokenizer never saw must score
+    // at char-count fertility (the byte-fallback rule) — here 'zzzzz' = 5
+    // subwords per 1 word -> 5000 permille, far above any in-dict source
+    val oov = java.nio.file.Files.createTempDirectory("docs_fert_oov").toString
+    Seq((900001L, "zzzzz zzzzz", "xx", "oov_src", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$oov/arrivals")
+    val drifted = DocsStream.runFertilityStream(
+      spark, s"$oov/arrivals", dict, "fert_oov_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(drifted.toSeq == Seq(("oov_src", 2L, 10L, 5000L)),
+      s"OOV fallback: got ${drifted.toSeq}")
+    val maxInDict = batch.map(_.getLong(3)).max
+    assert(5000L > maxInDict, "drifted source must score above every in-dict source")
+  }
 }
