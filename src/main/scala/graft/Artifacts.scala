@@ -64,14 +64,23 @@ object Artifacts {
     * `d/table.parquet`, building it if this content signature has no
     * published copy yet. `build` runs at most once per (name, content) per
     * race winner; the result is `_SUCCESS`-guarded and atomically renamed
-    * into place. */
-  def indexParquetPath(s: SparkSession, name: String, d: String, table: String)
-      (build: => DataFrame): String = {
+    * into place.
+    *
+    * `root` defaults to [[baseDir]]; a destructive spec passes its own
+    * private root EXPLICITLY instead of mutating the process-global
+    * `graft.artifact.dir` property — under parallel suite execution a
+    * concurrent suite's publish during the mutation window would land in
+    * the private root and be torn down with it. The fast-path map is keyed
+    * by (root, name, content-sig) so two roots never serve each other's
+    * paths. */
+  def indexParquetPath(s: SparkSession, name: String, d: String, table: String,
+      root: String = baseDir)(build: => DataFrame): String = {
     val key = s"${name}_${tableSig(d, table)}"
+    val mapKey = s"$root|$key"
     def publish(): String = {
-      val fin = new java.io.File(baseDir, s"graft_$key")
+      val fin = new java.io.File(root, s"graft_$key")
       if (!new java.io.File(fin, "_SUCCESS").exists()) {
-        val tmp = new java.io.File(baseDir,
+        val tmp = new java.io.File(root,
           s"graft_${key}_w${java.util.UUID.randomUUID.toString.take(8)}")
         build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists())
@@ -80,7 +89,7 @@ object Artifacts {
       }
       fin.getAbsolutePath
     }
-    val cached = published.getOrElseUpdate(key, publish())
+    val cached = published.getOrElseUpdate(mapKey, publish())
     // Self-heal a swept artifact: the fast-path map can outlive the files
     // when ANOTHER process's retention sweep (or a manual tmp clean) removes
     // the published dir — observed round 11 as PATH_NOT_FOUND mid-suite when
@@ -88,7 +97,7 @@ object Artifacts {
     // _SUCCESS file, so re-check it on every handout and republish on miss:
     // one file stat per query against a query-plan's worth of work.
     if (new java.io.File(cached, "_SUCCESS").exists()) cached
-    else { published.remove(key); published.getOrElseUpdate(key, publish()) }
+    else { published.remove(mapKey); published.getOrElseUpdate(mapKey, publish()) }
   }
 
   /** [[indexParquetPath]] + read: the artifact as a DataFrame. */
@@ -111,10 +120,11 @@ object Artifacts {
     * next touch, and a reader never holds a path without its `_SUCCESS`
     * (the fast-path map is invalidated for swept keys). On a cluster this
     * is the nightly janitor over the shared store prefix. Returns the
-    * number of directories removed. */
-  def gc(maxAgeMs: Long): Int = {
+    * number of directories removed. `root` defaults to [[baseDir]]; specs
+    * sweep a private root explicitly (see [[indexParquetPath]]). */
+  def gc(maxAgeMs: Long, storeRoot: String = baseDir): Int = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
-    val root = new java.io.File(baseDir)
+    val root = new java.io.File(storeRoot)
     // Store-shaped names ONLY — graft_<name>_<12-hex content sig>, plus
     // writer temps with a _w<8-hex> suffix. The tmpdir also hosts unrelated
     // graft-prefixed dirs (spec temps, the scaling fixture); those are not

@@ -181,6 +181,16 @@ object Bench {
       System.err.println(s"[bench] could not write target/bench_last.json: $e") }
     failed.foreach(k => System.err.println(s"[bench] FAILED: $k"))
     spark.stop()
+    // The driver records only the LAST ~2000 chars of the log; the full
+    // one-line record above outgrew that window two rounds running (BENCH_r10
+    // and r11 both landed parsed:null). This compact summary (<500 chars —
+    // total/failed/count + the 5 slowest) is printed LAST, after spark.stop()
+    // so no shutdown logging can follow it, guaranteeing any tail window
+    // captures one complete parseable record. The full per-query record stays
+    // in the long line + target/bench_last.json.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"n":${results.size},"sf":"$sfDir","slowest":$slowest}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

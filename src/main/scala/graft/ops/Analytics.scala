@@ -16,6 +16,35 @@ object Analytics {
 
   private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
 
+  /** The production one-pass HLL++ sketch path for distinct counting —
+    * mergeable per-partition sketches, one shuffle of sketch state (not
+    * rows). Formerly registered as `an_approx_distinct`; the raw estimate is
+    * engine-specific (no DuckDB analog), so the registered, hash-checked form
+    * is [[an_approx_distinct_bound]], which runs this same sketch alongside
+    * the exact count and emits a portable bound verdict. Kept as a named
+    * helper so AnalyticsSpec can bound the pure sketch plan (5% rsd at
+    * sf0.1) without registering an un-oracled query. */
+  def approxDistinctSketch(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** The production one-pass KLL/GK-style quantile sketch path
+    * (`percentile_approx`) — mergeable sketches, no per-group row buffering.
+    * Formerly registered as `an_approx_percentile`; the estimate is
+    * engine-specific, so the registered form is
+    * [[an_approx_percentile_bound]] (same sketch + exact nearest-rank check,
+    * portable verdict). Spec-bounded against the exact percentile at sf0.1. */
+  def approxPercentileSketch(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+        .as("approx_p50_p95"))
+      .selectExpr("l_returnflag",
+        "approx_p50_p95[0] AS approx_p50", "approx_p50_p95[1] AS approx_p95")
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -176,17 +205,8 @@ object Analytics {
              |FROM orders WHERE o_custkey <= 50
              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
-    // Approximate distinct (HLL) — estimator-specific, so rows-only check.
-    QueryDef(
-      "an_approx_distinct",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-        .orderBy("l_returnflag"),
-      None),
-
-    /** Driver-visible error-bound companion to [[an_approx_distinct]]: the
-      * HLL estimate itself is engine-specific (no DuckDB analog), but its
+    /** Registered form of the HLL++ distinct-count sketch: the raw
+      * [[approxDistinctSketch]] estimate has no DuckDB analog, but its
       * CONTRACT is portable. The default rsd=0.05 is a relative STANDARD
       * DEVIATION, not a hard bound — ~32% of estimates sit outside 1σ by
       * definition, so testing |approx − exact| ≤ rsd would flake at some
@@ -328,25 +348,7 @@ object Analytics {
              |FROM base FULL JOIN changes ON base.k = changes.k
              |ORDER BY k""".stripMargin)),
 
-    /** Approximate percentiles via the KLL/GK-style sketch
-      * (`percentile_approx`) — the distributed-sketch path for quantiles
-      * over data too large to sort exactly: mergeable per-partition
-      * sketches, one shuffle of sketch state (not rows). No oracle by
-      * design (the estimate is engine-specific) — AnalyticsSpec bounds the
-      * estimate against the exact percentile at sf0.1, the same contract
-      * as an_approx_distinct. */
-    QueryDef(
-      "an_approx_percentile",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
-          .as("approx_p50_p95"))
-        .selectExpr("l_returnflag",
-          "approx_p50_p95[0] AS approx_p50", "approx_p50_p95[1] AS approx_p95")
-        .orderBy("l_returnflag"),
-      None),
-
-    /** Driver-visible error-bound companion to [[an_approx_percentile]].
+    /** Registered form of the quantile sketch ([[approxPercentileSketch]]).
       * "Exact" is the NEAREST-RANK percentile over integer cents — rank
       * ceil(p·n) via integer arithmetic, no interpolation — because a
       * continuous (interpolated) percentile is a double whose last-ulp
@@ -363,7 +365,7 @@ object Analytics {
       * Oracle mirrors the rank rule and emits TRUE. SCALING note: this
       * companion's growth curve is the EXACT operator's (full per-group
       * window sort), not the sketch's — it is a verification query; the
-      * production path is [[an_approx_percentile]]'s one-pass sketch. */
+      * production path is [[approxPercentileSketch]]'s one-pass sketch. */
     QueryDef(
       "an_approx_percentile_bound",
       (s, d) => {

@@ -71,10 +71,33 @@ object EmbedStream {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(logDir)
+    // Explicit schema: a zero-micro-batch run (empty arrival dir) leaves the
+    // log dir empty, and schema inference would throw where the correct
+    // answer is an empty assignment frame.
+    val logSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("cell", IntegerType),
+      StructField("batch_seq", LongType)))
+    val compacted = spark.read.schema(logSchema).parquet(logDir)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("batch_seq"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"))
+      // Eagerly materialize off the log files so the temp delta log can be
+      // deleted before the caller consumes the frame. (In production the
+      // delta log is a managed WAL partition that compaction RETIRES, not a
+      // process temp dir — this helper models one compaction cycle.)
+      .localCheckpoint()
+    deleteRecursively(java.nio.file.Paths.get(logDir))
+    compacted
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      try it.forEach(p => Files.deleteIfExists(p))
+      finally it.close()
+    }
   }
 
   /** Arriving-vector cell counts as an incremental stream over a directory

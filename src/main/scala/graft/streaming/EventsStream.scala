@@ -66,10 +66,20 @@ object EventsStream extends Serializable {
     * is exactly the round-10 regression class this guards against). All
     * micro-batches of one query run under the schema probed at start; a
     * mid-stream type flip in the landing zone surfaces as a read error, not
-    * a silent unit change. */
+    * a silent unit change. An EMPTY landing directory — the normal start
+    * state of a real stream — has nothing to probe, so the declared
+    * [[eventsSchema]] (BIGINT nanos, the engine's post-normalization
+    * contract) applies; files that later arrive with a TIMESTAMP ts then
+    * fail the batch read loudly instead of being reinterpreted. */
   private def readEventsStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch {
+        // 'Unable to infer schema' / path-not-yet-created: no files landed
+        // yet, so there is no physical type to dispatch on.
+        case _: org.apache.spark.sql.AnalysisException => LongType
+      }
     val srcSchema = StructType(eventsSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val reader = spark.readStream.schema(srcSchema)

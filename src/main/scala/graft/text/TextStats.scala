@@ -853,7 +853,10 @@ object TextStats {
     * LEXICALLY BEFORE this line — sees 8, not the uninitialized 0. */
   final val BpeRounds = 8
 
-  private val bpeModels = scala.collection.concurrent.TrieMap
+  // In-JVM fast path over the PERSISTED merge-table artifact (below) —
+  // private[text] so the rebuild-on-rewrite spec can clear it and prove a
+  // fresh JVM reads the published artifact instead of retraining.
+  private[text] val bpeModels = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, String, String, String, Long)]]
 
   /** BPE MERGE TRAINING — the tokenizer-learning step every pretraining
@@ -875,13 +878,27 @@ object TextStats {
     * group consecutive marks by run (pos - row_number), keep odd ranks
     * within each run — no per-row loop, no UDF. Each round's vocabulary is
     * persisted and the previous unpersisted, so lineage stays one round
-    * deep. The trained merge table is memoized per corpus CONTENT like
-    * every other model artifact. */
+    * deep. The trained merge table is a PERSISTED content-keyed artifact
+    * (the Artifacts.indexParquetPath discipline — `_SUCCESS` guard, atomic
+    * rename): training runs once per corpus content, and every consumer —
+    * [[bpeSubwordDict]] behind tx_bpe_apply and st_bpe_fertility — probes
+    * the published merge table across sessions exactly like the ANN cell
+    * tables and winnow fingerprint indexes. The in-JVM memo on top is only
+    * a fast path over the artifact read. */
   def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
       rounds: Int = BpeRounds): Seq[(Long, String, String, String, Long)] =
     graft.Artifacts.memo(bpeModels,
-      s"${graft.Artifacts.contentKey(d, "documents")}|$rounds")(
-      bpeMergesUncached(Tables.documents(s, d), rounds))
+      s"${graft.Artifacts.contentKey(d, "documents")}|$rounds") {
+      val path = graft.Artifacts.indexParquetPath(
+          s, s"bpe_merges_r$rounds", d, "documents") {
+        import s.implicits._
+        bpeMergesUncached(Tables.documents(s, d), rounds)
+          .toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
+      }
+      s.read.parquet(path).orderBy("merge_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+    }
 
   /** Training loop over an explicit documents frame (spec entry point). */
   private[text] def bpeMergesUncached(docs: org.apache.spark.sql.DataFrame,
@@ -1014,21 +1031,32 @@ object TextStats {
     * and the apply rollup share. Merges arrive as literals from the
     * memoized model; the whole application is one codegen projection. */
   def bpeSubwordDict(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    bpeSubwordDictFor(Tables.documents(s, d), bpeMerges(s, d))
+
+  /** Dictionary builder over explicit inputs (spec entry point). Merge
+    * symbols are bound as COLUMN LITERALS (`lit`), never spliced into SQL
+    * text: the earlier string-built fold escaped quotes with SQL-standard
+    * doubling (''), which Spark's parser reads as two ADJACENT string
+    * literals and concatenates — a learned merge containing a quote
+    * (don't) silently became a different symbol (dont) — and backslashes
+    * were not escaped at all. Literal binding has no escaping layer to get
+    * wrong and stays foldable inside whole-stage codegen. */
+  private[text] def bpeSubwordDictFor(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(Long, String, String, String, Long)])
       : org.apache.spark.sql.DataFrame = {
-    def q(x: String) = x.replace("'", "''")
-    val applied = bpeMerges(s, d).foldLeft("syms") { case (inner, (_, a, b, ab, _)) =>
-      s"""aggregate($inner, CAST(array() AS array<string>),
-         |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '${q(a)}'
-         |                    AND x = '${q(b)}'
-         |    THEN concat(slice(acc, 1, size(acc) - 1), array('${q(ab)}'))
-         |    ELSE concat(acc, array(x)) END)""".stripMargin
+    val applied = merges.foldLeft(col("syms")) { case (inner, (_, a, b, ab, _)) =>
+      aggregate(inner, typedLit(Seq.empty[String]), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
+          .otherwise(concat(acc, array(x))))
     }
-    Tables.documents(s, d)
+    docs
       .select(explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
       .distinct()
       .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
-      .withColumn("n_sub", expr(s"CAST(size($applied) AS BIGINT)"))
+      .withColumn("n_sub", size(applied).cast("long"))
       .select(col("word"), col("n_sub"))
   }
 

@@ -54,61 +54,74 @@ class ArtifactsSpec extends AnyFunSuite {
   }
 
   test("gc sweeps only store-shaped dirs past the horizon; a swept artifact rebuilds") {
-    // Destructive test: run against a PRIVATE store root. gc(-1) on the
-    // shared tmpdir would delete artifacts a concurrently-running
-    // Verify/Bench JVM is reading (observed round 11: 15 sf0.01 queries
-    // failed PATH_NOT_FOUND while this suite ran in parallel).
+    // Destructive test: run against a PRIVATE store root, passed EXPLICITLY.
+    // gc(-1) on the shared tmpdir would delete artifacts a concurrently-
+    // running Verify/Bench JVM is reading (observed round 11: 15 sf0.01
+    // queries failed PATH_NOT_FOUND while this suite ran in parallel), and
+    // the earlier sys-prop mutation of graft.artifact.dir was itself a
+    // hazard: under parallel suite execution a concurrent suite's publish
+    // during the window landed in this private root and was torn down with
+    // it. Explicit root parameters keep the blast radius to this test.
     val isoRoot = java.nio.file.Files.createTempDirectory("graft_art5_store").toString
-    sys.props("graft.artifact.dir") = isoRoot
-    try {
     val dir = java.nio.file.Files.createTempDirectory("graft_art5").toString
     writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
     var builds = 0
     def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
-    val p1 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents")(build)
+    val p1 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents", isoRoot)(build)
     assert(p1.startsWith(isoRoot), "spec artifact must land in the private root")
     assert(builds == 1 && new java.io.File(p1, "_SUCCESS").exists())
     // a NON-store graft dir at the store root must never be swept
-    val decoy = new java.io.File(Artifacts.baseDir, "graft_sf_decoy")
+    val decoy = new java.io.File(isoRoot, "graft_sf_decoy")
     decoy.mkdirs()
     try {
-      assert(Artifacts.gc(Long.MaxValue / 2) == 0, "nothing is older than the far horizon")
-      val swept = Artifacts.gc(-1) // everything store-shaped is "old"
+      assert(Artifacts.gc(Long.MaxValue / 2, isoRoot) == 0,
+        "nothing is older than the far horizon")
+      val swept = Artifacts.gc(-1, isoRoot) // everything store-shaped is "old"
       assert(swept >= 1, "the published artifact must be swept at horizon 0")
       assert(!new java.io.File(p1).exists())
       assert(decoy.exists(), "gc must not touch non-store dirs")
       // next touch re-publishes under the same content key
-      val p2 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents")(build)
+      val p2 = Artifacts.indexParquetPath(spark, "spec_gc", dir, "documents", isoRoot)(build)
       assert(p2 == p1 && builds == 2)
       assert(new java.io.File(p2, "_SUCCESS").exists())
       assert(spark.read.parquet(p2).count() == 2)
     } finally { decoy.delete(): Unit }
-    } finally { sys.props.remove("graft.artifact.dir"): Unit }
   }
 
   test("an artifact swept out-of-band (another JVM's janitor) self-heals on next handout") {
     val isoRoot = java.nio.file.Files.createTempDirectory("graft_art6_store").toString
-    sys.props("graft.artifact.dir") = isoRoot
-    try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_art6").toString
-      writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
-      var builds = 0
-      def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
-      val p1 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents")(build)
-      assert(builds == 1)
-      // simulate a FOREIGN process deleting the published dir: the in-JVM
-      // fast-path map still holds the path, so without the _SUCCESS re-check
-      // the next consumer would read a vanished directory
-      def deleteRec(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete(): Unit
-      }
-      deleteRec(new java.io.File(p1))
-      assert(!new java.io.File(p1).exists())
-      val p2 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents")(build)
-      assert(p2 == p1 && builds == 2, "handout must republish, not serve the dead path")
-      assert(spark.read.parquet(p2).count() == 2)
-    } finally { sys.props.remove("graft.artifact.dir"): Unit }
+    val dir = java.nio.file.Files.createTempDirectory("graft_art6").toString
+    writeDocs(dir, Seq((1L, "a b c"), (2L, "d e f")))
+    var builds = 0
+    def build = { builds += 1; Tables.documents(spark, dir).select("doc_id") }
+    val p1 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents", isoRoot)(build)
+    assert(builds == 1)
+    // simulate a FOREIGN process deleting the published dir: the in-JVM
+    // fast-path map still holds the path, so without the _SUCCESS re-check
+    // the next consumer would read a vanished directory
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(): Unit
+    }
+    deleteRec(new java.io.File(p1))
+    assert(!new java.io.File(p1).exists())
+    val p2 = Artifacts.indexParquetPath(spark, "spec_heal", dir, "documents", isoRoot)(build)
+    assert(p2 == p1 && builds == 2, "handout must republish, not serve the dead path")
+    assert(spark.read.parquet(p2).count() == 2)
+  }
+
+  test("two roots with one content key never serve each other's paths") {
+    // The fast-path map is keyed by (root, name, sig): a second store root
+    // must publish its own copy, not hand out the first root's path.
+    val rootA = java.nio.file.Files.createTempDirectory("graft_art7a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft_art7b").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_art7").toString
+    writeDocs(dir, Seq((1L, "a b c")))
+    def build = Tables.documents(spark, dir).select("doc_id")
+    val pA = Artifacts.indexParquetPath(spark, "spec_roots", dir, "documents", rootA)(build)
+    val pB = Artifacts.indexParquetPath(spark, "spec_roots", dir, "documents", rootB)(build)
+    assert(pA.startsWith(rootA) && pB.startsWith(rootB) && pA != pB)
+    assert(new java.io.File(pA, "_SUCCESS").exists() && new java.io.File(pB, "_SUCCESS").exists())
   }
 
   test("a consumer (winnow fp index) rebuilds over the rewritten corpus") {

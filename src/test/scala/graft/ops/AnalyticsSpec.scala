@@ -33,15 +33,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("srcA")._5 < 1000L && got("srcC")._5 > 1000L)
   }
 
-  test("an_approx_distinct: HLL estimate within 5% of exact per group at sf0.1") {
-    // The query has no DuckDB oracle by design (the estimate is
-    // engine-specific), so THIS is its correctness signal: Spark's HLL++
-    // default rsd is 5%; assert the relative error per group at the largest
-    // local fixture. A broken approx_count_distinct integration (wrong
-    // column, wrong grouping, degenerate sketch) lands far outside this.
+  test("approxDistinctSketch: HLL estimate within 5% of exact per group at sf0.1") {
+    // The pure sketch plan has no DuckDB oracle (the estimate is
+    // engine-specific) — the registered query is an_approx_distinct_bound,
+    // which pairs the sketch with the exact count. THIS test is the tighter
+    // correctness signal for the sketch path alone: Spark's HLL++ default
+    // rsd is 5%; assert the relative error per group at the largest local
+    // fixture. A broken approx_count_distinct integration (wrong column,
+    // wrong grouping, degenerate sketch) lands far outside this.
     val sf = "/root/testdata/sf0.1"
-    val q = Analytics.defs.find(_.name == "an_approx_distinct").get
-    val approx = q.fn(spark, sf).collect()
+    val approx = Analytics.approxDistinctSketch(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
@@ -54,10 +55,9 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("an_approx_percentile: sketch within 1% of the exact percentile per group at sf0.1") {
+  test("approxPercentileSketch: sketch within 1% of the exact percentile per group at sf0.1") {
     val sf = "/root/testdata/sf0.1"
-    val q = Analytics.defs.find(_.name == "an_approx_percentile").get
-    val approx = q.fn(spark, sf).collect()
+    val approx = Analytics.approxPercentileSketch(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

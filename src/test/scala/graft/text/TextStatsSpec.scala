@@ -359,6 +359,56 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merge table is a persisted content-keyed artifact, probed instead of retrained") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    def write(text: String): Unit =
+      Seq((1L, text, "en", "s0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def artSuccess = new java.io.File(
+      new java.io.File(graft.Artifacts.baseDir,
+        s"graft_bpe_merges_r${TextStats.BpeRounds}_" +
+          graft.Artifacts.tableSig(dir, "documents")), "_SUCCESS")
+    write("aaaa aaaa aaaa ab ab")
+    val m1 = TextStats.bpeMerges(spark, dir)
+    assert(m1.nonEmpty)
+    assert(artSuccess.exists(), "training must publish the merge table to the store")
+    val published = artSuccess.lastModified()
+    // A fresh JVM has an empty memo but the same artifact store: clearing
+    // the in-process memo models a restart, and the second call must come
+    // back from the PUBLISHED table (same _SUCCESS mtime = no rewrite).
+    TextStats.bpeModels.clear()
+    assert(TextStats.bpeMerges(spark, dir) == m1)
+    assert(artSuccess.lastModified() == published,
+      "post-restart consumer must read the artifact, not retrain")
+    // Rewriting the corpus in place changes the content signature: a new
+    // artifact is trained and published; the old key can never be served.
+    write("xy xy yz yz")
+    val m3 = TextStats.bpeMerges(spark, dir)
+    assert(m3 != m1, "rewritten corpus must yield its own merges")
+    assert(artSuccess.exists(), "rewrite must publish under the new signature")
+  }
+
+  test("bpeSubwordDict: merge symbols containing quotes and backslashes apply intact") {
+    // The earlier string-built SQL fold escaped quotes with SQL-standard
+    // doubling, which Spark parses as adjacent-literal CONCATENATION — a
+    // learned merge like d't silently became d''t -> "d" "t" = "dt" and
+    // never matched; backslashes were not escaped at all. The fold now
+    // binds symbols as column literals; this corpus learns merges carrying
+    // both characters and both words must collapse to ONE subword.
+    val s = spark; import s.implicits._
+    val text = "d't d't d't a\\b a\\b a\\b"
+    val docs = Seq((1L, text, "en", "s0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextStats.bpeMergesUncached(docs, 4)
+    assert(merges.exists(_._4.contains("'")), s"no quote-carrying merge in $merges")
+    assert(merges.exists(_._4.contains("\\")), s"no backslash-carrying merge in $merges")
+    val dict = TextStats.bpeSubwordDictFor(docs, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dict == Map("d't" -> 1L, "a\\b" -> 1L), s"got $dict")
+  }
+
   test("tx_pii_scrub: planted footer counts once per class; in-text PII is also caught") {
     val sf = TestSpark.sf
     val q = TextStats.defs.find(_.name == "tx_pii_scrub").get

@@ -43,8 +43,9 @@ PAIR_QUERIES = {
 
 # Verification companions that deliberately run the EXACT operator next to
 # the sketch: their growth curve is the exact operator's, not the production
-# sketch path's (the production paths are an_approx_distinct /
-# an_approx_percentile).
+# sketch path's (the production sketch plans — Analytics.approxDistinctSketch
+# / approxPercentileSketch — run inside these same queries; the raw un-oracled
+# forms were deregistered in round 12).
 EXACT_COMPANIONS = {"an_approx_distinct_bound", "an_approx_percentile_bound"}
 
 
@@ -130,7 +131,7 @@ def main() -> None:
         "expected semantics, not a plan defect. `exact-companion` marks the",
         "sketch verification companions that run the exact operator next to",
         "the sketch: their curve is the exact operator's, NOT the production",
-        "sketch path's (an_approx_distinct / an_approx_percentile).",
+        "sketch path's (the sketch plans run inside these same queries).",
         "",
         "| query | t@0.001 | t@0.01 | t@0.1 | factor 0.01->0.1 | note |",
         "|---|---|---|---|---|---|",
