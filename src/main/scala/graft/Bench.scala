@@ -104,13 +104,32 @@ object Bench {
     // must follow a query through 3 unrelated neighborhoods to survive.
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
-    // Streaming queries pay a one-off micro-batch bootstrap (state-store
-    // init, checkpoint dir, query-execution thread spin-up) that is session
-    // setup, not query cost — BENCH_r08 showed it landing in whichever round
-    // ran an st_* query first (st_enrich_segment samples 0.75/3.55/0.50).
-    // One untimed pass over the st_* entries bills it to warm-up.
-    queryList.filter(_._1.startsWith("st_")).foreach { case (_, fn) =>
-      runOnce(spark, fn, sfDir)
+    // ONE UNTIMED FULL PASS before the timed rounds. Three distinct
+    // first-touch costs are session setup, not query cost, and each has
+    // bitten a past round when billed to a timed measurement:
+    //  - streaming bootstrap (state-store init, checkpoint dir, QE thread
+    //    spin-up) — BENCH_r08, st_enrich_segment samples 0.75/3.55/0.50;
+    //  - index-artifact builds (minhash signature table, jaccard pair
+    //    graph, IVF/PQ codebooks) — a SERVING query like dd_band_tuning
+    //    probes persisted artifacts, but the first caller pays the build
+    //    (~14 s at sf0.1) and even round 2 still carries partially-warm
+    //    codegen/file-index state, so min-of-3 never reached the
+    //    fully-warm cost the isolated scaling run measures (VERDICT r11:
+    //    1.86 s in-suite vs 0.91 s isolated);
+    //  - JIT/codegen compilation of each query's generated classes.
+    // Billing all three to warm-up makes the timed min a pure serving
+    // cost, consistent between full-suite and isolated runs. Artifact
+    // BUILD cost is measured separately (tools/scaling.py wipes the store
+    // and reports round-1 samples in bench_last.json's `samples`, which
+    // include only timed rounds — the build shows up there as absent
+    // inflation, and in SCALING.md's build-cost notes).
+    // The warm-pass time per query is recorded and shipped in
+    // bench_last.json as `warmup`: for an artifact-probing query it is the
+    // BUILD+first-serve cost (tools/scaling.py reads it as the build
+    // column after purging the store); for everything else it is
+    // first-touch codegen/JIT and not meaningful as a query time.
+    val warmup = queryList.map { case (name, fn) =>
+      name -> runOnce(spark, fn, sfDir)
     }
     resetSessionState(spark)
     val samples = mutable.LinkedHashMap(
@@ -172,8 +191,10 @@ object Bench {
         "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
       val ccJson = codeCacheByRound.map(c => f"$c%.1f").mkString("[", ",", "]")
+      val warmJson = warmup.map { case (k, t) => "\"" + k + "\":" + f"$t%.3f" }
+        .mkString("{", ",", "}")
       val fileLine = jsonLine.dropRight(1) +
-        s""","samples":$samplesJson,"code_cache_mb":$ccJson}"""
+        s""","samples":$samplesJson,"warmup":$warmJson,"code_cache_mb":$ccJson}"""
       val out = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (fileLine + "\n").getBytes("UTF-8"))

@@ -322,7 +322,19 @@ object Dedup {
     * configured — how GraphX/GraphFrames' CC survives executor loss); the
     * convergence count reads the materialized step frame, costing no extra
     * shuffle. Returns (labels, rounds): every node of `pairs`, labeled by
-    * the min node id of its component. */
+    * the min node id of its component.
+    *
+    * Stats-compounding note: checkpoint snapshots the round's estimated
+    * sizeInBytes into the next round's LogicalRDD, and Catalyst's default
+    * join-stats estimate is the PRODUCT of child sizes — so the estimate's
+    * BigInt digit count roughly doubles per round here (two labels-derived
+    * join inputs). That exact mechanism made the BPE training loop's
+    * driver time explode at depth (TextStats.bpeMergesUncached, fixed by
+    * removing its self-joins); THIS loop is safe because pointer doubling
+    * converges in O(log diameter) rounds and bucket caps bound component
+    * diameter — ≤ ~10 rounds ⇒ ~2^10·20 digits, microseconds of stats
+    * arithmetic. If the loop shape ever changes to one round per hop,
+    * re-audit. */
   private[dedup] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
     val p = ckpt(pairs)
     val sym = p.unionAll(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

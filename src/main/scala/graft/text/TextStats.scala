@@ -873,12 +873,13 @@ object TextStats {
     * corpus-scale step, the same shuffle tx_tokens already pays), and every
     * merge round runs on the vocabulary-sized (word, syms) frame: explode
     * to symbol pairs, one weighted count, a 1-ROW collect of the argmax
-    * (model state, the k-means discipline), and a relational leftmost-greedy
-    * rewrite. Greedy non-overlap is pure windows: mark matching positions,
-    * group consecutive marks by run (pos - row_number), keep odd ranks
-    * within each run — no per-row loop, no UDF. Each round's vocabulary is
-    * persisted and the previous unpersisted, so lineage stays one round
-    * deep. The trained merge table is a PERSISTED content-keyed artifact
+    * (model state, the k-means discipline), and a PURE-WINDOW
+    * leftmost-greedy rewrite: mark matching positions, group consecutive
+    * marks into islands (pos − running match count), keep odd ranks within
+    * each island, lag-drop the absorbed right halves — no per-row loop, no
+    * UDF, and deliberately NO self-joins (Catalyst's join-stats product
+    * compounds through checkpointed rounds — see the in-loop comment).
+    * Each round is localCheckpointed so lineage stays one round deep. The trained merge table is a PERSISTED content-keyed artifact
     * (the Artifacts.indexParquetPath discipline — `_SUCCESS` guard, atomic
     * rename): training runs once per corpus content, and every consumer —
     * [[bpeSubwordDict]] behind tx_bpe_apply and st_bpe_fertility — probes
@@ -900,9 +901,29 @@ object TextStats {
           r.getString(3), r.getLong(4))).toSeq
     }
 
-  /** Training loop over an explicit documents frame (spec entry point). */
-  private[text] def bpeMergesUncached(docs: org.apache.spark.sql.DataFrame,
-      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+  /** Training loop over an explicit documents frame (spec entry point;
+    * `onRound` receives (round, seconds) — graft.tools.BpeEnvelope uses it
+    * to measure the per-round cost curve at production-like round counts).
+    *
+    * 100-TB design note: this loop is O(rounds) DRIVER-COORDINATED Spark
+    * jobs over the vocabulary-sized dictionary — each round's cost is flat
+    * in the corpus (the corpus is touched exactly once, in the initial
+    * tokenize+count), but a production 32k-merge vocab means 32k job
+    * submissions, and job-submission latency (not data volume) becomes the
+    * bottleneck. The documented scale-out for that regime is the FastBPE
+    * shape: ONE job computes partition-local (pair → weighted count) maps
+    * over the dictionary, the driver merges them into a heap and replays
+    * merges against the heap DRIVER-SIDE (the dictionary of a 100-TB corpus
+    * is heap-sized: ~10⁶ distinct words × ~10 symbols), re-counting on
+    * Spark only when the heap's stale-count bound is exceeded — turning
+    * O(vocab) jobs into O(vocab / batch) with identical output (the merge
+    * order is a pure function of the counts). The relational per-round loop
+    * below is kept as the registered, oracle-replayable form; the envelope
+    * measurement (SCALING.md) bounds its per-round cost so the crossover
+    * point is a measured number, not a guess. */
+  private[graft] def bpeMergesUncached(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int,
+      onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(Long, String, String, String, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
     // filter(x <> ''): Java-regex split("") can emit a trailing empty token
@@ -922,6 +943,7 @@ object TextStats {
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     for (r <- 1 to rounds) {
+      val rt0 = System.nanoTime()
       val ex = words
         .select(col("word"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
         .withColumn("nxt", lead(col("sym"), 1).over(wPos))
@@ -936,18 +958,39 @@ object TextStats {
         out += ((r.toLong, a, b, a + b, cnt))
         // leftmost-greedy non-overlap: within each run of consecutive
         // matching positions, merge the 1st, 3rd, 5th… ("aaaa" + (a,a)
-        // merges positions 0 and 2, never the overlapping 1)
-        val kept = ex.filter(col("sym") === a && col("nxt") === b)
-          .withColumn("rn", row_number().over(wPos))
-          .withColumn("rr", row_number().over(
-            Window.partitionBy(col("word"), col("pos") - col("rn")).orderBy(col("pos"))))
-          .filter(col("rr") % 2 === 1)
-          .select(col("word"), col("pos"))
-        val next = ex
-          .join(kept.withColumn("is_k", lit(true)), Seq("word", "pos"), "left_outer")
-          .join(kept.select(col("word"), (col("pos") + 1).as("pos"),
-            lit(true).as("is_d")), Seq("word", "pos"), "left_outer")
-          .filter(col("is_d").isNull) // the absorbed right half of each merge
+        // merges positions 0 and 2, never the overlapping 1).
+        //
+        // PURE-WINDOW formulation (no self-joins) — gaps-and-islands over a
+        // running match count: `cum` = matches so far in the word, so
+        // `pos - cum` is constant exactly within a consecutive run of
+        // matches (the island id), and a second running sum of `m` within
+        // (word, island) ranks each match inside its run; keep odd ranks,
+        // drop the row AFTER any kept match (lag). Two window partitionings
+        // (`word`, then `(word, island)`), zero joins. The earlier
+        // formulation rewrote via two left joins against the kept set —
+        // semantically identical, but Catalyst's default join-stats
+        // estimate is the PRODUCT of child sizeInBytes, and localCheckpoint
+        // snapshots the round's stats into the next round's LogicalRDD, so
+        // sizeInBytes CUBED every round: its BigInt digit count tripled per
+        // round and by round ~13 the driver was spending minutes per round
+        // in stats-visitor BigInteger multiplication (thread dumps showed
+        // Toom-Cook frames; measured 0.5 s/round through round 11, then
+        // 4 s → 18 s → 116 s → 639 s). Window/project/filter estimators
+        // scale stats linearly, so per-round cost stays flat at any merge
+        // depth — see graft.tools.BpeEnvelope for the measured curve.
+        val cumFrame = wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val marked = ex
+          .withColumn("m",
+            when(col("sym") === a && col("nxt") === b, 1L).otherwise(0L))
+          .withColumn("cum", sum(col("m")).over(cumFrame))
+          .withColumn("rr", sum(col("m")).over(
+            Window.partitionBy(col("word"), col("pos") - col("cum"))
+              .orderBy(col("pos"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("is_k", col("m") === 1L && col("rr") % 2 === 1)
+          .withColumn("is_d", coalesce(lag(col("is_k"), 1).over(wPos), lit(false)))
+        val next = marked
+          .filter(!col("is_d")) // the absorbed right half of each merge
           .withColumn("ns",
             when(col("is_k"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
           .groupBy(col("word"), col("freq"))
@@ -956,6 +999,7 @@ object TextStats {
           .localCheckpoint(true) // materializes eagerly; truncates lineage
         words = next
       }
+      onRound(r, (System.nanoTime() - rt0) / 1e9)
     }
     out.toSeq
   }

@@ -18,17 +18,26 @@ import org.apache.spark.sql.functions._
   *  - embeddings: each replica's vectors are component-ROTATED by r —
   *    intra-replica dot products (and thus the RP-LSH bucket structure) are
   *    exactly preserved, cross-replica similarity decorrelates.
+  *  - lineitem / events (round 12, for the NON-pair decade point —
+  *    an_percentile/agg_rollup/json_extract): plain 10× replication with
+  *    id shifts. Group keys (l_returnflag/l_linestatus) stay identical, so
+  *    per-group value mass grows 10× — exactly the axis the exact
+  *    percentile's group-buffer and the rollup's grouping-set expansion
+  *    must absorb at scale.
   *
-  * Ids shift by r·10⁷ per replica. Idempotent via a `_STAGED` marker. */
+  * Ids shift by r·10⁷ per replica. Idempotent via a versioned `_STAGED`
+  * marker (content bump restages when the table set grows). */
 object ScaleFixture {
   val Replicas = 10
   val IdStride = 10000000L
+  val MarkerVersion = "staged-v2"
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1x")
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val marker = new java.io.File(out, "_STAGED")
-    if (marker.exists()) {
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == MarkerVersion) {
       println(s"[scalefixture] $out already staged")
       return
     }
@@ -63,10 +72,22 @@ object ScaleFixture {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Seq("documents", "part", "embeddings").foreach { t =>
+    replicated("lineitem")
+      .withColumn("l_orderkey", col("l_orderkey") + col("r") * IdStride)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    replicated("events")
+      .withColumn("event_id", col("event_id") + col("r") * IdStride)
+      .drop("r")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    Seq("documents", "part", "embeddings", "lineitem", "events").foreach { t =>
       println(s"[scalefixture] $t rows = ${s.read.parquet(s"$out/$t.parquet").count()}")
     }
-    java.nio.file.Files.write(marker.toPath, "staged\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(marker.toPath, (MarkerVersion + "\n").getBytes("UTF-8"))
     s.stop()
   }
 }
