@@ -465,5 +465,64 @@ object DocsStream {
            |FROM tk t LEFT JOIN w$r w USING (word)
            |WHERE t.word <> ''
            |GROUP BY t.source ORDER BY t.source""".stripMargin
-      }))
+      }),
+
+    /** Mixture quota-fill monitor (see [[mixtureFill]]): arriving docs run
+      * through the SAME deterministic hash-threshold draw as the batch
+      * mixture sampler, and each source's realized sample count is scored
+      * against its integer quota — the serving-side check that the sampler
+      * is delivering the data recipe. The oracle replays the rate chain
+      * and the draw. */
+    graft.QueryDef(
+      "st_mixture_drift",
+      (s, d) => mixtureFill(graft.Tables.documents(s, d),
+        graft.text.TextStats.mixtureRates(graft.Tables.documents(s, d)))
+        .orderBy("source"),
+      Some(s"""WITH ${graft.text.TextStats.duckMixtureChain},
+              |p AS (SELECT d.source, COUNT(*) AS n_sampled
+              |      FROM documents d JOIN r ON r.source = d.source
+              |      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              |                 AS BIGINT) < r.thresh
+              |      GROUP BY d.source)
+              |SELECT p.source, r.n_target, p.n_sampled,
+              |       (1000 * p.n_sampled) // r.n_target AS fill_permille,
+              |       CASE WHEN abs((1000 * p.n_sampled) // r.n_target - 1000) > 300
+              |            THEN 'drift' ELSE 'ok' END AS verdict
+              |FROM p JOIN r USING (source) ORDER BY source""".stripMargin)))
+
+  /** Per-source quota fill of the deterministic mixture draw
+    * ([[graft.text.TextStats.sampleByThreshold]]): n_sampled vs the plan's
+    * n_target as an integer permille, verdict `drift` when the fill
+    * deviates from 1000‰ by more than 300. Stream-legal in ONE aggregation:
+    * the O(sources) rate table (with its quota) broadcasts onto the doc
+    * stream BEFORE the groupBy — grouping by (source, n_target) — because
+    * a post-aggregation join with the static plan is not stream-legal; the
+    * same single-agg shape runs batch and stream, so the spec can pin
+    * stream ≡ batch. A source whose quota rounds to zero samples nothing
+    * and is absent (also keeps fill division total). State is O(sources).
+    * Scale: broadcast + scan predicate + one partial/final agg — the doc
+    * stream is never shuffled wider than `sources`. */
+  /** [[mixtureFill]] over an arrival directory (memory sink, AvailableNow;
+    * complete mode — the fill table is an O(sources) rollup). `rates` must
+    * be the STATIC plan table (collected once per recipe), which is what
+    * makes the in-stream join a broadcast stream-static attach. */
+  def runMixtureFillStream(spark: SparkSession, docsDir: String, rates: DataFrame,
+      queryName: String = "mixture_fill"): DataFrame = {
+    val q = mixtureFill(spark.readStream.schema(docsSchema).parquet(docsDir), rates)
+      .writeStream.outputMode("complete").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("source")
+  }
+
+  def mixtureFill(docs: DataFrame, rates: DataFrame): DataFrame =
+    graft.text.TextStats.sampleByThreshold(
+        docs.join(broadcast(rates.select(col("source"), col("n_target"))), Seq("source")),
+        rates)
+      .groupBy(col("source"), col("n_target"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col("source"), col("n_target"), col("n_sampled"),
+        expr("1000 * n_sampled div n_target").as("fill_permille"),
+        expr("CASE WHEN abs(1000 * n_sampled div n_target - 1000) > 300 " +
+          "THEN 'drift' ELSE 'ok' END").as("verdict"))
 }

@@ -39,6 +39,21 @@ object TextStats {
   private[graft] val PiiPhone = "[0-9]{3}-[0-9]{4}"
   private[graft] val PiiId = "[0-9]{6,}"
 
+  /** DuckDB replay of [[mixtureRates]] (CTE chain ending in `r`) — a VAL
+    * ABOVE `defs` on purpose: `defs` interpolates it at object init, and a
+    * lexically-later val would still be null there. */
+  private[graft] val duckMixtureChain =
+    """st AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0) AS BIGINT) AS weight_fp
+      |      FROM st),
+      |t AS (SELECT SUM(weight_fp) AS sw, SUM(n_docs) AS nd FROM w),
+      |r AS (SELECT source, n_docs, weight_fp,
+      |        CAST(((nd // 5) * weight_fp) // sw AS BIGINT) AS n_target,
+      |        CAST(((((nd // 5) * weight_fp) // sw) * 4294967296) // n_docs AS BIGINT)
+      |          AS thresh
+      |      FROM w, t)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -842,7 +857,122 @@ object TextStats {
       "tx_bpe_apply",
       (s, d) => bpeApplyDf(s, d),
       Some(duckBpeApplySql())),
+
+    /** DATA-MIXTURE SAMPLING — temperature-weighted source mixing, the
+      * knob every pretraining data recipe turns: source s gets sampling
+      * weight ∝ n_s^(1/2) (temperature α = 0.5 flattens the source
+      * distribution so small high-quality sources are up-weighted), a
+      * total budget of ⌊N/5⌋ documents is split across sources by those
+      * weights, and each source's slice is drawn DETERMINISTICALLY by
+      * hash threshold: keep doc iff its 32-bit md5 prefix <
+      * target/n_s · 2³². Emits the full per-source accounting — count,
+      * fixed-point weight, integer target, realized sample size, and a
+      * doc_id-sum checksum of the picked set (so the oracle verifies the
+      * exact membership, not just counts).
+      *
+      * Scale shape: the per-source stats and thresholds are an O(sources)
+      * table attached by BROADCAST; selection is a pure scan-parallel
+      * predicate on a codegen'd hash ([[graft.functions.Md5Prefix48]]) —
+      * no sort, no window, no shuffle of the document stream at all
+      * (contrast exact top-k-by-hash per source, which would need a
+      * per-source sort; the threshold draw's size is binomial around the
+      * target, the standard trade in shard-parallel samplers). Numerics:
+      * ONE correctly-rounded IEEE sqrt then fixed-point integer math, so
+      * Spark and DuckDB agree bit-for-bit; thresh = target·2³²/n_s stays
+      * under 2⁶³ for any corpus where target ≤ 2³⁰. */
+    QueryDef(
+      "tx_mixture_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rates = mixtureRates(docs)
+        val picked = sampleByThreshold(docs, rates)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("picked_sum"))
+        rates.select(col("source"), col("n_docs"), col("weight_fp"), col("n_target"))
+          .join(picked, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"), col("weight_fp"), col("n_target"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("picked_sum"), lit(0L)).as("picked_sum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $duckMixtureChain,
+             |p AS (SELECT d.source, COUNT(*) AS n_sampled,
+             |        SUM(d.doc_id) AS picked_sum
+             |      FROM documents d JOIN r ON r.source = d.source
+             |      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |              < r.thresh
+             |      GROUP BY d.source)
+             |SELECT r.source, r.n_docs, r.weight_fp, r.n_target,
+             |       CAST(COALESCE(p.n_sampled, 0) AS BIGINT) AS n_sampled,
+             |       CAST(COALESCE(p.picked_sum, 0) AS BIGINT) AS picked_sum
+             |FROM r LEFT JOIN p ON p.source = r.source ORDER BY r.source""".stripMargin)),
+
+    /** DETERMINISTIC STRATIFIED SPLIT — the per-doc ASSIGNMENT TABLE
+      * (the artifact downstream jobs join against), complementing
+      * `an_train_split` (ops/Analytics.scala), which emits the per-source
+      * accounting ROLLUP of a split whose bucket hashes md5 bits 1-60 —
+      * overlapping the mixture sampler's draw bits. Here each doc's bucket
+      * comes from md5 hex chars 9-12 (16 bits), DISJOINT BY CONSTRUCTION
+      * from the 32 bits [[sampleByThreshold]] draws on, so split
+      * membership and mixture sampling are provably independent —
+      * correlating them would bias the val set toward the sampled mixture.
+      * Thresholds are integer 16-bit counts (5% val = 3276/65536, 5% test)
+      * so both engines compare exactly; assignment is reproducible from
+      * doc_id alone (re-running a shard, or re-splitting after an append,
+      * never reshuffles existing docs between splits — the property that
+      * keeps eval sets stable across corpus versions).
+      *
+      * Scale shape: scan-parallel projection, no shuffle except the
+      * output's ORDER BY; stratification is free (the hash is uniform
+      * within every source). */
+    QueryDef(
+      "tx_split_assign",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr("md5_prefix48(CAST(doc_id AS STRING)) % 65536").as("h16"))
+        .withColumn("split",
+          when(col("h16") < 3276, "val")
+            .when(col("h16") < 6553, "test")
+            .otherwise("train"))
+        .orderBy("doc_id"),
+      Some("""SELECT source, doc_id,
+             |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS BIGINT)
+             |         AS h16,
+             |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+             |                      AS BIGINT) < 3276 THEN 'val'
+             |            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
+             |                      AS BIGINT) < 6553 THEN 'test'
+             |            ELSE 'train' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Per-source mixture-sampling plan for [[defs tx_mixture_sample]] and
+    * the streaming quota-fill monitor (graft.streaming.DocsStream
+    * `st_mixture_drift`): doc counts, α=0.5 fixed-point temperature
+    * weights, integer budget targets (budget = ⌊N/5⌋), and the 2³²-scaled
+    * hash threshold that realizes each target. O(sources) rows — a model
+    * table, broadcast by every consumer. */
+  private[graft] def mixtureRates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_fp",
+        expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000.0D) AS BIGINT)"))
+    val tot = stats.agg(sum(col("weight_fp")).as("sw"), sum(col("n_docs")).as("nd"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("n_target", expr("(nd div 5) * weight_fp div sw"))
+      .withColumn("thresh", expr("n_target * 4294967296L div n_docs"))
+  }
+
+  /** The deterministic mixture draw: keep a doc iff its 32-bit md5 prefix
+    * clears its source's threshold. Stream-legal (broadcast static rate
+    * table + scan predicate, no sort/window) — the same expression batch
+    * and stream, which is what lets DocsStreamSpec pin stream ≡ batch. */
+  private[graft] def sampleByThreshold(docs: org.apache.spark.sql.DataFrame,
+      rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .join(broadcast(rates.select(col("source"), col("thresh"))), Seq("source"))
+      .filter(expr("md5_prefix48(CAST(doc_id AS STRING)) div 65536 < thresh"))
+
 
   /** Merge rounds trained by [[bpeMerges]] (the tokenizer-prep analog of
     * Similarity.Iters: enough rounds to exercise selection, application,

@@ -279,4 +279,50 @@ class DocsStreamSpec extends AnyFunSuite {
     val maxInDict = batch.map(_.getLong(3)).max
     assert(5000L > maxInDict, "drifted source must score above every in-dict source")
   }
+
+  test("streaming mixture quota-fill equals the batch variant; skewed arrivals drift") {
+    val s = spark; import s.implicits._
+    val land = java.nio.file.Files.createTempDirectory("docs_mix").toString
+    graft.Tables.documents(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val rates = graft.text.TextStats.mixtureRates(graft.Tables.documents(spark, sf))
+    val streamed = DocsStream.runMixtureFillStream(
+      spark, s"$land/arrivals", rates, "mix_fill_spec").collect().toSeq
+    val batch = DocsStream.defs.find(_.name == "st_mixture_drift").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      assert(r.getLong(3) == 1000L * r.getLong(2) / r.getLong(1))
+      assert(r.getString(4) == (if (math.abs(r.getLong(3) - 1000) > 300) "drift" else "ok"))
+    }
+    // Skewed traffic against the SAME plan: arrivals carry 4x the src0
+    // volume the recipe was computed from (fresh ids keep the draw fair),
+    // so src0's quota fill must land where an independent JVM replay of the
+    // hash threshold puts it — the monitor's verdict is deterministic, not
+    // a statistical assertion.
+    val extra = (0 until 75).map(i => (800000L + i, s"skew doc $i pad pad", "en", "src0", 16L))
+    val skewDir = java.nio.file.Files.createTempDirectory("docs_mix_skew").toString
+    graft.Tables.documents(spark, sf)
+      .unionByName(extra.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$skewDir/arrivals")
+    val drifted = DocsStream.runMixtureFillStream(
+      spark, s"$skewDir/arrivals", rates, "mix_fill_skew_spec")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getString(4))).toMap
+    def h32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val r0 = rates.filter(col("source") === "src0")
+      .select("thresh", "n_target").collect().head
+    val (thresh, target) = (r0.getLong(0), r0.getLong(1))
+    val baseIds = graft.Tables.documents(spark, sf)
+      .filter(col("source") === "src0").select("doc_id").collect().map(_.getLong(0))
+    val expSampled = (baseIds ++ extra.map(_._1)).count(h32(_) < thresh).toLong
+    assert(drifted("src0")._1 == expSampled, "skewed fill must match the JVM replay")
+    val expVerdict = if (math.abs(1000 * expSampled / target - 1000) > 300) "drift" else "ok"
+    assert(drifted("src0")._2 == expVerdict)
+    assert(expSampled > target, "4x volume at the same threshold must overshoot the quota")
+  }
 }

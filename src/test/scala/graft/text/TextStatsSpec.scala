@@ -434,4 +434,70 @@ class TextStatsSpec extends AnyFunSuite {
     assert((1 to 4).forall(i => p.getLong(i) == 2L),
       s"crafted doc: each class must count body + footer, got ${p.toSeq}")
   }
+
+  test("tx_mixture_sample: membership equals an independent JVM md5-threshold replay") {
+    val sf = TestSpark.sf
+    val q = TextStats.defs.find(_.name == "tx_mixture_sample").get
+    val rows = q.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Independent replay: per-source doc lists collected driver-side, the
+    // sqrt/fixed-point/threshold pipeline recomputed in plain Scala with
+    // java MessageDigest — no Spark expressions shared with the query.
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    def h32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val nd = docs.values.map(_.length.toLong).sum
+    val wfp = docs.map { case (src, ds) =>
+      src -> math.floor(math.sqrt(ds.length.toDouble) * 1000.0).toLong
+    }
+    val sw = wfp.values.sum
+    rows.foreach { r =>
+      val (src, nDocs, weightFp, nTarget, nSampled, pickedSum) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nDocs == docs(src).length.toLong)
+      assert(weightFp == wfp(src), s"$src weight")
+      val expTarget = (nd / 5) * wfp(src) / sw
+      assert(nTarget == expTarget, s"$src target")
+      val thresh = expTarget * 4294967296L / nDocs
+      val picked = docs(src).map(_._2).filter(h32(_) < thresh)
+      assert(nSampled == picked.length.toLong, s"$src sample size")
+      assert(pickedSum == picked.sum, s"$src membership checksum")
+    }
+    // the budget is honored in expectation: integer targets sum to <= N/5
+    assert(rows.map(_.getLong(3)).sum <= nd / 5)
+  }
+
+  test("tx_split_assign: JVM md5 replay, stable under append, disjoint from sampler bits") {
+    val sf = TestSpark.sf
+    val q = TextStats.defs.find(_.name == "tx_split_assign").get
+    val rows = q.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    def md5hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, h16, split) =>
+      val exp = java.lang.Long.parseLong(md5hex(id).substring(8, 12), 16)
+      assert(h16 == exp, s"doc $id split hash")
+      val expSplit = if (exp < 3276) "val" else if (exp < 6553) "test" else "train"
+      assert(split == expSplit)
+    }
+    // assignment is a pure function of doc_id: the same ids re-split after
+    // an append (different corpus content) land identically — eval-set
+    // stability across corpus versions
+    val splits = rows.map { case (id, _, s) => id -> s }.toMap
+    val again = q.fn(spark, sf).collect().map(r => r.getLong(1) -> r.getString(3))
+    assert(again.forall { case (id, s) => splits(id) == s })
+    // the split bits (hex 9-12) are not the sampler bits (hex 1-8): a doc's
+    // split says nothing about its mixture draw — check the two rankings
+    // disagree somewhere (they would be identical if both read the same bits)
+    val ids = rows.map(_._1).take(64)
+    val bySampler = ids.sortBy(id => java.lang.Long.parseLong(md5hex(id).substring(0, 8), 16))
+    val bySplit = ids.sortBy(id => java.lang.Long.parseLong(md5hex(id).substring(8, 12), 16))
+    assert(bySampler != bySplit)
+  }
 }
