@@ -888,8 +888,11 @@ object TextStats {
         val picked = sampleByThreshold(docs, rates)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("picked_sum"))
+        // both sides are O(sources) aggregates — broadcast the accounting
+        // side so the initial plan is a BroadcastHashJoin, not a 20-row
+        // SortMergeJoin (AQE would convert at runtime; declare it anyway)
         rates.select(col("source"), col("n_docs"), col("weight_fp"), col("n_target"))
-          .join(picked, Seq("source"), "left_outer")
+          .join(broadcast(picked), Seq("source"), "left_outer")
           .select(col("source"), col("n_docs"), col("weight_fp"), col("n_target"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
             coalesce(col("picked_sum"), lit(0L)).as("picked_sum"))
