@@ -1026,13 +1026,139 @@ object TextStats {
       val path = graft.Artifacts.indexParquetPath(
           s, s"bpe_merges_r$rounds", d, "documents") {
         import s.implicits._
-        bpeMergesUncached(Tables.documents(s, d), rounds)
-          .toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
+        // Path choice by depth (spec-pinned equal): the relational loop
+        // for shallow oracle-replayable training, the driver heap once
+        // per-round job submission would dominate (production vocabs).
+        val trained =
+          if (rounds > DriverHeapCrossover)
+            bpeMergesDriverHeap(wordFreqDict(Tables.documents(s, d)), rounds)
+          else bpeMergesUncached(Tables.documents(s, d), rounds)
+        trained.toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
       }
       s.read.parquet(path).orderBy("merge_rank").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getString(3), r.getLong(4))).toSeq
     }
+
+  /** Merge-round count above which [[bpeMerges]] trains on the driver heap
+    * ([[bpeMergesDriverHeap]]) instead of the per-round relational loop:
+    * the relational path costs a flat ~0.2 s of JOB-SUBMISSION LATENCY per
+    * round (SCALING.md envelope — data volume is irrelevant past the one
+    * dictionary pass), so by 256 rounds the driver path's one-time
+    * dictionary collect (~ms at fixture scale, dictionary-sized always)
+    * has been repaid hundreds of times. Both paths are proven equal by
+    * spec, so the switch is invisible semantically. */
+  final val DriverHeapCrossover = 256
+
+  /** FastBPE-shape BPE training, entirely ON THE DRIVER over the collected
+    * word-frequency dictionary — the production path for real vocab sizes
+    * (10⁴-10⁵ merges), where the relational loop's per-round job submission
+    * dominates (see [[bpeMergesUncached]]'s design note; the envelope in
+    * SCALING.md measures the crossover). The corpus is still touched
+    * exactly once, distributed (the tokenize+count dictionary pass); what
+    * moves to the driver is vocabulary-sized model state — the k-means
+    * discipline, same as the IVF centroids.
+    *
+    * Incremental, not recount: pair→weighted-count map plus a LAZY max-heap
+    * ((count, lhs, rhs) entries re-pushed on every count change; stale
+    * entries discarded on pop when their count no longer matches), and a
+    * pair→word-index posting map so a merge touches only words containing
+    * the pair (stale postings are skipped by a containment scan). Per
+    * affected word: subtract its old adjacent pairs, apply the
+    * leftmost-greedy merge, re-add the new ones — O(word length), exactly
+    * the FastBPE update rule. Selection order matches the relational path:
+    * count desc, then (lhs, rhs) ascending; String.compareTo here vs
+    * Spark's binary UTF-8 comparison agree on ASCII (the tokenizer's
+    * domain) — a non-ASCII corpus would need a codepoint-order comparator.
+    * Equality with [[bpeMergesUncached]] is spec-pinned on the fixture and
+    * on seeded adversarial corpora. */
+  private[graft] def bpeMergesDriverHeap(wordFreqs: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val freqs = wordFreqs.map(_._2).toArray
+    val syms = wordFreqs
+      .map(w => mutable.ArrayBuffer.from(w._1.split("").filter(_.nonEmpty))).toArray
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c // larger count = higher priority
+          else {
+            val ca = y._2.compareTo(x._2) // smaller lhs = higher priority
+            if (ca != 0) ca else y._3.compareTo(x._3)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long): Unit = {
+      val n = pairCount.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCount.remove(p) else pairCount(p) = n
+      // push on EVERY change (including decreases): the heap must contain
+      // an entry carrying the pair's CURRENT count or the lazy pop loses it
+      if (n > 0L) heap.enqueue((n, p._1, p._2))
+    }
+    for (wi <- syms.indices; j <- 0 until syms(wi).length - 1) {
+      val p = (syms(wi)(j), syms(wi)(j + 1))
+      bump(p, freqs(wi))
+      pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+    }
+    val out = mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (pairCount.getOrElse((top._2, top._3), 0L) == top._1) best = top
+      }
+      if (best == null) exhausted = true
+      else {
+        val (c, a, b) = best
+        out += ((r.toLong, a, b, a + b, c))
+        val posting = pairWords.getOrElse((a, b), mutable.HashSet.empty)
+        for (wi <- posting.toArray.sorted) { // sorted: determinism of map state
+          val sy = syms(wi)
+          var contains = false
+          var i = 0
+          while (!contains && i < sy.length - 1) {
+            if (sy(i) == a && sy(i + 1) == b) contains = true
+            i += 1
+          }
+          if (contains) {
+            var j = 0
+            while (j < sy.length - 1) { bump((sy(j), sy(j + 1)), -freqs(wi)); j += 1 }
+            val ns = mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < sy.length) {
+              if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { ns += (a + b); i += 2 }
+              else { ns += sy(i); i += 1 }
+            }
+            syms(wi) = ns
+            j = 0
+            while (j < ns.length - 1) {
+              val p = (ns(j), ns(j + 1))
+              bump(p, freqs(wi))
+              pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+              j += 1
+            }
+          }
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The one distributed corpus pass feeding [[bpeMergesDriverHeap]]: the
+    * word-frequency dictionary (same tokenizer + empty-token filter as the
+    * relational path, so both trainers pair identical symbols). */
+  private[graft] def wordFreqDict(docs: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    docs.select(explode(expr(toks)).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("word"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Training loop over an explicit documents frame (spec entry point;
     * `onRound` receives (round, seconds) — graft.tools.BpeEnvelope uses it

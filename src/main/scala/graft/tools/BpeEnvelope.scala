@@ -43,10 +43,20 @@ object BpeEnvelope {
     val ok = times.filter(_ >= 0)
     val octile = ok.grouped(math.max(1, ok.length / 8)).map(g => g.sum / g.length).toArray
     val flat = if (octile.length >= 2 && octile.head > 0) octile.last / octile.head else Double.NaN
+    // Production-path comparison: the FastBPE-shape driver-heap trainer
+    // (one distributed dictionary pass + in-heap merges) on the same
+    // corpus — equal merges required, wall-clock reported so the
+    // crossover vs the per-round relational loop is a measured number.
+    val lt0 = System.nanoTime()
+    val dict = graft.text.TextStats.wordFreqDict(graft.Tables.documents(s, d))
+    val localMerges = graft.text.TextStats.bpeMergesDriverHeap(dict, rounds)
+    val localSec = (System.nanoTime() - lt0) / 1e9
+    val equal = localMerges == merges
     val timesJson = ok.map(t => f"$t%.3f").mkString("[", ",", "]")
     val octJson = octile.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(s"""GRAFT_BPE_ENVELOPE {"sf":"$d","rounds":${ok.length},"merges":${merges.length},""" +
       f""""total":${ok.sum}%.2f,"octile_means":$octJson,"flatness_last_over_first":$flat%.2f,""" +
+      f""""driver_heap_total":$localSec%.3f,"driver_heap_equal":$equal,""" +
       s""""times":$timesJson}""")
     s.stop()
   }

@@ -359,6 +359,36 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMergesDriverHeap: equals the relational trainer on the fixture and adversarial corpora") {
+    val s = spark; import s.implicits._
+    // fixture corpus, past the registered depth (stale-heap entries, merged
+    // re-pairing, and posting staleness all get exercised by 24 rounds)
+    val fixture = graft.Tables.documents(spark, TestSpark.sf)
+    val dict = TextStats.wordFreqDict(fixture)
+    assert(TextStats.bpeMergesDriverHeap(dict, 24) ==
+      TextStats.bpeMergesUncached(fixture, 24))
+    // adversarial: tiny alphabet, dense overlaps and count ties; deeper than
+    // any word so the exhausted-heap stop path also runs
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 6) {
+      val words = Seq.fill(5 + rng.nextInt(6))(
+        Seq.fill(1 + rng.nextInt(7))("ab" (rng.nextInt(2))).mkString)
+      val docs = Seq((1L, words.mkString(" "), "en", "s0", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = TextStats.bpeMergesDriverHeap(TextStats.wordFreqDict(docs), 12)
+      val exp = TextStats.bpeMergesUncached(docs, 12)
+      assert(got == exp, s"trial $trial corpus='${words.mkString(" ")}'")
+    }
+    // crossover path end-to-end: a past-crossover depth routes bpeMerges
+    // through the driver heap AND the artifact store, and BPE's
+    // prefix-stability makes it directly checkable against the shallow
+    // relational training (merge k never depends on the rounds budget)
+    val deep = TextStats.bpeMerges(spark, TestSpark.sf, TextStats.DriverHeapCrossover + 44)
+    val shallow = TextStats.bpeMerges(spark, TestSpark.sf)
+    assert(deep.take(shallow.length) == shallow)
+    assert(deep.length > shallow.length)
+  }
+
   test("bpe merge table is a persisted content-keyed artifact, probed instead of retrained") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString

@@ -287,6 +287,16 @@ def main() -> None:
             "A ratio near 1x = flat per-round cost (O(rounds) total); "
             "materially above 1x would mean per-round cost grows with the "
             "accumulated merge table and the loop compounds.",
+            "",
+            f"Driver-heap trainer (TextStats.bpeMergesDriverHeap — the "
+            f"FastBPE-shape production path, one distributed dictionary pass "
+            f"then incremental in-heap merges): {env['driver_heap_total']:.2f}s "
+            f"for the same {env['rounds']} merges, output "
+            f"{'EQUAL' if env['driver_heap_equal'] else '** DIVERGED **'} to the "
+            "relational trainer. The relational loop's cost is job-submission "
+            "latency x rounds; bpeMerges switches to the driver heap above "
+            "rounds = TextStats.DriverHeapCrossover (256), where a 32k-merge "
+            "production vocab goes from ~hours of job submission to seconds.",
         ]
     else:
         lines.append("BpeEnvelope run FAILED — no GRAFT_BPE_ENVELOPE line "
