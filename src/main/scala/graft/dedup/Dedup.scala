@@ -45,7 +45,7 @@ object Dedup {
     * array_distinct) is interpreted and measured ~1.7 ms/doc — it dominated
     * the dedup queries. The window shuffle partitions by doc_id, which is
     * exactly how it distributes at scale. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, d)
@@ -1646,7 +1646,7 @@ object Dedup {
     * canonical (min doc_id per fingerprint) → near-dup loser drop at
     * ≥ 0.5 Jaccard. Shared by dd_clean_corpus and the dd_shard_manifest
     * composite so both state the same three-stage plan. */
-  private def cleanCorpusKeepers(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cleanCorpusKeepers(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
         expr(s"size($toks)").as("n_tokens"),

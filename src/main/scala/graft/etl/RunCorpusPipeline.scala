@@ -1,0 +1,158 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+
+/** End-to-end TRAINING-DATA pipeline — the LLM-corpus counterpart of the
+  * star-schema ETL ([[RunEtl]]): one main that chains the registered
+  * operators the way a user of this library would to turn a raw document
+  * corpus into training shards, materializing each stage as parquet plus a
+  * deterministic `manifest.json` of stage counts (the release-accounting
+  * record — what dd_dedup_funnel reports, here as the actual artifact).
+  *
+  * Stages (each reuses the SAME frame transforms / plan shapes the
+  * registered queries verify against DuckDB — the pipeline cannot drift
+  * from the oracle-checked semantics):
+  *   1. clean      — quality gate + exact dedup (min-id keeper) + ≥0.5
+  *                   Jaccard near-dup loser removal
+  *                   (Dedup.cleanCorpusKeepers / dd_clean_corpus).
+  *   2. decontam   — drop docs sharing ≥ [[DecontamMinShingles]] 3-token
+  *                   shingles with the eval source (dd_decontaminate's
+  *                   broadcast eval-dictionary join, applied as a filter;
+  *                   eval docs themselves never enter the corpus).
+  *   3. sample     — temperature-weighted mixture draw
+  *                   (TextStats.mixtureRates + sampleByThreshold /
+  *                   tx_mixture_sample).
+  *   4. split      — deterministic train/val/test on sampler-disjoint hash
+  *                   bits (TextStats.withSplit / tx_split_assign).
+  *   5. pack       — per-(split, source) concat-and-cut pack coordinates
+  *                   (the tx_pack_sequences shape; packing never crosses a
+  *                   split, so no eval token rides a train pack).
+  *   6. tokenizer  — BPE merges trained on the TRAIN split only (no val/
+  *                   test leakage into the vocab), via the driver-heap
+  *                   trainer at production depth.
+  *
+  * Scale shape: stages 1-2 are the dedup family's capped/bucketed plans;
+  * 3-5 are broadcast-attach + scan-parallel predicates + per-shard windows
+  * (no global sort, no uncapped pairs); 6 is one dictionary pass + driver
+  * work. Every stage writes parquet, so a 100 TB run can resume at any
+  * stage boundary.
+  *
+  * Usage: `sbt "runMain graft.etl.RunCorpusPipeline <sfDir> <outDir>"` */
+object RunCorpusPipeline {
+
+  /** Drop a doc when it shares at least this many distinct 3-token
+    * shingles with the eval source (2 = dd_decontaminate's near-dup
+    * screen threshold convention). */
+  final val DecontamMinShingles = 2
+
+  /** BPE depth for the pipeline tokenizer — past DriverHeapCrossover on
+    * purpose, so the pipeline exercises the production trainer path. */
+  final val PipelineBpeRounds = 300
+
+  final case class StageCounts(
+      nInput: Long, nClean: Long, nDecontamDropped: Long, nSampled: Long,
+      splits: Map[String, Long], nPacked: Long, nMerges: Long)
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val nInput = docs.count()
+
+    // 1. clean: quality + exact-dup keeper + near-dup loser removal.
+    val keepers = graft.dedup.Dedup.cleanCorpusKeepers(spark, sfDir)
+    val clean = docs.join(keepers, Seq("doc_id"), "left_semi")
+
+    // 2. decontaminate vs the eval source: eval shingle dictionary is
+    // bounded by the eval vocabulary and BROADCAST (capping it would cost
+    // recall = eval leakage); one count per corpus doc, filter, done. The
+    // eval source's own docs are excluded from the corpus output.
+    val src = docs.select(col("doc_id"), col("source"))
+    val sh = graft.dedup.Dedup.shingleRows(spark, sfDir)
+    val evalDict = sh.join(src.filter(col("source") === EvalSource), "doc_id")
+      .select(col("sng")).distinct()
+    val contaminated = sh.join(broadcast(evalDict), "sng")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShingles)
+      .select(col("doc_id"))
+    val decontam = clean.filter(col("source") =!= EvalSource)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    decontam.write.mode("overwrite").parquet(s"$outDir/clean.parquet")
+    val cleanBack = spark.read.parquet(s"$outDir/clean.parquet")
+    val nClean = clean.count()
+    val nDecontamDropped = nClean - cleanBack.count() -
+      clean.filter(col("source") === EvalSource).count()
+
+    // 3. mixture sample over the decontaminated corpus.
+    val rates = graft.text.TextStats.mixtureRates(cleanBack)
+    val sampled = graft.text.TextStats.sampleByThreshold(cleanBack, rates)
+      .drop("thresh")
+    // 4. split on sampler-disjoint bits.
+    val splitDocs = graft.text.TextStats.withSplit(sampled).drop("h16")
+    splitDocs.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/shards.parquet")
+    val shards = spark.read.parquet(s"$outDir/shards.parquet")
+    val nSampled = shards.count()
+    val splitCounts = shards.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // 5. pack coordinates per (split, source) — tx_pack_sequences' shape;
+    // window partitions = (split, source) shards, never a global cumsum.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = shards
+      .select(col("split"), col("source"), col("doc_id"),
+        expr(s"CAST(size(${graft.text.TextStats.toks}) AS BIGINT)").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("split"), col("source"), col("doc_id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 256").as("win_first"),
+        expr("(cum - 1) div 256").as("win_last"),
+        expr("(cum - n_tokens) % 256").as("offset_in_win"))
+    packed.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$outDir/packed.parquet")
+    val nPacked = spark.read.parquet(s"$outDir/packed.parquet").count()
+
+    // 6. tokenizer trained on the TRAIN split only — the vocab must not
+    // see val/test text (the tokenizer-side analog of decontamination).
+    val trainDocs = shards.filter(col("split") === "train")
+    val merges = graft.text.TextStats.bpeMergesDriverHeap(
+      graft.text.TextStats.wordFreqDict(trainDocs), PipelineBpeRounds)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges.parquet")
+
+    val counts = StageCounts(nInput, nClean, nDecontamDropped, nSampled,
+      splitCounts, nPacked, merges.length.toLong)
+    val manifest =
+      s"""{"n_input":${counts.nInput},"n_clean":${counts.nClean},
+         |"n_decontam_dropped":${counts.nDecontamDropped},
+         |"n_sampled":${counts.nSampled},
+         |"splits":${counts.splits.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"n_packed":${counts.nPacked},"n_bpe_merges":${counts.nMerges}}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "manifest.json"),
+      (manifest + "\n").getBytes("UTF-8"))
+    counts
+  }
+
+  /** The held-out eval source (the fixture's src0 — dd_decontaminate's
+    * convention). */
+  final val EvalSource = "src0"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_corpus_out"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    try {
+      val c = run(spark, sfDir, outDir)
+      println(s"[pipeline] input=${c.nInput} clean=${c.nClean} " +
+        s"decontam_dropped=${c.nDecontamDropped} sampled=${c.nSampled} " +
+        s"splits=${c.splits.toSeq.sortBy(_._1).mkString(",")} " +
+        s"packed=${c.nPacked} bpe_merges=${c.nMerges} -> $outDir")
+    } finally spark.stop()
+  }
+}

@@ -930,24 +930,36 @@ object TextStats {
       * within every source). */
     QueryDef(
       "tx_split_assign",
-      (s, d) => Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          expr("md5_prefix48(CAST(doc_id AS STRING)) % 65536").as("h16"))
-        .withColumn("split",
-          when(col("h16") < 3276, "val")
-            .when(col("h16") < 6553, "test")
-            .otherwise("train"))
+      (s, d) => withSplit(Tables.documents(s, d))
+        .select(col("source"), col("doc_id"), col("h16"), col("split"))
         .orderBy("doc_id"),
-      Some("""SELECT source, doc_id,
+      Some(s"""SELECT source, doc_id,
              |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4)) AS BIGINT)
              |         AS h16,
              |       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
-             |                      AS BIGINT) < 3276 THEN 'val'
+             |                      AS BIGINT) < $SplitValMax THEN 'val'
              |            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))
-             |                      AS BIGINT) < 6553 THEN 'test'
+             |                      AS BIGINT) < $SplitTestMax THEN 'test'
              |            ELSE 'train' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
   )
+
+  /** Split thresholds over the 16 assignment bits: 5% val, 5% test
+    * (constant expressions — inlined at the `defs` use sites above). */
+  final val SplitValMax = 3276
+  final val SplitTestMax = 6553
+
+  /** The [[defs tx_split_assign]] assignment as a frame transform (adds
+    * `h16` + `split`), shared with the corpus pipeline so a pipeline run
+    * and the registered query can never disagree on membership. */
+  private[graft] def withSplit(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("h16", expr("md5_prefix48(CAST(doc_id AS STRING)) % 65536"))
+      .withColumn("split",
+        when(col("h16") < SplitValMax, "val")
+          .when(col("h16") < SplitTestMax, "test")
+          .otherwise("train"))
 
   /** Per-source mixture-sampling plan for [[defs tx_mixture_sample]] and
     * the streaming quota-fill monitor (graft.streaming.DocsStream

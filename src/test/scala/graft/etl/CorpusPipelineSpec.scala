@@ -1,0 +1,89 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end contract of the training-data pipeline: every stage's output
+  * is a subset of the previous stage under the registered operators' own
+  * semantics, the manifest restates the materialized counts exactly, and
+  * the leakage guards hold (no eval-source doc or eval-contaminated doc in
+  * the corpus; tokenizer vocab trained on the train split only). */
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val out = java.nio.file.Files.createTempDirectory("corpus_pipe").toString
+  lazy val counts = RunCorpusPipeline.run(spark, TestSpark.sf, out)
+
+  test("stage counts chain and the manifest restates them") {
+    val c = counts
+    assert(c.nInput == graft.Tables.documents(spark, TestSpark.sf).count())
+    assert(c.nClean <= c.nInput && c.nClean > 0)
+    assert(c.nSampled > 0 && c.nSampled <= c.nClean)
+    assert(c.splits.values.sum == c.nSampled)
+    assert(c.nPacked == c.nSampled, "pack emits one coordinate row per doc")
+    assert(c.nMerges > 0)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
+    for (frag <- Seq(s""""n_input":${c.nInput}""", s""""n_clean":${c.nClean}""",
+        s""""n_sampled":${c.nSampled}""", s""""n_packed":${c.nPacked}""",
+        s""""n_bpe_merges":${c.nMerges}"""))
+      assert(manifest.contains(frag), s"manifest missing $frag: $manifest")
+  }
+
+  test("leakage guards: no eval docs or eval-contaminated docs in the corpus") {
+    counts
+    val clean = spark.read.parquet(s"$out/clean.parquet")
+    assert(clean.filter(col("source") === RunCorpusPipeline.EvalSource).count() == 0)
+    // replay the contamination rule: every surviving doc shares < 2
+    // distinct shingles with the eval source
+    val sh = graft.dedup.Dedup.shingleRows(spark, TestSpark.sf)
+    val evalIds = graft.Tables.documents(spark, TestSpark.sf)
+      .filter(col("source") === RunCorpusPipeline.EvalSource).select("doc_id")
+    val evalSngs = sh.join(evalIds, "doc_id").select("sng").distinct()
+    val shared = sh.join(evalSngs, "sng").groupBy("doc_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= RunCorpusPipeline.DecontamMinShingles)
+    assert(clean.join(shared, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
+  test("shards: sampled subset of clean; split membership replays withSplit") {
+    counts
+    val clean = spark.read.parquet(s"$out/clean.parquet")
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+    assert(shards.join(clean, Seq("doc_id"), "left_anti").count() == 0)
+    val bad = shards.select("doc_id", "split")
+      .join(graft.text.TextStats.withSplit(clean).select(col("doc_id"),
+        col("split").as("exp")), "doc_id")
+      .filter(col("split") =!= col("exp"))
+    assert(bad.count() == 0, "split column must equal the registered assignment")
+  }
+
+  test("pack coordinates tile per (split, source) shard") {
+    counts
+    val packed = spark.read.parquet(s"$out/packed.parquet")
+    assert(packed.filter(col("offset_in_win") < 0 || col("offset_in_win") >= 256).count() == 0)
+    assert(packed.filter(col("win_last") < col("win_first")).count() == 0)
+    // consecutive docs within a shard: next doc starts exactly where the
+    // previous ended (cum prefix property — no gaps, no overlaps)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
+    val chained = packed
+      .withColumn("start_tok", col("win_first") * 256 + col("offset_in_win"))
+      .withColumn("prev_end", lag(col("start_tok") + col("n_tokens"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_tok") =!= col("prev_end"))
+    assert(chained.count() == 0, "packing must tile each shard contiguously")
+  }
+
+  test("tokenizer vocab is trained on the train split only") {
+    counts
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+    val trainDict = graft.text.TextStats.wordFreqDict(
+      shards.filter(col("split") === "train"))
+    val expected = graft.text.TextStats.bpeMergesDriverHeap(
+      trainDict, RunCorpusPipeline.PipelineBpeRounds)
+    val stored = spark.read.parquet(s"$out/bpe_merges.parquet")
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(stored.toSeq == expected, "stored merges must replay from the train dictionary")
+  }
+}

@@ -73,7 +73,7 @@ def purge_artifacts() -> None:
     import shutil
     names = ["mh_sig", "jac_pairs", "winnow_idx", "simhash60", "simhash_pairs",
              "phash_pairs", "video_pairs", "frame_idx", "winnow_post", "ivf_cells_k*",
-             "pq_codes", "drift", "cdc_chunks"]
+             "pq_codes", "drift", "cdc_chunks", "bpe_merges_r*"]
     for n in names:
         for p in glob.glob(f"/tmp/graft_{n}_*"):
             shutil.rmtree(p, ignore_errors=True)
