@@ -61,8 +61,11 @@ object RunCorpusPipeline {
     val nInput = docs.count()
 
     // 1. clean: quality + exact-dup keeper + near-dup loser removal.
+    // Persisted: the keeper chain (fingerprint shuffle + pair-graph probe)
+    // feeds three downstream actions (decontam write + two accounting
+    // counts) and must not re-execute per action.
     val keepers = graft.dedup.Dedup.cleanCorpusKeepers(spark, sfDir)
-    val clean = docs.join(keepers, Seq("doc_id"), "left_semi")
+    val clean = docs.join(keepers, Seq("doc_id"), "left_semi").persist()
 
     // 2. decontaminate vs the eval source: eval shingle dictionary is
     // bounded by the eval vocabulary and BROADCAST (capping it would cost
@@ -83,6 +86,7 @@ object RunCorpusPipeline {
     val nClean = clean.count()
     val nDecontamDropped = nClean - cleanBack.count() -
       clean.filter(col("source") === EvalSource).count()
+    clean.unpersist()
 
     // 3. mixture sample over the decontaminated corpus.
     val rates = graft.text.TextStats.mixtureRates(cleanBack)
