@@ -20,6 +20,26 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("empty landing dir starts under the declared schema; late arrivals process") {
+    // The normal start state of a real stream: nothing has landed yet, so
+    // the ts-type probe has nothing to read and must fall back to the
+    // declared BIGINT-nanos schema instead of throwing 'Unable to infer
+    // schema' before the query starts (ADVICE r11). Zero batches => empty
+    // result, no exception.
+    val dir = java.nio.file.Files.createTempDirectory("events_empty").toString
+    val empty = EventsStream.runHourlyCountsStream(spark, dir, "hourly_empty_spec")
+    assert(empty.collect().isEmpty)
+    // once files land, a fresh query over the same dir probes the real
+    // physical type and the results equal the batch aggregation
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val later = EventsStream.runHourlyCountsStream(spark, dir, "hourly_late_spec")
+      .collect().toSeq
+    assert(later == EventsStream.hourlyCountsBatch(spark, sf).collect().toSeq)
+    assert(later.nonEmpty)
+  }
+
   test("stream-static enrichment (customer dim join) equals the batch rollup") {
     val dir = java.nio.file.Files.createTempDirectory("events_enrich").toString
     java.nio.file.Files.copy(
