@@ -1636,6 +1636,89 @@ object Dedup {
              |SELECT d.doc_id, COALESCE(agg.n_kept, 0) AS n_kept,
              |       COALESCE(agg.clean_md5, md5('')) AS clean_md5
              |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
+
+    /** SOFT dedup — reweight instead of drop (the SoftDeDup idea: keep every
+      * copy but downweight it by its duplicate count, so the training
+      * sampler sees each unique text with total mass 1 while preserving
+      * in-dup-group diversity that hard dedup destroys). Per doc:
+      * fingerprint-group size and the integer micro-unit sampling weight
+      * 1e6/fp_count, plus the doc's effective (weighted) token mass.
+      *
+      * Distributed shape: ONE shuffle on the normalized-text fingerprint
+      * (the dd_exact key — at scale this query and dd_exact share a
+      * partitioning) carrying only (fp, doc_id, n_tokens); the group size
+      * is a window count over that exchange, no join-back. Output is
+      * corpus-sized but NARROW (3 ints per doc), the per-doc weight column
+      * a sampler consumes directly. */
+    QueryDef(
+      "dd_soft_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+          .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .select(col("doc_id"), col("fp_count"),
+            expr("1000000 div fp_count").as("weight_micro"),
+            expr("(n_tokens * 1000000) div fp_count").as("eff_tokens_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+             |       FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        COUNT(*) OVER (PARTITION BY fp) AS fp_count FROM f)
+             |SELECT doc_id, fp_count, 1000000 // fp_count AS weight_micro,
+             |       (n_tokens * 1000000) // fp_count AS eff_tokens_micro
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    /** TRAIN/EVAL SPLIT LEAKAGE AUDIT — the check every benchmark-honest
+      * pipeline runs after splitting: how many ≥0.5-Jaccard near-dup pairs
+      * CROSS the deterministic 80/10/10 md5 split (an_train_split's exact
+      * assignment)? A train↔test near-dup is memorized eval data; the audit
+      * emits the pair mass per unordered split combination with a leak
+      * verdict, so a gate can fail the build when the crossing count is
+      * nonzero (dd_decontaminate is the remedial op).
+      *
+      * Distributed shape: the ≥0.5 pair graph is the PERSISTED artifact
+      * (jaccardPairs — no new corpus pass); the split attach is two
+      * doc-keyed joins of a 2-column frame against pair-sized data, then an
+      * O(split²)=O(9) aggregate. The split column is derived, not stored,
+      * so the audit works on any corpus without schema changes. */
+    QueryDef(
+      "dd_split_leakage",
+      (s, d) => {
+        val splitOf = "CASE WHEN CAST(conv(substr(md5(CAST(%s AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT) %% 100 < 80 THEN 'train' WHEN CAST(conv(substr(md5(CAST(%s AS STRING))" +
+          ", 1, 15), 16, 10) AS BIGINT) %% 100 < 90 THEN 'val' ELSE 'test' END"
+        jaccardPairs(s, d, permille = 500)
+          .select(col("doc_a"), col("doc_b"))
+          .withColumn("sa", expr(splitOf.format("doc_a", "doc_a")))
+          .withColumn("sb", expr(splitOf.format("doc_b", "doc_b")))
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy(col("split_lo"), col("split_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaks",
+            when(col("split_lo") =!= col("split_hi"), "leak").otherwise("ok"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""WITH RECURSIVE
+             |${duckJaccard(500)},
+             |sp AS (SELECT doc_a, doc_b,
+             |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+             |              WHEN CAST(('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+             |              ELSE 'test' END AS sa,
+             |         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+             |              WHEN CAST(('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+             |              ELSE 'test' END AS sb
+             |       FROM jac)
+             |SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+             |       COUNT(*) AS n_pairs,
+             |       CASE WHEN LEAST(sa, sb) <> GREATEST(sa, sb) THEN 'leak' ELSE 'ok' END AS leaks
+             |FROM sp GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin)),
   )
 
   /** md5 of the empty string — the clean_md5 of a document with no kept

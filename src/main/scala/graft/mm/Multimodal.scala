@@ -319,5 +319,49 @@ object Multimodal {
              |FROM p JOIN n na ON na.doc_id = p.doc_a
              |     JOIN n nb ON nb.doc_id = p.doc_b
              |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    /** MODALITY-MIX CENSUS — the corpus-composition report a multimodal
+      * training run is provisioned from (token/byte budget per modality,
+      * batch-shape planning, storage forecasts). Modality is the
+      * deterministic doc_id shard the other mm_ queries use (6:2:1:1
+      * text:image:audio:video — stands in for a stored modality tag);
+      * per modality: item count, payload byte mass, mean item size, and the
+      * corpus byte share in integer micro-units.
+      *
+      * Distributed shape: one narrow scan projecting (modality, n_bytes),
+      * one O(4)-group aggregate, then the share attach is a cross join
+      * against the 1-row total — a broadcast scalar, the same pattern as
+      * every `_bound` verdict. Output is O(modalities) regardless of corpus
+      * size; the binary payload itself is never shuffled (only its
+      * length). */
+    QueryDef(
+      "mm_modality_mix",
+      (s, d) => {
+        val items = Tables.documents(s, d)
+          .select(
+            expr("CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
+              "WHEN doc_id % 10 = 8 THEN 'audio' ELSE 'video' END").as("modality"),
+            expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("n_bytes"))
+        val per = items.groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("sum_bytes"))
+        val total = per.agg(sum(col("sum_bytes")).as("total_bytes"))
+        per.crossJoin(broadcast(total))
+          .select(col("modality"), col("n_items"), col("sum_bytes"),
+            expr("sum_bytes div n_items").as("avg_bytes"),
+            expr("(sum_bytes * 1000000) div total_bytes").as("share_micro"))
+          .orderBy("modality")
+      },
+      Some("""WITH m AS (SELECT CASE WHEN doc_id % 10 < 6 THEN 'text'
+             |                WHEN doc_id % 10 < 8 THEN 'image'
+             |                WHEN doc_id % 10 = 8 THEN 'audio' ELSE 'video' END AS modality,
+             |              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |       FROM documents),
+             |per AS (SELECT modality, COUNT(*) AS n_items, SUM(n_bytes) AS sum_bytes
+             |        FROM m GROUP BY modality),
+             |t AS (SELECT SUM(sum_bytes) AS total_bytes FROM per)
+             |SELECT modality, n_items, CAST(sum_bytes AS BIGINT) AS sum_bytes,
+             |       CAST(sum_bytes // n_items AS BIGINT) AS avg_bytes,
+             |       CAST((sum_bytes * 1000000) // total_bytes AS BIGINT) AS share_micro
+             |FROM per, t ORDER BY modality""".stripMargin)),
   )
 }

@@ -1039,6 +1039,42 @@ object Analytics {
              |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
              |SELECT source, status, COUNT(*) AS n_docs
              |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)),
+
+    /** K-ANONYMITY AUDIT — the release-governance check before event data
+      * leaves the pipeline: group the stream by its quasi-identifier tuple
+      * (event_type × hour-of-day × value decade) and flag every cell whose
+      * DISTINCT-user support is below k=5 — those cells re-identify users
+      * and must be suppressed or generalized before export. Emits the full
+      * cell census with the verdict so the suppression step is a single
+      * semi-join against the 'suppress' rows.
+      *
+      * Distributed shape: one shuffle keyed on the QI tuple carrying
+      * (qi, user_id); the distinct-user count partial-aggregates map-side
+      * after an in-partition distinct. Output is O(|QI domain|) — here
+      * 24·|types|·|decades|, bounded regardless of corpus size. Decade
+      * bucket = floor(value/10): FLOOR division on both engines — a raw
+      * double→bigint CAST truncates in Spark but rounds in DuckDB, and
+      * integer `div` truncates toward zero in Spark while DuckDB `//`
+      * floors, so negatives would bucket differently under either. */
+    QueryDef(
+      "an_kanon_audit",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          expr("(ts div 1000000 div 3600000) % 24").as("hour_of_day"),
+          expr("CAST(floor(value / 10.0D) AS BIGINT)").as("value_decade"),
+          col("user_id"))
+        .groupBy(col("event_type"), col("hour_of_day"), col("value_decade"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .withColumn("verdict",
+          when(col("n_users") >= 5, "ok").otherwise("suppress"))
+        .orderBy("event_type", "hour_of_day", "value_decade"),
+      Some("""SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+             |       CAST(floor(value / 10) AS BIGINT) AS value_decade,
+             |       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+             |       CASE WHEN COUNT(DISTINCT user_id) >= 5 THEN 'ok'
+             |            ELSE 'suppress' END AS verdict
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY event_type, hour_of_day, value_decade""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

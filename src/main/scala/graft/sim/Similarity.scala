@@ -1244,5 +1244,54 @@ object Similarity {
           .orderBy("q_id", "rank")
       },
       Some(duckIvfPqSql)),
+
+    /** MAXIMUM-INNER-PRODUCT top-k (MIPS) — retrieval models trained with a
+      * dot-product objective (DPR/two-tower recommenders) must be SERVED by
+      * dot product: the argmax differs from cosine whenever candidate norms
+      * differ, so reusing a cosine top-k silently biases toward unit-norm
+      * candidates. Exact brute formulation here (the recall oracle);
+      * candidates score with the codegen'd native [[graft.functions
+      * .DotProduct]] against broadcast queries, rank desc / ties to min
+      * cand_id, emit k=5 in integer-micro-free 6-dp rounding.
+      *
+      * Scale path (documented, spec-checked in SimilaritySpec): MIPS
+      * reduces to cosine by norm augmentation — append
+      * sqrt(M²−‖x‖²) to each candidate (M = max candidate norm, a 1-row
+      * broadcast scalar) and 0 to each query; augmented-cosine order equals
+      * dot order per query, so the EXISTING IVF/LSH cosine index serves
+      * MIPS with no new index structure. The brute pass stays
+      * O(queries×corpus) with a candidates-side scan that never shuffles
+      * (queries broadcast), same shape as sim_topk_brute; the bounded TopK
+      * aggregator (sim_topk_agg) is the million-candidate formulation. */
+    QueryDef(
+      "sim_mips_topk",
+      (s, d) => {
+        val e = vecs(s, d)
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("v").as("va"))
+        val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("ip").desc, col("cand_id").asc)
+        c.crossJoin(broadcast(q))
+          .filter(col("cand_id") =!= col("q_id"))
+          .withColumn("ip", expr("dot_product(va, vb)"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("cand_id"),
+            expr("round(ip, 6)").as("ip6"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""SELECT q_id, cand_id, round(ip, 6) AS ip6, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+             |         list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) AS ip,
+             |         row_number() OVER (PARTITION BY q.vec_id
+             |           ORDER BY list_sum(list_transform(range(1, len(va) + 1),
+             |                                            i -> va[i] * vb[i])) DESC,
+             |                    c.vec_id ASC) AS rank
+             |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+             |        FROM embeddings WHERE vec_id < 8) q,
+             |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+             |  WHERE c.vec_id <> q.vec_id)
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -942,6 +942,44 @@ object TextStats {
              |                      AS BIGINT) < $SplitTestMax THEN 'test'
              |            ELSE 'train' END AS split
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    /** CURRICULUM ORDERING — the deterministic easy→hard training schedule:
+      * stage documents by a difficulty proxy (integer avg word length ×100;
+      * fixed thresholds 444/457 ≈ corpus tertiles), then define the training
+      * order WITHIN each stage by a seedless md5 shuffle. The schedule is a
+      * SORT KEY, not a dense rank: sched_key = stage·2⁴⁰ + first-40-bits of
+      * md5(doc_id), so the whole assignment is a scan-parallel projection —
+      * no global row_number window (which would force a single-partition
+      * sort at 100 TB); the pipeline writes the corpus sorted by (sched_key,
+      * doc_id) and the trainer streams it in curriculum order. Same
+      * reproducibility contract as tx_split_assign: any engine, any
+      * partitioning, any day → the same order. */
+    QueryDef(
+      "tx_curriculum_order",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"(100 * length(replace(text, ' ', ''))) div size($toks)").as("difficulty_c"))
+        .withColumn("stage",
+          expr("CAST(CASE WHEN difficulty_c < 444 THEN 0 WHEN difficulty_c < 457 THEN 1 " +
+            "ELSE 2 END AS INTEGER)"))
+        .withColumn("sched_key",
+          expr("stage * 1099511627776L + " +
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), col("difficulty_c"), col("stage"), col("sched_key"))
+        .orderBy("sched_key", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |         (100 * length(replace(text, ' ', '')))
+             |           // len(string_split_regex(trim(text), ' +')) AS difficulty_c
+             |       FROM documents),
+             |st AS (SELECT doc_id, difficulty_c,
+             |         CAST(CASE WHEN difficulty_c < 444 THEN 0
+             |                   WHEN difficulty_c < 457 THEN 1 ELSE 2 END AS INTEGER) AS stage
+             |       FROM t)
+             |SELECT doc_id, difficulty_c, stage,
+             |       stage * 1099511627776 +
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+             |         AS sched_key
+             |FROM st ORDER BY sched_key, doc_id""".stripMargin)),
   )
 
   /** Split thresholds over the 16 assignment bits: 5% val, 5% test

@@ -423,4 +423,30 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(verdicts.exists(_._4 == "drop"), "fixture must exercise the drop path")
   }
+
+  test("dd_soft_dedup: every doc weighted, group mass conserved vs dd_exact") {
+    val w = run("dd_soft_dedup")
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(w.count() == docs, "soft dedup keeps every document")
+    // the weight is exactly the integer reciprocal of the group size, and
+    // unique docs keep full weight
+    assert(w.filter(expr("weight_micro <> 1000000 div fp_count")).count() == 0)
+    assert(w.filter(col("fp_count") === 1 && col("weight_micro") =!= 1000000L).count() == 0)
+    // Σ_docs fp_count == Σ_groups n_docs² — the two views agree on group sizes
+    val viaExact = run("dd_exact").agg(sum(expr("n_docs * n_docs"))).head.getLong(0)
+    val viaSoft = w.agg(sum(col("fp_count"))).head.getLong(0)
+    assert(viaSoft == viaExact, s"group-size mass mismatch: $viaSoft vs $viaExact")
+  }
+
+  test("dd_split_leakage: verdict rule exact; pair mass conserved vs the >=0.5 pair graph") {
+    val l = run("dd_split_leakage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(l.forall { case (lo, hi, _, v) => (lo != hi) == (v == "leak") },
+      "leak verdict must be exactly split_lo <> split_hi")
+    assert(l.forall { case (lo, hi, _, _) => lo <= hi }, "combinations are unordered")
+    val totalPairs = l.map(_._3).sum
+    val graphPairs = run("dd_ngram_jaccard").filter(col("jaccard_permille") >= 500).count()
+    assert(totalPairs == graphPairs,
+      s"every >=0.5 pair must be audited exactly once: $totalPairs vs $graphPairs")
+  }
 }

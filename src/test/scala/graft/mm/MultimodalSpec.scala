@@ -139,4 +139,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L),
       "frame-disjoint payload must not pair")
   }
+
+  test("mm_modality_mix: census conserves items and bytes; shares sum to ~1e6") {
+    val sf = graft.TestSpark.sf
+    val mix = Multimodal.defs.find(_.name == "mm_modality_mix").get.fn(spark, sf)
+    val rows = mix.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("text", "image", "audio", "video"))
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count(), "every item counted once")
+    val totalBytes = docs
+      .agg(sum(expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)"))).head.getLong(0)
+    assert(rows.map(_._3).sum == totalBytes, "byte mass conserved")
+    // integer-floor shares: sum in (1e6 - |modalities|, 1e6]
+    val shareSum = rows.map(_._5).sum
+    assert(shareSum > 1000000L - rows.length && shareSum <= 1000000L,
+      s"micro shares must floor-sum to ~1e6, got $shareSum")
+    // 6:2:1:1 doc_id sharding => text strictly dominates on any uniform fixture
+    val byMod = rows.map(r => r._1 -> r._2).toMap
+    assert(byMod("text") > byMod("image") && byMod("image") > byMod("audio"))
+  }
 }

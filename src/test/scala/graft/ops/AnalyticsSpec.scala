@@ -284,4 +284,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("changed") == edited, "changed = edited survivors keeping their id")
     assert(got("unchanged") == total - deleted - reIdd - edited)
   }
+
+  test("an_kanon_audit: cell census conserves events; verdict is exactly the k=5 rule") {
+    val sf = graft.TestSpark.sf
+    val a = Analytics.defs.find(_.name == "an_kanon_audit").get.fn(spark, sf)
+    val events = graft.Tables.events(spark, sf).count()
+    assert(a.agg(sum(col("n_events"))).head.getLong(0) == events,
+      "every event lands in exactly one quasi-identifier cell")
+    assert(a.filter(col("n_users") > col("n_events")).count() == 0)
+    assert(a.filter(expr("(n_users >= 5) <> (verdict = 'ok')")).count() == 0,
+      "verdict must be exactly the k>=5 rule")
+    assert(a.filter(col("hour_of_day") < 0 || col("hour_of_day") > 23).count() == 0)
+    // the audit is actionable only if the fixture exercises both branches
+    val verdicts = a.select("verdict").distinct().collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("ok", "suppress"),
+      s"fixture must exercise both verdict branches, got $verdicts")
+  }
 }

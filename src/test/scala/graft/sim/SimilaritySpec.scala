@@ -303,4 +303,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cos <= unfilt1(q) + 1e-9, s"query $q: filtered best beats unfiltered best")
     }
   }
+
+  test("sim_mips_topk: dot-product ranking; norm augmentation reduces MIPS to the cosine index") {
+    val t = run("sim_mips_topk")
+    val perQ = t.groupBy("q_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 5))
+    assert(t.filter(col("cand_id") === col("q_id")).count() == 0)
+
+    // The scale path the Scaladoc documents: append sqrt(M^2 - |x|^2) to each
+    // candidate (M = max candidate norm) and 0 to each query; augmented
+    // COSINE order must equal dot-product order per query, because
+    // cos_aug = ip / (|q| * M) with |q| and M constant per query.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val m2 = e.agg(max(expr("aggregate(v, 0D, (a, x) -> a + x * x)"))).head.getDouble(0)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), expr("concat(v, array(0D))").as("va"))
+    val c = e.select(col("vec_id").as("cand_id"),
+      expr(s"concat(v, array(sqrt($m2 - aggregate(v, 0D, (a, x) -> a + x * x))))").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val viaCosine = c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaDot = t.select("q_id", "rank", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaCosine == viaDot,
+      "augmented-cosine top-5 must equal dot-product top-5 for every query")
+  }
 }

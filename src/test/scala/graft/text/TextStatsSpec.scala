@@ -530,4 +530,26 @@ class TextStatsSpec extends AnyFunSuite {
     val bySplit = ids.sortBy(id => java.lang.Long.parseLong(md5hex(id).substring(8, 12), 16))
     assert(bySampler != bySplit)
   }
+
+  test("tx_curriculum_order: stages partition by threshold and the schedule is stage-monotone") {
+    val sf = graft.TestSpark.sf
+    val cur = TextStats.defs.find(_.name == "tx_curriculum_order").get.fn(spark, sf)
+    val rows = cur.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length, "every doc scheduled exactly once")
+    assert(rows.length == graft.Tables.documents(spark, sf).count())
+    // stage is exactly the threshold rule
+    assert(rows.forall { case (_, diff, stage, _) =>
+      stage == (if (diff < 444) 0 else if (diff < 457) 1 else 2)
+    })
+    // the output IS the schedule: sorted by sched_key, stages never regress
+    val stagesInOrder = rows.map(_._3)
+    assert(stagesInOrder.zip(stagesInOrder.tail).forall { case (a, b) => a <= b },
+      "easy->hard: stage must be non-decreasing along the schedule")
+    // sched_key embeds the stage in its high bits
+    assert(rows.forall { case (_, _, stage, key) => key / 1099511627776L == stage })
+    // within a stage the md5 shuffle decorrelates from doc_id order: the
+    // schedule inside stage 0 must not be doc_id-sorted on any real fixture
+    val s0 = rows.filter(_._3 == 0).map(_._1)
+    assert(s0.length > 2 && s0 != s0.sorted, "in-stage order must be shuffled, not id order")
+  }
 }
