@@ -384,6 +384,24 @@ object EventsStream extends Serializable {
              |FROM tot t CROSS JOIN g CROSS JOIN gt
              |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
              |GROUP BY t.day ORDER BY t.day""".stripMargin)),
+
+    /** Streaming k-anonymity suppression gate — see [[kanonGate]]. */
+    QueryDef(
+      "st_kanon_gate",
+      (s, d) => kanonGateBatch(s, d),
+      Some("""WITH q AS (SELECT event_id, event_type,
+             |         (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
+             |         CAST(round(value * 100) AS BIGINT) AS cents, user_id
+             |       FROM events),
+             |ok AS (SELECT event_type, hour_of_day FROM q WHERE event_id % 5 <> 0
+             |       GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) >= 5)
+             |SELECT q.event_type,
+             |       CASE WHEN ok.event_type IS NOT NULL THEN 'forward'
+             |            ELSE 'suppress' END AS verdict,
+             |       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM q LEFT JOIN ok ON q.event_type = ok.event_type
+             |                   AND q.hour_of_day = ok.hour_of_day
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   /** Per-(day, event_type) counts — the streamable half of the drift gate:
@@ -438,5 +456,71 @@ object EventsStream extends Serializable {
       .start()
     q.awaitTermination()
     driftFromCounts(spark.read.parquet(countsDir))
+  }
+
+  /** GENERALIZED quasi-identifier cell: (event_type, hour-of-day). The
+    * fine-grained audit (graft.ops.Analytics an_kanon_audit) flags under-k
+    * cells at (type, hour, value-decade) grain; the serving-side remedy is
+    * GENERALIZATION — drop the value decade so cells pool enough users —
+    * and this is the cell the gate enforces. Row-local, stream-legal. */
+  private def withCoarseQi(events: DataFrame): DataFrame =
+    events.withColumn("hour_of_day", expr("(ts div 1000000 div 3600000) % 24"))
+
+  /** OK-cell census over the TRUSTED ingested shard (event_id % 5 ≠ 0 — the
+    * same already-ingested/arriving split every st_ index uses): generalized
+    * QI cells whose distinct-user support reaches k=5, published as a
+    * content-keyed parquet artifact (the frameFpIndexPath discipline).
+    * O(types × 24) rows — broadcastable forever, regardless of corpus
+    * size. */
+  def kanonOkCells(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.indexParquet(s, "kanon_cells", d, "events")(
+      withCoarseQi(graft.Tables.events(s, d).filter(expr("event_id % 5 <> 0")))
+        .groupBy(col("event_type"), col("hour_of_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_users") >= 5)
+        .select(col("event_type"), col("hour_of_day")))
+
+  /** K-ANONYMITY SUPPRESSION GATE — the streaming enforcement of the batch
+    * audit: an arriving event whose generalized QI cell did NOT reach k=5
+    * distinct users in the trusted census is suppressed before export
+    * (an UNSEEN cell fails closed — no census support means no anonymity
+    * evidence). Emits the per-(type, verdict) event count and value mass —
+    * the O(types×2) accounting a release gate alerts on.
+    *
+    * Stream shape: row-local QI projection → stream-static LEFT join
+    * against the broadcast O(types×24) ok-cell table (no streaming state)
+    * → ONE aggregation (complete mode). The census is the published
+    * artifact, re-read per micro-batch, so census refreshes between
+    * batches are picked up without restarting the gate. */
+  def kanonGate(events: DataFrame, okCells: DataFrame): DataFrame =
+    withCoarseQi(events)
+      .join(broadcast(okCells.withColumn("cell_ok", lit(1))),
+        Seq("event_type", "hour_of_day"), "left_outer")
+      .withColumn("verdict",
+        when(col("cell_ok").isNotNull, "forward").otherwise("suppress"))
+      .groupBy(col("event_type"), col("verdict"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+
+  /** Batch registration of [[kanonGate]] (stream≡batch spec in
+    * EventsStreamSpec). */
+  def kanonGateBatch(s: SparkSession, d: String): DataFrame =
+    kanonGate(graft.Tables.events(s, d), kanonOkCells(s, d))
+      .orderBy("event_type", "verdict")
+
+  /** [[kanonGate]] as an incremental stream over a landing directory:
+    * stream-static join + single aggregation, complete mode, memory sink. */
+  def runKanonGateStream(spark: SparkSession, eventsDir: String, staticDir: String,
+      queryName: String = "kanon_gate_stream"): DataFrame = {
+    val gated = kanonGate(readEventsStream(spark, eventsDir),
+      kanonOkCells(spark, staticDir))
+    val q = gated.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy("event_type", "verdict")
   }
 }

@@ -318,4 +318,32 @@ class EventsStreamSpec extends AnyFunSuite {
         s"drift_ok must restate tv_micro < 100000: $r")
     }
   }
+
+  test("streaming k-anon gate equals batch; unseen cells fail closed across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val land = java.nio.file.Files.createTempDirectory("events_kanon").toString
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = EventsStream.runKanonGateStream(
+      spark, s"$land/arrivals", sf, "kanon_spec").collect().toSeq
+    val batch = EventsStream.defs.find(_.name == "st_kanon_gate").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    // the sf0.001 fixture exercises both branches of the gate
+    val verdicts = batch.map(_.getString(1)).toSet
+    assert(verdicts == Set("forward", "suppress"),
+      s"fixture must exercise both gate branches, got $verdicts")
+    // fail-closed: an arriving event type the census has never seen must
+    // suppress, even in a later micro-batch (artifact re-read per batch)
+    val land2 = java.nio.file.Files.createTempDirectory("events_kanon2").toString
+    val ghost = graft.Tables.events(spark, sf).limit(1)
+      .withColumn("event_type", lit("ghost_type"))
+      .withColumn("event_id", lit(999999901L))
+    ghost.write.mode("overwrite").parquet(s"$land2/arrivals")
+    val gated = EventsStream.runKanonGateStream(
+      spark, s"$land2/arrivals", sf, "kanon_spec2").collect().toSeq
+    assert(gated.length == 1 && gated.head.getString(0) == "ghost_type"
+      && gated.head.getString(1) == "suppress",
+      s"unseen QI cell must fail closed, got $gated")
+  }
 }
