@@ -1075,6 +1075,84 @@ object Analytics {
              |            ELSE 'suppress' END AS verdict
              |FROM events GROUP BY 1, 2, 3
              |ORDER BY event_type, hour_of_day, value_decade""".stripMargin)),
+
+    /** AUDIENCE-OVERLAP MATRIX — |users(a) ∩ users(b)| and Jaccard for every
+      * unordered pair of event types: the cross-feature co-engagement grid
+      * behind funnel design and feature bundling (and the same shape as a
+      * source-overlap audit on training corpora).
+      *
+      * Distributed shape: the ONLY data-sized shuffle is the
+      * (user, type) DISTINCT; each user then carries a type SET bounded by
+      * the type domain (not by activity), and the pair expansion is
+      * O(|types|²) per user — never a user×user or row×row join. Per-type
+      * audience sizes ride the same distinct frame, and the final join is
+      * O(|types|²)-sized. At 100 TB the type domain is still dozens, so
+      * everything after the distinct is negligible. */
+    QueryDef(
+      "an_audience_overlap",
+      (s, d) => {
+        val ut = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val pairs = ut.groupBy(col("user_id"))
+          .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+          .select(explode(expr(
+            "flatten(transform(ts, (a, i) -> " +
+              "transform(slice(ts, i + 2, size(ts)), b -> struct(a AS ta, b AS tb))))"))
+            .as("p"))
+          .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val n = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        pairs
+          .join(broadcast(n.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+          .join(broadcast(n.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            expr("(1000 * n_both) div (na + nb - n_both)").as("jaccard_permille"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |             COUNT(*) AS n_both
+             |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |           AND a.event_type < b.event_type
+             |      GROUP BY 1, 2),
+             |n AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1)
+             |SELECT type_a, type_b, n_both,
+             |       (1000 * n_both) // (na.n + nb.n - n_both) AS jaccard_permille
+             |FROM p JOIN n na ON na.event_type = type_a
+             |       JOIN n nb ON nb.event_type = type_b
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    /** FRESHNESS / WATERMARK-LAG AUDIT — per event type, how far its newest
+      * event trails the newest event anywhere: the staleness monitor that
+      * catches a dead upstream producer (one topic stops flowing while the
+      * rest advance). Reference point is the CORPUS max — self-contained
+      * and engine-reproducible, where wall-clock `now()` would not be.
+      * Verdict at a 4-hour lag budget.
+      *
+      * Distributed shape: one partial-aggregating max per type (map-side
+      * combine), then an O(|types|) frame cross-joined with its own 1-row
+      * global max — broadcast scalar, no second data pass. */
+    QueryDef(
+      "an_watermark_lag",
+      (s, d) => {
+        val perType = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(max(expr("ts div 1000000")).as("max_ms"))
+        val global = perType.agg(max(col("max_ms")).as("global_max_ms"))
+        perType.crossJoin(broadcast(global))
+          .select(col("event_type"), col("max_ms"),
+            expr("global_max_ms - max_ms").as("lag_ms"),
+            expr("CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh' " +
+              "ELSE 'stale' END").as("freshness"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type, MAX(epoch_ms(ts)) AS max_ms
+             |          FROM events GROUP BY 1),
+             |g AS (SELECT MAX(max_ms) AS global_max_ms FROM m)
+             |SELECT event_type, max_ms, global_max_ms - max_ms AS lag_ms,
+             |       CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh'
+             |            ELSE 'stale' END AS freshness
+             |FROM m, g ORDER BY event_type""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

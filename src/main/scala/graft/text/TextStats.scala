@@ -54,6 +54,25 @@ object TextStats {
       |          AS thresh
       |      FROM w, t)""".stripMargin
 
+  /** Inverse-CDF thresholds for the DISCRETE two-sided geometric noise of
+    * [[defs tx_dp_histogram]] (the discrete Laplace mechanism): noise j has
+    * P(j) = ((1-α)/(1+α))·α^|j| with α = 1/3 ⇒ ε = ln 3 per count at
+    * sensitivity 1. Clipped to [-20, 20] (tail mass 3⁻²⁰ ≈ 3e-10 folds into
+    * the extremes). Sampling is u < T_j inversion over a 48-bit uniform:
+    * T_j = ⌊2⁴⁸·F(j)⌋ with F(j) = 3^(21-|j|)/(4·3²⁰) for j<0 and
+    * 1 − 3^(20-j)/(4·3²⁰) for j≥0 — EXACT BigInt rationals, so the same 40
+    * literal thresholds are interpolated into the Spark expression and the
+    * DuckDB oracle and every engine draws the identical noise. (ANY real
+    * per-row uniform works; md5 keyed on a release tag + the cell key makes
+    * the draw reproducible across engines, reruns, and partitionings.) */
+  private[graft] val dpThresholds: Seq[Long] = {
+    val d = BigInt(4) * BigInt(3).pow(20)
+    (-20 to 19).map { j =>
+      val num = if (j < 0) BigInt(3).pow(21 + j) else d - BigInt(3).pow(20 - j)
+      (((BigInt(1) << 48) * num) / d).toLong
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -980,6 +999,47 @@ object TextStats {
              |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
              |         AS sched_key
              |FROM st ORDER BY sched_key, doc_id""".stripMargin)),
+
+    /** DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — per-source doc counts
+      * published under ε = ln 3 (sensitivity 1: one document moves one
+      * count by one): each count gets DISCRETE two-sided geometric noise
+      * drawn by exact inverse-CDF inversion over a 48-bit md5 uniform keyed
+      * on (release tag, source) — see [[dpThresholds]] for the exact
+      * rational thresholds both engines share. Deterministic per release
+      * tag (rerunning the release never re-randomizes — republishing with
+      * fresh noise would leak through averaging), negative counts clamp to
+      * zero post-noise (standard, does not affect the DP guarantee).
+      *
+      * Distributed shape: one partial-aggregating count shuffle; the noise
+      * draw is a row-local projection over the O(sources) result. */
+    QueryDef(
+      "tx_dp_histogram",
+      (s, d) => {
+        val tArr = dpThresholds.mkString("array(", "L, ", "L)")
+        Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+          .withColumn("u48",
+            expr("CAST(conv(substr(md5(concat('dp1:', source)), 1, 12), 16, 10) AS BIGINT)"))
+          .withColumn("noise", expr(s"size(filter($tArr, t -> u48 >= t)) - 20"))
+          .select(col("source"), col("n_raw"), col("noise"),
+            expr("greatest(n_raw + noise, 0L)").as("n_noisy"),
+            lit(1098612L).as("eps_micro"))
+          .orderBy("source")
+      },
+      Some {
+        val tArr = dpThresholds.mkString("[", ", ", "]")
+        s"""WITH c AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+           |u AS (SELECT source, n_raw,
+           |        CAST(('0x' || substr(md5('dp1:' || source), 1, 12)) AS BIGINT) AS u48
+           |      FROM c),
+           |nz AS (SELECT source, n_raw,
+           |         CAST(len(list_filter($tArr, t -> u48 >= t)) - 20 AS INTEGER) AS noise
+           |       FROM u)
+           |SELECT source, n_raw, noise,
+           |       CAST(greatest(n_raw + noise, 0) AS BIGINT) AS n_noisy,
+           |       CAST(1098612 AS BIGINT) AS eps_micro
+           |FROM nz ORDER BY source""".stripMargin
+      }),
   )
 
   /** Split thresholds over the 16 assignment bits: 5% val, 5% test

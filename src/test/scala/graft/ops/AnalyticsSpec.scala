@@ -300,4 +300,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(verdicts == Set("ok", "suppress"),
       s"fixture must exercise both verdict branches, got $verdicts")
   }
+
+  test("an_audience_overlap: intersections bounded by audiences; full grid on the fixture") {
+    val sf = graft.TestSpark.sf
+    val o = Analytics.defs.find(_.name == "an_audience_overlap").get.fn(spark, sf)
+    val rows = o.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall { case (a, b, _, _) => a < b }, "pairs are unordered: type_a < type_b")
+    // every intersection is bounded by each side's audience
+    val aud = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (a, b, both, jac) =>
+      assert(both <= math.min(aud(a), aud(b)), s"($a,$b): intersection exceeds an audience")
+      assert(jac >= 0 && jac <= 1000, s"($a,$b): jaccard_permille out of range: $jac")
+      assert(jac == 1000L * both / (aud(a) + aud(b) - both), s"($a,$b): jaccard restates counts")
+    }
+    // 5 types on the fixture, all co-engaged: the full C(5,2) grid
+    assert(rows.length == aud.size * (aud.size - 1) / 2)
+  }
+
+  test("an_watermark_lag: newest type lags zero; verdict restates the 4h budget") {
+    val sf = graft.TestSpark.sf
+    val w = Analytics.defs.find(_.name == "an_watermark_lag").get.fn(spark, sf)
+    val rows = w.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.count(_._3 == 0L) >= 1, "the globally-newest type must show zero lag")
+    assert(rows.forall { case (_, _, lag, v) => (lag < 14400000L) == (v == "fresh") })
+    assert(rows.map(_._4).toSet == Set("fresh", "stale"),
+      "sf0.001 fixture must exercise both freshness branches")
+    val globalMax = rows.map(_._2).max
+    assert(rows.forall { case (_, mx, lag, _) => lag == globalMax - mx })
+  }
 }

@@ -552,4 +552,39 @@ class TextStatsSpec extends AnyFunSuite {
     val s0 = rows.filter(_._3 == 0).map(_._1)
     assert(s0.length > 2 && s0 != s0.sorted, "in-stage order must be shuffled, not id order")
   }
+
+  test("tx_dp_histogram: thresholds match an independent CDF derivation; noise replays in the JVM") {
+    // Independent derivation of the inverse-CDF table: accumulate the pmf
+    // P(j) = (1/2)(1/3)^|j| = 2*3^(20-|j|) / (4*3^20) directly (the library
+    // derives F(j) in closed form instead). The clip folds the infinite left
+    // tail into j = -20, and that tail mass is EXACTLY 1 in units of 4*3^20
+    // (sum_{k>=21} (1/2)3^-k = (1/4)3^-20), so the accumulator starts at 1.
+    val d0 = BigInt(4) * BigInt(3).pow(20)
+    var cum = BigInt(1)
+    val independent = (-20 to 19).map { j =>
+      cum += BigInt(2) * BigInt(3).pow(20 - math.abs(j))
+      (((BigInt(1) << 48) * cum) / d0).toLong
+    }
+    assert(TextStats.dpThresholds == independent,
+      "closed-form CDF must equal the accumulated pmf")
+
+    val sf = graft.TestSpark.sf
+    val h = TextStats.defs.find(_.name == "tx_dp_histogram").get.fn(spark, sf)
+    val rows = h.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // JVM md5 replay of every source's draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (source, nRaw, noise, nNoisy) =>
+      val hex = md.digest(s"dp1:$source".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u48 = java.lang.Long.parseLong(hex, 16)
+      val expected = independent.count(t => u48 >= t) - 20
+      assert(noise == expected, s"$source: engine noise $noise != JVM replay $expected")
+      assert(noise >= -20 && noise <= 20)
+      assert(nNoisy == math.max(nRaw + noise, 0L), s"$source: clamp violated")
+    }
+    // the mechanism must actually perturb something on a 20-source fixture
+    // (P(all 20 draws are zero) = 2^-20)
+    assert(rows.exists(_._3 != 0), "at least one count should be perturbed")
+  }
 }
