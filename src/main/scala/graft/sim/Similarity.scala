@@ -279,6 +279,66 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF serving under the INNER-PRODUCT metric (the faiss
+    * IndexIVF/METRIC_INNER_PRODUCT shape): the SAME trained index — raw-
+    * vector centroids + stored cell assignments, no retrain, no second
+    * index — probed by centroid dot product, with the probed union exact-
+    * dot re-ranked. This is how one physical index serves both the cosine
+    * queries (sim_ann_ivf) and the dot-trained retrieval models
+    * (sim_mips_topk is the brute ground truth); recall vs brute MIPS is
+    * asserted in SimilaritySpec. Plan shape identical to [[annIvfSearch]]:
+    * centroids broadcast, corpus never shuffled by the probe, candidates
+    * read via the stored assignment artifact. */
+  private def mipsIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
+    val asg = cellsStored(s, d, k).select(col("vec_id"), col("cell"))
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ip6").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cdf))
+      .withColumn("ip6", expr("round(dot_product(v, cv), 6)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
+    val c = e.join(asg, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip6").desc, col("cand_id").asc)
+    c.join(broadcast(probes),
+        c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
+      .withColumn("ip6", expr("round(dot_product(va, vb), 6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("cand_id"), col("ip6"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  private def duckDotOf(a: String, b: String): String =
+    s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), 6)"
+
+  /** Oracle for [[mipsIvfSearch]]: the shared k-means replay, probes and
+    * re-rank under the dot metric. */
+  private def duckMipsIvfSql(nprobe: Int): String = {
+    val pdot = duckDotOf("e.v", "c.cv")
+    s"""WITH ${duckKmeansChain()},
+       |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
+       |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY $pdot DESC, c.cid ASC) AS rn
+       |  FROM e, c$Iters c WHERE e.vec_id < 8) WHERE rn <= $nprobe),
+       |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
+       |          FROM assign a JOIN e USING (vec_id)),
+       |ranked AS (
+       |  SELECT p.q_id, c.cand_id, ${duckDotOf("p.va", "c.vb")} AS ip6,
+       |         row_number() OVER (PARTITION BY p.q_id
+       |                            ORDER BY ${duckDotOf("p.va", "c.vb")} DESC,
+       |                                     c.cand_id ASC) AS rank
+       |  FROM probes p JOIN cands c
+       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
+       |SELECT q_id, cand_id, ip6, CAST(rank AS INTEGER) AS rank FROM ranked
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Oracle for [[annIvfSearch]] over a given training chain + probe budget. */
   /** Shared probe/candidate/ranked-result CTE text of the IVF oracle,
     * ending in `ivfranked(q_id, cand_id, cos6, rank)` — consumed by both
@@ -1293,5 +1353,11 @@ object Similarity {
              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
              |  WHERE c.vec_id <> q.vec_id)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    /** MIPS served through the trained IVF index — see [[mipsIvfSearch]]. */
+    QueryDef(
+      "sim_mips_ivf",
+      (s, d) => mipsIvfSearch(s, d, K, NProbe),
+      Some(duckMipsIvfSql(NProbe))),
   )
 }

@@ -335,4 +335,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaCosine == viaDot,
       "augmented-cosine top-5 must equal dot-product top-5 for every query")
   }
+
+  test("sim_mips_ivf: one index serves the dot metric; recall@3 vs brute MIPS holds") {
+    val ivf = run("sim_mips_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perQ = ivf.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQ.nonEmpty && perQ.values.forall(_ == 3), "3 results per query")
+    val brute = run("sim_mips_topk").filter(col("rank") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = ivf.count(brute.contains)
+    // 0.92 measured on the fixture; the floor leaves headroom for fixture
+    // regeneration without tolerating a broken probe
+    assert(overlap >= (brute.size * 6) / 10,
+      s"recall@3 too low: $overlap of ${brute.size} brute results found")
+  }
 }
