@@ -1153,6 +1153,46 @@ object Analytics {
              |       CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh'
              |            ELSE 'stale' END AS freshness
              |FROM m, g ORDER BY event_type""".stripMargin)),
+
+    /** BACKFILL PLANNER — per-type day-partition coverage against the
+      * corpus calendar span: how many epoch-days between the corpus min and
+      * max does each event type actually have data for, and how many are
+      * holes a backfill job must fill. A missing day inside the span is the
+      * operational signature of a dropped ingestion batch — the thing a
+      * partitioned warehouse must detect BEFORE a consumer reads zeros.
+      * Verdict 'backfill' when any day is missing (the spec plants holes;
+      * the fixture calendar is complete, verdict 'complete' everywhere).
+      *
+      * Distributed shape: one (type, day) DISTINCT shuffle — day grain, so
+      * the aggregate output is O(types×days) regardless of event volume —
+      * then an O(types) rollup cross-joined with its own 1-row span. The
+      * day GRID is never materialized (present-count vs span arithmetic),
+      * so there is no generate_series × types expansion to shuffle. */
+    QueryDef(
+      "an_backfill_plan",
+      (s, d) => {
+        val td = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000000) div 86400000").as("day")).distinct()
+        val span = td.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        td.groupBy(col("event_type")).agg(count(lit(1)).as("n_days_present"))
+          .crossJoin(broadcast(span))
+          .select(col("event_type"), col("n_days_present"),
+            expr("hi - lo + 1").as("span_days"),
+            expr("hi - lo + 1 - n_days_present").as("n_missing"),
+            expr("CASE WHEN hi - lo + 1 = n_days_present THEN 'complete' " +
+              "ELSE 'backfill' END").as("verdict"))
+          .orderBy("event_type")
+      },
+      Some("""WITH td AS (SELECT DISTINCT event_type,
+             |              epoch_ms(ts) // 86400000 AS day FROM events),
+             |span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM td),
+             |p AS (SELECT event_type, COUNT(*) AS n_days_present FROM td GROUP BY 1)
+             |SELECT event_type, n_days_present, hi - lo + 1 AS span_days,
+             |       hi - lo + 1 - n_days_present AS n_missing,
+             |       CASE WHEN hi - lo + 1 = n_days_present THEN 'complete'
+             |            ELSE 'backfill' END AS verdict
+             |FROM p, span ORDER BY event_type""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

@@ -333,4 +333,24 @@ class AnalyticsSpec extends AnyFunSuite {
     val globalMax = rows.map(_._2).max
     assert(rows.forall { case (_, mx, lag, _) => lag == globalMax - mx })
   }
+
+  test("an_backfill_plan: planted day holes are counted; the complete fixture plans nothing") {
+    import spark.implicits._
+    def ns(day: Long, i: Long) = (day * 86400000L + i) * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("backfill_events").toString
+    // type A covers days 0..9; type B skips days 3 and 7
+    val rows = (for (day <- 0L until 10L) yield (day, ns(day, 0), 1L, "A", 0.0)) ++
+      (for (day <- 0L until 10L if day != 3 && day != 7)
+        yield (100 + day, ns(day, 1), 1L, "B", 0.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.defs.find(_.name == "an_backfill_plan").get.fn(spark, dir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toList
+    assert(got == List(("A", 10L, 10L, 0L, "complete"), ("B", 8L, 10L, 2L, "backfill")))
+    // fixture calendar is complete for every type
+    val fix = Analytics.defs.find(_.name == "an_backfill_plan").get
+      .fn(spark, graft.TestSpark.sf).collect()
+    assert(fix.nonEmpty && fix.forall(_.getString(4) == "complete"))
+  }
 }
