@@ -458,6 +458,44 @@ object EventsStream extends Serializable {
     driftFromCounts(spark.read.parquet(countsDir))
   }
 
+  /** Coverage scoring of graft.ops.Analytics an_backfill_plan over a
+    * day×type count table — the SAME streamable aggregation that feeds the
+    * drift monitor ([[dayTypeCounts]]), so one complete-mode stream keeps
+    * BOTH monitors current: presence = a count row exists, span from the
+    * table's own min/max day, missing = span minus presence. Day-grain
+    * input, O(types) output. */
+  def backfillFromCounts(sh: DataFrame): DataFrame = {
+    val td = sh.filter(col("cnt") > 0).select(col("event_type"), col("day"))
+    val span = td.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    td.groupBy(col("event_type")).agg(count(lit(1)).as("n_days_present"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_days_present"),
+        expr("hi - lo + 1").as("span_days"),
+        expr("hi - lo + 1 - n_days_present").as("n_missing"),
+        expr("CASE WHEN hi - lo + 1 = n_days_present THEN 'complete' " +
+          "ELSE 'backfill' END").as("verdict"))
+      .orderBy("event_type")
+  }
+
+  /** The backfill planner as an incremental stream — the [[runDriftStream]]
+    * parquet round-trip (counts table overwritten per trigger, scoring join
+    * over the re-read table). */
+  def runBackfillStream(spark: SparkSession, eventsDir: String,
+      queryName: String = "backfill_stream"): DataFrame = {
+    val countsDir = java.nio.file.Files
+      .createTempDirectory(s"graft_$queryName").toString
+    val counts = dayTypeCounts(readEventsStream(spark, eventsDir))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(countsDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    backfillFromCounts(spark.read.parquet(countsDir))
+  }
+
   /** GENERALIZED quasi-identifier cell: (event_type, hour-of-day). The
     * fine-grained audit (graft.ops.Analytics an_kanon_audit) flags under-k
     * cells at (type, hour, value-decade) grain; the serving-side remedy is

@@ -346,4 +346,37 @@ class EventsStreamSpec extends AnyFunSuite {
       && gated.head.getString(1) == "suppress",
       s"unseen QI cell must fail closed, got $gated")
   }
+
+  test("streaming backfill monitor equals the batch planner; a hole arriving later closes") {
+    import org.apache.spark.sql.functions._
+    val land = java.nio.file.Files.createTempDirectory("events_backfill").toString
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = EventsStream.runBackfillStream(
+      spark, s"$land/arrivals", "backfill_spec").collect().toSeq
+    val batch = graft.ops.Analytics.defs.find(_.name == "an_backfill_plan").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // incrementality: drop one day of one type, stream -> 'backfill'; the
+    // missing day then ARRIVES in a second file and the verdict closes
+    val land2 = java.nio.file.Files.createTempDirectory("events_backfill2").toString
+    val all = graft.Tables.events(spark, sf)
+      .withColumn("day", expr("(ts div 1000000) div 86400000"))
+    val someDay = all.select(max("day")).head.getLong(0) - 1
+    val someType = "purchase"
+    val hole = col("event_type") === someType && col("day") === someDay
+    all.filter(!hole).drop("day")
+      .write.mode("overwrite").parquet(s"$land2/arrivals")
+    val withHole = EventsStream.runBackfillStream(
+      spark, s"$land2/arrivals", "backfill_spec2").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(withHole(someType) == "backfill", s"hole must be planned: $withHole")
+    all.filter(hole).drop("day")
+      .write.mode("append").parquet(s"$land2/arrivals")
+    val closed = EventsStream.runBackfillStream(
+      spark, s"$land2/arrivals", "backfill_spec3").collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(closed(someType) == "complete", s"arrived day must close the plan: $closed")
+  }
 }
