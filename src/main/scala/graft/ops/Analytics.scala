@@ -1193,6 +1193,48 @@ object Analytics {
              |       CASE WHEN hi - lo + 1 = n_days_present THEN 'complete'
              |            ELSE 'backfill' END AS verdict
              |FROM p, span ORDER BY event_type""".stripMargin)),
+
+    /** FIXED-SIZE PER-STRATUM SAMPLE — exactly k=10 docs per source, chosen
+      * as the k SMALLEST md5 draws (a deterministic reservoir: uniform over
+      * each stratum, stable across engines, reruns, partitionings — the
+      * eval-set constructor where an_hash_sample's threshold form yields a
+      * RATE, not a count). The scale story is the bounded TopK Aggregator
+      * (graft.functions.TopK, SURVEY §2.8): partial buffers cap every
+      * map-side combine at k entries, so the shuffle carries
+      * O(sources × k) rows where the window row_number formulation — the
+      * oracle's formulation, deliberately an independent algorithm — sorts
+      * every row of each stratum through the exchange. The 48-bit draw is
+      * exact in a Double (2⁴⁸ < 2⁵³), so score ordering is bit-faithful. */
+    QueryDef(
+      "an_fixed_sample",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
+              .as("h48"))
+          .as[(String, Long, Long)]
+        scored.groupByKey(_._1)
+          .mapValues(t => graft.functions.TopK.Scored(t._2, -t._3.toDouble))
+          .agg(graft.functions.TopK.topK(10).toColumn)
+          .flatMap { case (src, entries) =>
+            entries.zipWithIndex.map { case (en, i) =>
+              (src, en.id, (-en.score).toLong, i + 1)
+            }
+          }
+          .toDF("source", "doc_id", "h48", "sample_rank")
+          .withColumn("sample_rank", col("sample_rank").cast("int"))
+          .orderBy("source", "sample_rank")
+      },
+      Some("""SELECT source, doc_id, h48, CAST(rank AS INTEGER) AS sample_rank FROM (
+             |  SELECT source, doc_id,
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+             |           AS h48,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |                         AS BIGINT) ASC, doc_id ASC) AS rank
+             |  FROM documents)
+             |WHERE rank <= 10 ORDER BY source, sample_rank""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

@@ -353,4 +353,26 @@ class AnalyticsSpec extends AnyFunSuite {
       .fn(spark, graft.TestSpark.sf).collect()
     assert(fix.nonEmpty && fix.forall(_.getString(4) == "complete"))
   }
+
+  test("an_fixed_sample: exactly the k smallest md5 draws per source, via the bounded aggregator") {
+    val sf = graft.TestSpark.sf
+    val got = Analytics.defs.find(_.name == "an_fixed_sample").get.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // independent JVM replay: k smallest 48-bit md5 draws per source
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(id: Long) = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 12), 16)
+    val docs = graft.Tables.documents(spark, sf).select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map(d => (d._2, h48(d._2))).sortBy(p => (p._2, p._1)).take(10)
+        .zipWithIndex.map { case ((id, h), i) => (src, id, h, i + 1) }
+    }.toSet
+    assert(got.toSet == expected, "engine sample must equal the JVM replay")
+    // every source contributes min(10, |stratum|) rows
+    val per = got.groupBy(_._1).view.mapValues(_.length).toMap
+    val sizes = docs.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(per.keySet == sizes.keySet)
+    per.foreach { case (src, n) => assert(n == math.min(10, sizes(src))) }
+  }
 }
