@@ -1040,6 +1040,62 @@ object TextStats {
            |       CAST(1098612 AS BIGINT) AS eps_micro
            |FROM nz ORDER BY source""".stripMargin
       }),
+
+    /** PACKING EFFICIENCY ACCOUNTING — what the tx_pack_sequences layout
+      * costs, per source: window count (ceil of token mass over the
+      * 256-token window), padding waste in the final window, fill
+      * permille, and the count of documents SPLIT across a window boundary
+      * (split docs are the packing quality metric — cross-document
+      * attention contamination unless the trainer masks across boundaries;
+      * contiguous packing trades splits for zero inter-doc padding).
+      *
+      * Distributed shape: the split flags ride the SAME per-source prefix
+      * sum tx_pack_sequences computes (the sharded two-level scan is the
+      * 100 TB form — tx_pack_sequences_sharded); everything else is pure
+      * arithmetic on the O(sources) rollup. */
+    QueryDef(
+      "tx_pack_efficiency",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("is_split",
+            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split_docs"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            expr("(total_tokens + 255) div 256").as("n_windows"),
+            expr("((total_tokens + 255) div 256) * 256 - total_tokens").as("waste_tokens"),
+            expr("(1000 * total_tokens) div (((total_tokens + 255) div 256) * 256)")
+              .as("fill_permille"),
+            col("n_split_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+             |       FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM t),
+             |g AS (SELECT source, COUNT(*) AS n_docs,
+             |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |        CAST(SUM(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
+             |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+             |      FROM c GROUP BY source)
+             |SELECT source, n_docs, total_tokens,
+             |       (total_tokens + 255) // 256 AS n_windows,
+             |       ((total_tokens + 255) // 256) * 256 - total_tokens AS waste_tokens,
+             |       (1000 * total_tokens) // (((total_tokens + 255) // 256) * 256)
+             |         AS fill_permille,
+             |       n_split_docs
+             |FROM g ORDER BY source""".stripMargin)),
   )
 
   /** Split thresholds over the 16 assignment bits: 5% val, 5% test

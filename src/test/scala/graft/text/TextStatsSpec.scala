@@ -587,4 +587,25 @@ class TextStatsSpec extends AnyFunSuite {
     // (P(all 20 draws are zero) = 2^-20)
     assert(rows.exists(_._3 != 0), "at least one count should be perturbed")
   }
+
+  test("tx_pack_efficiency: accounting restates the packing layout exactly") {
+    val sf = graft.TestSpark.sf
+    val eff = TextStats.defs.find(_.name == "tx_pack_efficiency").get.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(eff.nonEmpty)
+    // cross-check against the per-doc packing layout itself
+    val pack = TextStats.defs.find(_.name == "tx_pack_sequences").get.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getBoolean(6)))
+    val bySrc = pack.groupBy(_._1)
+    eff.foreach { case (src, nDocs, total, nWin, waste, fill, nSplit) =>
+      val docs = bySrc(src)
+      assert(nDocs == docs.length)
+      assert(total == docs.map(_._2).sum)
+      assert(nWin == docs.map(_._3).max + 1, s"$src: window count != max win_last + 1")
+      assert(waste == nWin * 256 - total && waste >= 0 && waste < 256)
+      assert(fill == 1000 * total / (nWin * 256))
+      assert(nSplit == docs.count(_._4), s"$src: split count mismatch")
+    }
+  }
 }
