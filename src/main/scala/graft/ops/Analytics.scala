@@ -1235,6 +1235,56 @@ object Analytics {
              |                         AS BIGINT) ASC, doc_id ASC) AS rank
              |  FROM documents)
              |WHERE rank <= 10 ORDER BY source, sample_rank""".stripMargin)),
+
+    /** A/B ASSIGNMENT + SAMPLE-RATIO-MISMATCH GATE — the experimentation-
+      * platform integrity check: users are deterministically bucketed
+      * 50/50 into arms by md5(user_id) (the an_hash_sample bucket bits, so
+      * assignment replays on any engine), then per event type the gate
+      * compares arm audiences against the declared split. A distinct-user
+      * imbalance beyond 3·⌊√n⌋ (≈3σ for a fair coin over n users) means
+      * the assignment or logging pipe is corrupted and every downstream
+      * metric read is invalid — the first dashboard any experiment review
+      * checks. IEEE sqrt of an integer below 2⁵³ is correctly rounded, so
+      * ⌊√n⌋ is engine-exact (the tx_mixture_sample discipline).
+      *
+      * Distributed shape: one (type, user) DISTINCT shuffle, conditional-
+      * sum pivot to arm counts (partial-aggregating), O(types) verdict
+      * arithmetic. */
+    QueryDef(
+      "an_experiment_srm",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("arm", expr(
+          "CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
+            "AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_users_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_users_b"))
+        .select(col("event_type"), col("n_users_a"), col("n_users_b"),
+          abs(col("n_users_a") - col("n_users_b")).as("dev"),
+          expr("3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT)")
+            .as("bound"),
+          expr("CASE WHEN abs(n_users_a - n_users_b) > " +
+            "3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT) " +
+            "THEN 'srm' ELSE 'ok' END").as("verdict"))
+        .orderBy("event_type"),
+      Some("""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+             |a AS (SELECT event_type,
+             |        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             |                       AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+             |      FROM ut),
+             |g AS (SELECT event_type,
+             |        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_users_a,
+             |        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_users_b
+             |      FROM a GROUP BY event_type)
+             |SELECT event_type, n_users_a, n_users_b,
+             |       abs(n_users_a - n_users_b) AS dev,
+             |       3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT)
+             |         AS bound,
+             |       CASE WHEN abs(n_users_a - n_users_b) >
+             |            3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT)
+             |            THEN 'srm' ELSE 'ok' END AS verdict
+             |FROM g ORDER BY event_type""".stripMargin)),
   )
 
   /** Phase 1 of the two-phase balanced rank: rank rows by (md5(doc_id),

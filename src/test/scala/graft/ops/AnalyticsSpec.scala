@@ -375,4 +375,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(per.keySet == sizes.keySet)
     per.foreach { case (src, n) => assert(n == math.min(10, sizes(src))) }
   }
+
+  test("an_experiment_srm: healthy md5 split passes; a planted corrupt pipe trips the gate") {
+    import spark.implicits._
+    val sf = graft.TestSpark.sf
+    val healthy = Analytics.defs.find(_.name == "an_experiment_srm").get.fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(healthy.nonEmpty)
+    healthy.foreach { case (t, na, nb, dev, bound, v) =>
+      assert(dev == math.abs(na - nb) && bound == 3 * math.sqrt((na + nb).toDouble).toLong)
+      assert(v == (if (dev > bound) "srm" else "ok"), s"$t: verdict must restate the bound")
+    }
+    assert(healthy.forall(_._6 == "ok"),
+      "a uniform md5 split over the fixture audience must not trip the gate")
+    // corrupt pipe: drop most arm-B users of one type (the classic logging
+    // bug where one variant's events are lost) -> dev far beyond 3*sqrt(n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long) = if (java.lang.Long.parseLong(
+      md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16) % 100 < 50) "A" else "B"
+    val aUsers = (1L to 4000L).filter(arm(_) == "A").take(60)
+    val bUsers = (1L to 4000L).filter(arm(_) == "B").take(3)
+    val dir = java.nio.file.Files.createTempDirectory("srm_events").toString
+    (aUsers ++ bUsers).zipWithIndex
+      .map { case (u, i) => (i.toLong, (i.toLong + 1) * 1000000000L, u, "click", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val tripped = Analytics.defs.find(_.name == "an_experiment_srm").get.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(5)))
+    assert(tripped.toSeq == Seq(("click", "srm")), s"60/3 split must trip: ${tripped.toSeq}")
+  }
 }
