@@ -496,6 +496,41 @@ object EventsStream extends Serializable {
     backfillFromCounts(spark.read.parquet(countsDir))
   }
 
+  /** Per-type watermark maxima — the streamable half of the freshness
+    * audit (graft.ops.Analytics an_watermark_lag): ONE complete-mode
+    * aggregation, O(types) state. */
+  def typeWatermarks(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(max(expr("ts div 1000000")).as("max_ms"))
+
+  /** Freshness scoring over the watermark table (type-sized): lag vs the
+    * table's own global max, 4h verdict — identical arithmetic to the
+    * batch query. */
+  def freshnessFromMax(m: DataFrame): DataFrame =
+    m.crossJoin(broadcast(m.agg(max(col("max_ms")).as("global_max_ms"))))
+      .select(col("event_type"), col("max_ms"),
+        expr("global_max_ms - max_ms").as("lag_ms"),
+        expr("CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh' " +
+          "ELSE 'stale' END").as("freshness"))
+      .orderBy("event_type")
+
+  /** The freshness audit as an incremental stream — the [[runDriftStream]]
+    * parquet round-trip (the scoring join reads the watermark table against
+    * an aggregate of itself). */
+  def runFreshnessStream(spark: SparkSession, eventsDir: String,
+      queryName: String = "freshness_stream"): DataFrame = {
+    val maxDir = java.nio.file.Files
+      .createTempDirectory(s"graft_$queryName").toString
+    val q = typeWatermarks(readEventsStream(spark, eventsDir)).writeStream
+      .outputMode("complete")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(maxDir); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    freshnessFromMax(spark.read.parquet(maxDir))
+  }
+
   /** GENERALIZED quasi-identifier cell: (event_type, hour-of-day). The
     * fine-grained audit (graft.ops.Analytics an_kanon_audit) flags under-k
     * cells at (type, hour, value-decade) grain; the serving-side remedy is

@@ -379,4 +379,30 @@ class EventsStreamSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(4)).toMap
     assert(closed(someType) == "complete", s"arrived day must close the plan: $closed")
   }
+
+  test("streaming freshness audit equals the batch query; a dead producer goes stale") {
+    import org.apache.spark.sql.functions._
+    val land = java.nio.file.Files.createTempDirectory("events_fresh").toString
+    graft.Tables.events(spark, sf)
+      .write.mode("overwrite").parquet(s"$land/arrivals")
+    val streamed = EventsStream.runFreshnessStream(
+      spark, s"$land/arrivals", "fresh_spec").collect().toSeq
+    val batch = graft.ops.Analytics.defs.find(_.name == "an_watermark_lag").get
+      .fn(spark, sf).collect().toSeq
+    assert(streamed == batch)
+    // dead producer: a new arrival file advances every type EXCEPT one by
+    // 12h (the advance must clear the fixture's own ~7h lag spread — the
+    // new global is set by the least-lagged advancing type); the silent
+    // type's verdict flips to stale on the next pass
+    val silent = "purchase"
+    graft.Tables.events(spark, sf)
+      .filter(col("event_type") =!= silent)
+      .withColumn("ts", col("ts") + expr("43200000000000L"))
+      .write.mode("append").parquet(s"$land/arrivals")
+    val later = EventsStream.runFreshnessStream(
+      spark, s"$land/arrivals", "fresh_spec2").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(later(silent) == "stale", s"silent type must go stale: $later")
+    assert(later.count(_._2 == "fresh") >= 1, "advancing types stay fresh")
+  }
 }
