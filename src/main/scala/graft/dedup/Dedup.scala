@@ -367,7 +367,7 @@ object Dedup {
     * thresholds (clean, cluster, matrix, manifest, eval, the ngram query
     * itself); in production it is built per corpus snapshot and probed,
     * not re-derived from the shingle stream per consumer. */
-  private def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame =
+  private[graft] def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame =
     graft.Artifacts.indexParquet(s, "jac_pairs", d, "documents")(
       jaccardPairsUncached(s, d))
       .filter(col("jaccard_permille") >= permille)

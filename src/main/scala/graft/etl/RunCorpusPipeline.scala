@@ -33,6 +33,13 @@ import graft.Sessions
   *   6. tokenizer  — BPE merges trained on the TRAIN split only (no val/
   *                   test leakage into the vocab), via the driver-heap
   *                   trainer at production depth.
+  *   7. release    — the audit gate: verify against the persisted pair
+  *                   graph that NO ≥0.5 near-dup pair survives with both
+  *                   endpoints released (so none can cross the train/eval
+  *                   split — dd_split_leakage's hazard), failing the run
+  *                   otherwise; then publish the per-source train-split
+  *                   data card under ε = ln 3 differential privacy
+  *                   (tx_dp_histogram's exact mechanism).
   *
   * Scale shape: stages 1-2 are the dedup family's capped/bucketed plans;
   * 3-5 are broadcast-attach + scan-parallel predicates + per-shard windows
@@ -127,6 +134,27 @@ object RunCorpusPipeline {
     merges.toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges.parquet")
 
+    // 7. release audit. (a) LEAKAGE GATE: stage 1 removed the doc_b side of
+    // every ≥0.5-Jaccard pair, so NO pair may survive with both endpoints
+    // in the released corpus — and in particular none can cross the
+    // train/eval split (dd_split_leakage's hazard). VERIFIED against the
+    // persisted pair graph, not assumed: a nonzero count fails the run
+    // before anything ships. Pair-sized joins only.
+    val ids = shards.select(col("doc_id"))
+    val survivingPairs = graft.dedup.Dedup.jaccardPairs(spark, sfDir, permille = 500)
+      .select(col("doc_a"), col("doc_b"))
+      .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .count()
+    require(survivingPairs == 0,
+      s"release gate: $survivingPairs near-dup pairs survive in the released corpus")
+    // (b) DP DATA CARD: per-source TRAIN counts released under ε = ln 3
+    // (tx_dp_histogram's exact mechanism via the shared transform) — the
+    // corpus composition a release can publish without leaking any single
+    // document's presence.
+    graft.text.TextStats.dpNoisyCounts(trainDocs, "source")
+      .repartition(1).write.mode("overwrite").parquet(s"$outDir/dp_datacard.parquet")
+
     val counts = StageCounts(nInput, nClean, nDecontamDropped, nSampled,
       splitCounts, nPacked, merges.length.toLong)
     val manifest =
@@ -135,7 +163,8 @@ object RunCorpusPipeline {
          |"n_sampled":${counts.nSampled},
          |"splits":${counts.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
-         |"n_packed":${counts.nPacked},"n_bpe_merges":${counts.nMerges}}"""
+         |"n_packed":${counts.nPacked},"n_bpe_merges":${counts.nMerges},
+         |"n_surviving_neardup_pairs":$survivingPairs,"dp_eps_micro":1098612}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, "manifest.json"),

@@ -73,6 +73,24 @@ object TextStats {
     }
   }
 
+  /** The [[defs tx_dp_histogram]] release as a frame transform: per value
+    * of `keyCol`, the raw count plus the ε = ln 3 discrete-Laplace noisy
+    * release (deterministic per release tag — see [[dpThresholds]]).
+    * Shared by the registered query and the pipeline's data-card stage so
+    * the two cannot disagree. */
+  def dpNoisyCounts(df: org.apache.spark.sql.DataFrame, keyCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tArr = dpThresholds.mkString("array(", "L, ", "L)")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_raw"))
+      .withColumn("u48",
+        expr(s"CAST(conv(substr(md5(concat('dp1:', $keyCol)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("noise", expr(s"size(filter($tArr, t -> u48 >= t)) - 20"))
+      .select(col(keyCol), col("n_raw"), col("noise"),
+        expr("greatest(n_raw + noise, 0L)").as("n_noisy"),
+        lit(1098612L).as("eps_micro"))
+      .orderBy(keyCol)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -1014,18 +1032,7 @@ object TextStats {
       * draw is a row-local projection over the O(sources) result. */
     QueryDef(
       "tx_dp_histogram",
-      (s, d) => {
-        val tArr = dpThresholds.mkString("array(", "L, ", "L)")
-        Tables.documents(s, d)
-          .groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
-          .withColumn("u48",
-            expr("CAST(conv(substr(md5(concat('dp1:', source)), 1, 12), 16, 10) AS BIGINT)"))
-          .withColumn("noise", expr(s"size(filter($tArr, t -> u48 >= t)) - 20"))
-          .select(col("source"), col("n_raw"), col("noise"),
-            expr("greatest(n_raw + noise, 0L)").as("n_noisy"),
-            lit(1098612L).as("eps_micro"))
-          .orderBy("source")
-      },
+      (s, d) => dpNoisyCounts(Tables.documents(s, d), "source"),
       Some {
         val tArr = dpThresholds.mkString("[", ", ", "]")
         s"""WITH c AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),

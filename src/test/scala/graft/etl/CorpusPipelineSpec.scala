@@ -86,4 +86,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
     assert(stored.toSeq == expected, "stored merges must replay from the train dictionary")
   }
+
+  test("release audit: gate recorded clean; DP data card replays the shared mechanism") {
+    counts
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
+    assert(manifest.contains(""""n_surviving_neardup_pairs":0"""),
+      s"gate count must be recorded zero: $manifest")
+    assert(manifest.contains(""""dp_eps_micro":1098612"""))
+    val card = spark.read.parquet(s"$out/dp_datacard.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(card.nonEmpty)
+    // the card must equal the shared transform over the released train split
+    val shards = spark.read.parquet(s"$out/shards.parquet")
+    val expected = graft.text.TextStats.dpNoisyCounts(
+        shards.filter(col("split") === "train"), "source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(card.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // raw counts never ride the card unperturbed by accident: noise = n_noisy - n_raw
+    card.foreach { case (src, raw, noise, noisy) =>
+      assert(noisy == math.max(raw + noise, 0L), s"$src: clamp arithmetic")
+    }
+  }
 }
