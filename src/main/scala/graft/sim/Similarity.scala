@@ -1359,5 +1359,39 @@ object Similarity {
       "sim_mips_ivf",
       (s, d) => mipsIvfSearch(s, d, K, NProbe),
       Some(duckMipsIvfSql(NProbe))),
+
+    /** EMBEDDING NORM AUDIT — per label: count and min/max/mean squared
+      * norm in exact integer micro-units (quantize each component to
+      * micro, square, sum — identical integer arithmetic in both engines;
+      * no sqrt, so no float rounding anywhere). The embedding-health
+      * monitor: collapsing norms = a dying encoder, exploding norms =
+      * training instability, and norm SPREAD is precisely what makes dot
+      * ranking diverge from cosine ranking (the sim_mips_* motivation) —
+      * a spread audit tells you whether the distinction matters for your
+      * corpus. One narrow scan + partial-aggregating O(labels) rollup. */
+    QueryDef(
+      "sim_norm_audit",
+      (s, d) => vecs(s, d)
+        .withColumn("norm2_micro", expr(
+          "aggregate(transform(v, x -> CAST(round(x * 1000000) AS BIGINT)), 0L, " +
+            "(a, y) -> a + y * y) div 1000000"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("norm2_micro")).as("min_norm2_micro"),
+          max(col("norm2_micro")).as("max_norm2_micro"),
+          expr("sum(norm2_micro) div count(1)").as("avg_norm2_micro"))
+        .orderBy("label"),
+      Some("""WITH n AS (SELECT label,
+             |         CAST(list_sum(list_transform(
+             |           list_transform(CAST(embedding AS DOUBLE[]),
+             |                          x -> CAST(round(x * 1000000) AS BIGINT)),
+             |           y -> y * y)) // 1000000 AS BIGINT) AS norm2_micro
+             |       FROM embeddings)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |       CAST(MIN(norm2_micro) AS BIGINT) AS min_norm2_micro,
+             |       CAST(MAX(norm2_micro) AS BIGINT) AS max_norm2_micro,
+             |       CAST(CAST(SUM(norm2_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+             |         AS avg_norm2_micro
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
   )
 }

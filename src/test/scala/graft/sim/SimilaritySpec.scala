@@ -349,4 +349,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= (brute.size * 6) / 10,
       s"recall@3 too low: $overlap of ${brute.size} brute results found")
   }
+
+  test("sim_norm_audit: micro-unit norms replay exactly in the JVM; bounds are consistent") {
+    val audit = run("sim_norm_audit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (l, n, mn, mx, avg) =>
+      assert(n > 0 && mn <= avg && avg <= mx, s"label $l: bound ordering")
+    }
+    // independent replay: same quantize-square-sum integer arithmetic
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val byLabel = vecs.groupBy(_._1).view.mapValues { vs =>
+      val norms = vs.map(_._2.map(x => { val q = math.round(x * 1e6); q * q }).sum / 1000000L)
+      (vs.length.toLong, norms.min, norms.max, norms.sum / norms.length)
+    }.toMap
+    audit.foreach { case (l, n, mn, mx, avg) =>
+      assert(byLabel(l) == ((n, mn, mx, avg)), s"label $l: JVM replay mismatch")
+    }
+  }
 }
