@@ -374,6 +374,19 @@ class AnalyticsSpec extends AnyFunSuite {
     val sizes = docs.groupBy(_._1).view.mapValues(_.length).toMap
     assert(per.keySet == sizes.keySet)
     per.foreach { case (src, n) => assert(n == math.min(10, sizes(src))) }
+    // sub-k stratum: a 3-doc source must deliver ALL 3 rows with dense
+    // ranks (every fixture stratum has >= 10 docs, so plant one)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fixed_sample_docs").toString
+    ((0 until 3).map(i => (i.toLong, "a b", "en", "tiny", 3L)) ++
+      (0 until 40).map(i => (100L + i, "a b", "en", "big", 3L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Analytics.defs.find(_.name == "an_fixed_sample").get.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(3)))
+    val byStr = planted.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byStr("tiny") == Seq(1, 2, 3), s"sub-k stratum delivers all rows: $byStr")
+    assert(byStr("big") == (1 to 10), s"full stratum caps at k: $byStr")
   }
 
   test("an_experiment_srm: healthy md5 split passes; a planted corrupt pipe trips the gate") {
