@@ -1103,6 +1103,54 @@ object TextStats {
              |         AS fill_permille,
              |       n_split_docs
              |FROM g ORDER BY source""".stripMargin)),
+
+    /** LENGTH-DISTRIBUTION DRIFT — per source, the total-variation distance
+      * of its token-length band mix (32-token bands, capped at band 7) from
+      * the corpus mix, with a 10% verdict: the document-quality analog of
+      * the event drift monitor (an_shard_drift's exact arithmetic). A
+      * source whose length profile walks away from the corpus is a changed
+      * scraper, a truncation bug, or injected boilerplate — caught by
+      * SHAPE, before any content screen fires. Full source×band grid via
+      * the broadcast cross join (absent bands must count as drift), exact
+      * integer micro shares. */
+    QueryDef(
+      "tx_length_drift",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(col("source"),
+            expr(s"least(CAST(size($toks) AS BIGINT) div 32, 7L)").as("band"))
+        val sh = b.groupBy(col("source"), col("band")).agg(count(lit(1)).as("cnt"))
+        val tot = sh.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+        val g = sh.groupBy(col("band")).agg(sum(col("cnt")).as("gcnt"))
+        val gt = g.agg(sum(col("gcnt")).as("gtot"))
+        tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
+          .join(sh, Seq("source", "band"), "left_outer")
+          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+          .withColumn("diff_micro",
+            abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_docs"), sum(col("diff_micro")).as("tv_micro"))
+          .withColumn("drift_ok", col("tv_micro") < 100000L)
+          .orderBy("source")
+      },
+      Some("""WITH b AS (SELECT source,
+             |         least(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) // 32,
+             |               7) AS band
+             |       FROM documents),
+             |sh AS (SELECT source, band, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM sh GROUP BY 1),
+             |g AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM sh GROUP BY 1),
+             |gt AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS gtot FROM g)
+             |SELECT t.source,
+             |       CAST(SUM(COALESCE(s.cnt, 0)) AS BIGINT) AS n_docs,
+             |       CAST(SUM(abs((1000000 * COALESCE(s.cnt, 0)) // t.tot
+             |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) AS tv_micro,
+             |       CAST(SUM(abs((1000000 * COALESCE(s.cnt, 0)) // t.tot
+             |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) < 100000
+             |         AS drift_ok
+             |FROM tot t CROSS JOIN g CROSS JOIN gt
+             |LEFT JOIN sh s ON s.source = t.source AND s.band = g.band
+             |GROUP BY t.source ORDER BY t.source""".stripMargin)),
   )
 
   /** Split thresholds over the 16 assignment bits: 5% val, 5% test

@@ -608,4 +608,31 @@ class TextStatsSpec extends AnyFunSuite {
       assert(nSplit == docs.count(_._4), s"$src: split count mismatch")
     }
   }
+
+  test("tx_length_drift: a planted truncated source is flagged; uniform sources are not") {
+    val s = spark; import s.implicits._
+    // 4 sources with the same length profile (bands 1 and 3), plus a SMALL
+    // source of 2-token stubs (band 0 only) — the truncation-bug
+    // signature. The stub source must stay small (4 of 164 docs) because
+    // the reference mix is corpus-wide: a large outlier would drag every
+    // healthy source's TV up with it (the monitor flags the outlier, but
+    // the healthy-source assertion needs the mix barely perturbed).
+    val dir = java.nio.file.Files.createTempDirectory("len_drift_docs").toString
+    val healthy = for (src <- Seq("a", "b", "c", "d"); i <- 0 until 40) yield
+      (src.hashCode.toLong * 1000 + i, (0 until (if (i % 2 == 0) 40 else 100))
+        .map(_ => "w").mkString(" "), "en", src, 5L)
+    val stubs = (0 until 4).map(i => (900000L + i, "w w", "en", "trunc", 5L))
+    (healthy ++ stubs).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextStats.defs.find(_.name == "tx_length_drift").get.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val bySrc = got.map(r => r._1 -> r).toMap
+    assert(got.length == 5)
+    assert(!bySrc("trunc")._4, s"truncated source must drift: ${bySrc("trunc")}")
+    Seq("a", "b", "c", "d").foreach { s0 =>
+      assert(bySrc(s0)._4, s"healthy source must not drift: ${bySrc(s0)}")
+    }
+    // verdict restates the threshold on the emitted score
+    got.foreach { case (_, _, tv, ok) => assert(ok == (tv < 100000L)) }
+  }
 }
