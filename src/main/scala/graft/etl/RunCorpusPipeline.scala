@@ -32,14 +32,17 @@ import graft.Sessions
   *                   split, so no eval token rides a train pack).
   *   6. tokenizer  — BPE merges trained on the TRAIN split only (no val/
   *                   test leakage into the vocab), via the driver-heap
-  *                   trainer at production depth.
+  *                   trainer at production depth, dictionary bounded by
+  *                   the [[BpeMinCount]] floor.
   *   7. release    — the audit gate: verify against the persisted pair
   *                   graph that NO ≥0.5 near-dup pair survives with both
   *                   endpoints released (so none can cross the train/eval
   *                   split — dd_split_leakage's hazard), failing the run
   *                   otherwise; then publish the per-source train-split
   *                   data card under ε = ln 3 differential privacy
-  *                   (tx_dp_histogram's exact mechanism).
+  *                   (tx_dp_histogram's exact mechanism, keyed on a SECRET
+  *                   per-release seed and projected to the public columns
+  *                   only — see [[run]]'s dpReleaseSeed contract).
   *
   * Scale shape: stages 1-2 are the dedup family's capped/bucketed plans;
   * 3-5 are broadcast-attach + scan-parallel predicates + per-shard windows
@@ -59,11 +62,26 @@ object RunCorpusPipeline {
     * purpose, so the pipeline exercises the production trainer path. */
   final val PipelineBpeRounds = 300
 
+  /** Min-count dictionary floor for the pipeline tokenizer (the
+    * wordFreqDict knob): words seen fewer times than this never enter the
+    * driver-heap trainer, bounding the one driver-side dictionary collect
+    * at web scale (see the exactness contract on TextStats.wordFreqDict —
+    * hapax noise can't win a merge unless counts are hapax-sized anyway). */
+  final val BpeMinCount = 2L
+
   final case class StageCounts(
       nInput: Long, nClean: Long, nDecontamDropped: Long, nSampled: Long,
       splits: Map[String, Long], nPacked: Long, nMerges: Long)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): StageCounts = {
+  /** @param dpReleaseSeed secret seed keying the data card's DP noise draw
+    *   — MUST be fresh per release and never published (a public or reused
+    *   seed voids the ε guarantee: noise becomes recomputable, and two
+    *   releases sharing a seed over overlapping data difference to exact
+    *   deltas). It is deliberately written to NO artifact here — not the
+    *   card, not the manifest. [[main]] draws one from SecureRandom;
+    *   specs pass a fixed value to replay the card. */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      dpReleaseSeed: String): StageCounts = {
     val docs = graft.Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
@@ -129,7 +147,7 @@ object RunCorpusPipeline {
     // see val/test text (the tokenizer-side analog of decontamination).
     val trainDocs = shards.filter(col("split") === "train")
     val merges = graft.text.TextStats.bpeMergesDriverHeap(
-      graft.text.TextStats.wordFreqDict(trainDocs), PipelineBpeRounds)
+      graft.text.TextStats.wordFreqDict(trainDocs, BpeMinCount), PipelineBpeRounds)
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges.parquet")
@@ -151,8 +169,14 @@ object RunCorpusPipeline {
     // (b) DP DATA CARD: per-source TRAIN counts released under ε = ln 3
     // (tx_dp_histogram's exact mechanism via the shared transform) — the
     // corpus composition a release can publish without leaking any single
-    // document's presence.
-    graft.text.TextStats.dpNoisyCounts(trainDocs, "source")
+    // document's presence. Two leak guards distinguish this from the
+    // registered mechanism-test query: the noise is keyed on the SECRET
+    // per-release seed (not the public harness tag — and not shared with
+    // any other release, so no cross-release differencing), and the card
+    // projects ONLY the public columns (n_raw/noise stay internal; a card
+    // carrying n_raw would ship the exact counts the noise exists to hide).
+    graft.text.TextStats.dpNoisyCounts(trainDocs, "source", dpReleaseSeed)
+      .select("source", graft.text.TextStats.DpPublicCols: _*)
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/dp_datacard.parquet")
 
     val counts = StageCounts(nInput, nClean, nDecontamDropped, nSampled,
@@ -179,9 +203,13 @@ object RunCorpusPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_corpus_out"
+    // Fresh secret seed per release run; printed nowhere, stored nowhere.
+    val seedBytes = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(seedBytes)
+    val dpReleaseSeed = seedBytes.map("%02x".format(_)).mkString + ":"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     try {
-      val c = run(spark, sfDir, outDir)
+      val c = run(spark, sfDir, outDir, dpReleaseSeed)
       println(s"[pipeline] input=${c.nInput} clean=${c.nClean} " +
         s"decontam_dropped=${c.nDecontamDropped} sampled=${c.nSampled} " +
         s"splits=${c.splits.toSeq.sortBy(_._1).mkString(",")} " +

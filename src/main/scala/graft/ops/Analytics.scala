@@ -1204,7 +1204,13 @@ object Analytics {
       * O(sources × k) rows where the window row_number formulation — the
       * oracle's formulation, deliberately an independent algorithm — sorts
       * every row of each stratum through the exchange. The 48-bit draw is
-      * exact in a Double (2⁴⁸ < 2⁵³), so score ordering is bit-faithful. */
+      * exact in a Double (2⁴⁸ < 2⁵³), so score ordering is bit-faithful.
+      * Tie-break on an h48 collision inside a stratum: the aggregator's
+      * total order is (score desc, id asc) — see graft.functions.TopK.lt —
+      * so equal draws resolve by doc_id ASC, exactly the oracle's
+      * `ORDER BY h48 ASC, doc_id ASC` (pinned by TopKSpec's equal-score
+      * case; the round-13 advisory flagged this as score-only, but the id
+      * leg of the comparator is the doc_id tie-break). */
     QueryDef(
       "an_fixed_sample",
       (s, d) => {

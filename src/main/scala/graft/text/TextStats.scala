@@ -73,23 +73,54 @@ object TextStats {
     }
   }
 
-  /** The [[defs tx_dp_histogram]] release as a frame transform: per value
-    * of `keyCol`, the raw count plus the ε = ln 3 discrete-Laplace noisy
-    * release (deterministic per release tag — see [[dpThresholds]]).
-    * Shared by the registered query and the pipeline's data-card stage so
-    * the two cannot disagree. */
-  def dpNoisyCounts(df: org.apache.spark.sql.DataFrame, keyCol: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** The fixed, PUBLIC seed tag the registered [[defs tx_dp_histogram]]
+    * query draws its noise from — harness-only. The DuckDB oracle must
+    * recompute the identical noise to hash-match, and that replayability is
+    * precisely the capability a real release must deny: under a public seed
+    * anyone recomputes noise = f(seed, key) and subtracts it, so the ε
+    * accounting is void. Production callers of [[dpNoisyCounts]] pass a
+    * SECRET seed instead (see the scaladoc there). */
+  private[graft] final val DpHarnessSeed = "dp1:"
+
+  /** The ε = ln 3 discrete-Laplace noisy release as a frame transform: per
+    * value of `keyCol`, the raw count plus noise drawn by inverse-CDF
+    * inversion of a 48-bit md5 uniform keyed on (seedTag, cell key) — see
+    * [[dpThresholds]]. Deterministic per seed: re-running the same release
+    * never re-randomizes (fresh noise per rerun would average away).
+    *
+    * THE SEED IS THE SECRET. The md5 keying makes noise a pure function of
+    * (seedTag, key), so the DP guarantee holds only while seedTag is
+    * unpublishable: a public seed lets anyone subtract the noise, and two
+    * releases sharing a seed over overlapping data difference to exact
+    * count deltas. Production rules: one fresh secret seed per release,
+    * never stored in any published artifact, never reused across releases.
+    * The registered query passes [[DpHarnessSeed]] (public, test-only) so
+    * the cross-engine oracle can replay the draw; [[graft.etl
+    * .RunCorpusPipeline]] draws a per-release secret and publishes only
+    * the noisy column. Shared by both so the mechanism cannot drift.
+    *
+    * The seed rides a bound literal (`lit`), not string-built SQL, so no
+    * seed value can alter the expression. Emits internal columns
+    * (`n_raw`, `noise`) for oracle/spec checks — a release must project
+    * [[DpPublicCols]] only. */
+  def dpNoisyCounts(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      seedTag: String = DpHarnessSeed): org.apache.spark.sql.DataFrame = {
     val tArr = dpThresholds.mkString("array(", "L, ", "L)")
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_raw"))
       .withColumn("u48",
-        expr(s"CAST(conv(substr(md5(concat('dp1:', $keyCol)), 1, 12), 16, 10) AS BIGINT)"))
+        conv(substring(md5(concat(lit(seedTag), col(keyCol))), 1, 12), 16, 10)
+          .cast("long"))
       .withColumn("noise", expr(s"size(filter($tArr, t -> u48 >= t)) - 20"))
       .select(col(keyCol), col("n_raw"), col("noise"),
         expr("greatest(n_raw + noise, 0L)").as("n_noisy"),
         lit(1098612L).as("eps_micro"))
       .orderBy(keyCol)
   }
+
+  /** The columns of a [[dpNoisyCounts]] result that a release may publish
+    * (plus the key column). `n_raw`/`noise`/`u48` exist for the internal
+    * oracle and spec checks only — shipping either voids the guarantee. */
+  final val DpPublicCols: Seq[String] = Seq("n_noisy", "eps_micro")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -1022,11 +1053,18 @@ object TextStats {
       * published under ε = ln 3 (sensitivity 1: one document moves one
       * count by one): each count gets DISCRETE two-sided geometric noise
       * drawn by exact inverse-CDF inversion over a 48-bit md5 uniform keyed
-      * on (release tag, source) — see [[dpThresholds]] for the exact
-      * rational thresholds both engines share. Deterministic per release
-      * tag (rerunning the release never re-randomizes — republishing with
+      * on (seed tag, source) — see [[dpThresholds]] for the exact
+      * rational thresholds both engines share. Deterministic per seed
+      * (rerunning the release never re-randomizes — republishing with
       * fresh noise would leak through averaging), negative counts clamp to
       * zero post-noise (standard, does not affect the DP guarantee).
+      *
+      * THIS REGISTERED FORM IS THE MECHANISM TEST, NOT A RELEASE: it draws
+      * from the fixed public [[DpHarnessSeed]] (so DuckDB can replay the
+      * noise bit-for-bit) and emits n_raw/noise alongside n_noisy (so the
+      * oracle checks the arithmetic). A real release does neither — it
+      * passes a secret per-release seed and projects [[DpPublicCols]];
+      * that path is exercised by RunCorpusPipeline's data card.
       *
       * Distributed shape: one partial-aggregating count shuffle; the noise
       * draw is a row-local projection over the O(sources) result. */
@@ -1037,7 +1075,7 @@ object TextStats {
         val tArr = dpThresholds.mkString("[", ", ", "]")
         s"""WITH c AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
            |u AS (SELECT source, n_raw,
-           |        CAST(('0x' || substr(md5('dp1:' || source), 1, 12)) AS BIGINT) AS u48
+           |        CAST(('0x' || substr(md5('$DpHarnessSeed' || source), 1, 12)) AS BIGINT) AS u48
            |      FROM c),
            |nz AS (SELECT source, n_raw,
            |         CAST(len(list_filter($tArr, t -> u48 >= t)) - 20 AS INTEGER) AS noise
@@ -1373,11 +1411,35 @@ object TextStats {
 
   /** The one distributed corpus pass feeding [[bpeMergesDriverHeap]]: the
     * word-frequency dictionary (same tokenizer + empty-token filter as the
-    * relational path, so both trainers pair identical symbols). */
-  private[graft] def wordFreqDict(docs: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+    * relational path, so both trainers pair identical symbols).
+    *
+    * `minCount` is the production BOUND on this collect — the one formerly
+    * unbounded driver-side collect in the library (VERDICT r13 #1). The
+    * in-code 100-TB note used to assume ~10⁶ distinct words, but real
+    * web-scale text has 10⁸⁺ (URLs, typos, numbers); every production BPE
+    * trainer prunes with a min-count floor before heap training, and the
+    * floor bounds the collect because distinct-words-with-freq ≥ F is at
+    * most total-tokens / F (a 100-TB corpus at F = 100 collects ≤ ~10⁸/100
+    * per 10¹⁰ tokens — dictionary-sized again).
+    *
+    * Exactness contract (spec-pinned in TextStatsSpec): the floor is an
+    * APPROXIMATION KNOB with a stated sufficient exactness condition. Let
+    * M = Σ_{pruned w} freq(w)·(len(w)−1) — the total adjacent-pair mass
+    * pruning removes; merging only shortens words, so M bounds every
+    * pruned pair count at EVERY round, not just round 1. Then (a) the
+    * merge SEQUENCE is unchanged whenever each round's selection margin
+    * (winner minus runner-up, floored counts) exceeds M, because the true
+    * count of any pair p lies in [c_floored(p), c_floored(p) + M]; and
+    * (b) if no pruned word contains any pair the trainer selects (rare
+    * words over a disjoint symbol range — the common web-noise case), the
+    * output is identical INCLUDING the n_pairs counts. Default 1 = no
+    * pruning (the oracle-replayable exact path). */
+  private[graft] def wordFreqDict(docs: org.apache.spark.sql.DataFrame,
+      minCount: Long = 1L): Seq[(String, Long)] =
     docs.select(explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= lit(minCount))
       .orderBy(col("word"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 

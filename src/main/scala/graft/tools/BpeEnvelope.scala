@@ -30,6 +30,11 @@ object BpeEnvelope {
         nTasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
       }
     })
+    // WARM-UP (VERDICT r13 #4): one discarded single-round run bills
+    // first-touch cost — parquet footer reads, codegen compiles, shuffle
+    // service spin-up — to setup instead of octile 1, so the flatness
+    // ratio compares steady-state rounds against steady-state rounds.
+    graft.text.TextStats.bpeMergesUncached(graft.Tables.documents(s, d), 1)
     val times = Array.fill(rounds)(-1.0)
     var (j0, t0) = (0L, 0L)
     val merges = graft.text.TextStats.bpeMergesUncached(
@@ -52,11 +57,20 @@ object BpeEnvelope {
     val localMerges = graft.text.TextStats.bpeMergesDriverHeap(dict, rounds)
     val localSec = (System.nanoTime() - lt0) / 1e9
     val equal = localMerges == merges
+    // Dictionary-collect accounting (VERDICT r13 #1): how big is the one
+    // driver-side collect, and what does the production minCount floor buy?
+    // Bytes are the approximate collected payload (UTF-8 word + 8-byte
+    // count + ~8 bytes of row overhead per entry).
+    def dictBytes(ws: Seq[(String, Long)]): Long =
+      ws.map(_._1.getBytes("UTF-8").length.toLong + 16L).sum
+    val dictF2 = graft.text.TextStats.wordFreqDict(graft.Tables.documents(s, d), 2L)
     val timesJson = ok.map(t => f"$t%.3f").mkString("[", ",", "]")
     val octJson = octile.map(t => f"$t%.3f").mkString("[", ",", "]")
     println(s"""GRAFT_BPE_ENVELOPE {"sf":"$d","rounds":${ok.length},"merges":${merges.length},""" +
       f""""total":${ok.sum}%.2f,"octile_means":$octJson,"flatness_last_over_first":$flat%.2f,""" +
       f""""driver_heap_total":$localSec%.3f,"driver_heap_equal":$equal,""" +
+      s""""dict_words":${dict.length},"dict_bytes":${dictBytes(dict)},""" +
+      s""""dict_words_minCount2":${dictF2.length},"dict_bytes_minCount2":${dictBytes(dictF2)},""" +
       s""""times":$timesJson}""")
     s.stop()
   }

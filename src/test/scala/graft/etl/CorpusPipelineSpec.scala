@@ -13,7 +13,10 @@ import graft.TestSpark
 class CorpusPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   lazy val out = java.nio.file.Files.createTempDirectory("corpus_pipe").toString
-  lazy val counts = RunCorpusPipeline.run(spark, TestSpark.sf, out)
+  // Fixed stand-in for the per-release SECRET seed (main draws one from
+  // SecureRandom) so the spec can replay the data card deterministically.
+  val specSeed = "spec-release-seed:"
+  lazy val counts = RunCorpusPipeline.run(spark, TestSpark.sf, out, specSeed)
 
   test("stage counts chain and the manifest restates them") {
     val c = counts
@@ -78,7 +81,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     counts
     val shards = spark.read.parquet(s"$out/shards.parquet")
     val trainDict = graft.text.TextStats.wordFreqDict(
-      shards.filter(col("split") === "train"))
+      shards.filter(col("split") === "train"), RunCorpusPipeline.BpeMinCount)
     val expected = graft.text.TextStats.bpeMergesDriverHeap(
       trainDict, RunCorpusPipeline.PipelineBpeRounds)
     val stored = spark.read.parquet(s"$out/bpe_merges.parquet")
@@ -94,18 +97,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(manifest.contains(""""n_surviving_neardup_pairs":0"""),
       s"gate count must be recorded zero: $manifest")
     assert(manifest.contains(""""dp_eps_micro":1098612"""))
-    val card = spark.read.parquet(s"$out/dp_datacard.parquet")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val cardDf = spark.read.parquet(s"$out/dp_datacard.parquet")
+    // PUBLIC COLUMNS ONLY: n_raw/noise/u48 on the card would ship the exact
+    // counts the noise exists to hide (the round-13 advisory).
+    assert(cardDf.columns.toSeq == "source" +: graft.text.TextStats.DpPublicCols,
+      s"card must carry only public columns, got ${cardDf.columns.toSeq}")
+    val card = cardDf.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(card.nonEmpty)
-    // the card must equal the shared transform over the released train split
+    // the card must equal the shared transform (under the release seed) over
+    // the released train split, projected to the public columns
     val shards = spark.read.parquet(s"$out/shards.parquet")
-    val expected = graft.text.TextStats.dpNoisyCounts(
-        shards.filter(col("split") === "train"), "source")
+    val train = shards.filter(col("split") === "train")
+    val internal = graft.text.TextStats.dpNoisyCounts(train, "source", specSeed)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
-    assert(card.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
-    // raw counts never ride the card unperturbed by accident: noise = n_noisy - n_raw
-    card.foreach { case (src, raw, noise, noisy) =>
+    assert(card.sortBy(_._1).toSeq ==
+      internal.sortBy(_._1).map(t => (t._1, t._4, 1098612L)).toSeq)
+    // clamp arithmetic holds on the internal view
+    internal.foreach { case (src, raw, noise, noisy) =>
       assert(noisy == math.max(raw + noise, 0L), s"$src: clamp arithmetic")
     }
+    // THE SEED KEYS THE DRAW: under the public harness tag the noise vector
+    // must differ — the card's draw is not the one tx_dp_histogram (or any
+    // other release) published, so no cross-release differencing.
+    val harness = graft.text.TextStats.dpNoisyCounts(train, "source")
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(internal.map(t => (t._1, t._3)).toSeq != harness.toSeq,
+      "release-seed noise must differ from the harness-tag noise")
   }
 }

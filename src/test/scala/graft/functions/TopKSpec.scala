@@ -19,6 +19,9 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("buffer keeps at most k entries, ordered by (score desc, id asc)") {
+    // The equal-score rows here are the an_fixed_sample collision contract:
+    // an h48 collision inside a stratum (score = -h48) resolves by id ASC,
+    // matching the oracle's ORDER BY h48 ASC, doc_id ASC (r13 advisory).
     val agg = TopK.topK(3)
     val b = Seq(Scored(1, 0.5), Scored(2, 0.9), Scored(3, 0.5), Scored(4, 0.1),
       Scored(5, 0.9)).foldLeft(agg.zero)(agg.reduce)

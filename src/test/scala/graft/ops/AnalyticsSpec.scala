@@ -86,14 +86,11 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
-  test("an_attribution: every purchase attributed, sessions restate an_sessionize, one shuffle") {
+  test("an_attribution: every purchase attributed, sessions restate an_sessionize") {
     val sf = TestSpark.sf
     val df = Analytics.defs.find(_.name == "an_attribution").get.fn(spark, sf)
-    // ONE user_id hash exchange feeds all three windows; the only other
-    // exchange is the presentation sort's rangepartitioning
-    val plan = df.queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
-      "the per-session windows must reuse the user_id partitioning")
+    // plan half of the claim (one user_id hash exchange feeds all three
+    // windows) is pinned in graft.PlanShapeSpec with the other tripwires
     val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
     val nPurch = graft.Tables.events(spark, sf)

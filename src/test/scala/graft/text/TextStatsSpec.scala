@@ -389,6 +389,47 @@ class TextStatsSpec extends AnyFunSuite {
     assert(deep.length > shallow.length)
   }
 
+  test("wordFreqDict minCount floor: bounds the collect; merges exact per the stated contract") {
+    val s = spark; import s.implicits._
+    // (a) a floor at/below the fixture's minimum frequency prunes nothing
+    // and is byte-identical to the unfloored dictionary
+    val fixture = graft.Tables.documents(spark, TestSpark.sf)
+    val full = TextStats.wordFreqDict(fixture)
+    val minFreq = full.map(_._2).min
+    assert(TextStats.wordFreqDict(fixture, minFreq) == full)
+    // (b) a corpus where the floor ACTUALLY prunes: frequent words over
+    // {a,b,c,d}, hapax noise over a DISJOINT symbol range (uppercase — the
+    // URLs/typos/numbers of real web text), each noise word a UNIQUE
+    // 2-symbol pair so no pruned pair accumulates a competitive count.
+    // Pruned words then contain no pair any merge round can select, so
+    // contract clause (b) applies: floored training must equal unfloored
+    // training EXACTLY, including the n_pairs counts, while the dictionary
+    // (= the driver collect) shrinks by the full noise vocabulary.
+    val frequent = Seq.fill(50)("abab cdcd")
+    val noise = (0 until 40).map(i => s"${('A' + i / 10).toChar}${('A' + i % 10).toChar}")
+    val docs = (frequent ++ noise).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dictFull = TextStats.wordFreqDict(docs)
+    val dictFloored = TextStats.wordFreqDict(docs, 2L)
+    assert(dictFloored.length == 2, s"floor must keep only abab/cdcd: $dictFloored")
+    assert(dictFull.length == dictFloored.length + 40, "the 40 hapax words must prune")
+    // 4 rounds exhausts the kept words ((a,b), (c,d), (ab,ab), (cd,cd)) —
+    // past that the unfloored trainer would start merging noise pairs the
+    // floored one no longer has, which is exactly the approximation the
+    // knob documents (hapax merges are vocabulary noise by construction)
+    val R = 4
+    assert(TextStats.bpeMergesDriverHeap(dictFloored, R) ==
+      TextStats.bpeMergesDriverHeap(dictFull, R),
+      "disjoint-symbol pruning must not change merges or counts")
+    // (c) the pruned-mass bound of the contract: M = Σ_pruned freq·(len−1)
+    // = 40 here, and every pruned pair's true count (1) is ≤ M — the
+    // quantity clause (a)'s margin condition compares against.
+    val m = dictFull.filterNot(dictFloored.contains)
+      .map { case (w, f) => f * (w.length - 1) }.sum
+    assert(m == 40L)
+  }
+
   test("bpe merge table is a persisted content-keyed artifact, probed instead of retrained") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
