@@ -30,11 +30,13 @@ object BpeEnvelope {
         nTasks.addAndGet(j.stageInfos.map(_.numTasks.toLong).sum)
       }
     })
-    // WARM-UP (VERDICT r13 #4): one discarded single-round run bills
-    // first-touch cost — parquet footer reads, codegen compiles, shuffle
-    // service spin-up — to setup instead of octile 1, so the flatness
-    // ratio compares steady-state rounds against steady-state rounds.
-    graft.text.TextStats.bpeMergesUncached(graft.Tables.documents(s, d), 1)
+    // WARM-UP (VERDICT r13 #4): one discarded 8-round run bills first-touch
+    // cost — parquet footer reads, codegen compiles, driver JIT, shuffle
+    // spin-up — to setup instead of octile 1, so the flatness ratio
+    // compares steady-state rounds against steady-state rounds. 8 rounds
+    // (one octile) because the C2 JIT of the per-round driver path keeps
+    // warming over the first few iterations, not just the first.
+    graft.text.TextStats.bpeMergesUncached(graft.Tables.documents(s, d), 8)
     val times = Array.fill(rounds)(-1.0)
     var (j0, t0) = (0L, 0L)
     val merges = graft.text.TextStats.bpeMergesUncached(
