@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -130,6 +130,28 @@ object Dedup {
     cappedElementPairs(buckets, cap)
       .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
 
+  /** The FULL postings→pairs skeleton (VERDICT r13 #7): invert a postings
+    * frame by `keys` into sorted per-bucket element lists, drop hot buckets
+    * over [[MaxBucket]], expand per-bucket element pairs — the shape every
+    * bucketed candidate generator repeats (shingle/minhash/simhash/winnow/
+    * frame buckets here, pHash bands in graft.mm, hyperplane-LSH codes in
+    * graft.sim, fuzzy-join blocks in graft.ops). `elem` may be a scalar id
+    * or a struct carrying a payload (codes/vectors ride the bucket rows so
+    * the verify step needs no join back); result is `p.x` / `p.y` of the
+    * element type. One audited home for the build+cap+expand sequence —
+    * [[cappedElementPairs]] stays the expansion-only tail for the one
+    * caller that must reuse the bucket frame itself ([[jaccardPairsUncached]]
+    * derives per-doc counts from the same bucket exchange). */
+  def bucketedPairs(postings: DataFrame, elem: Column, keys: Column*): DataFrame =
+    cappedElementPairs(
+      postings.groupBy(keys: _*).agg(sort_array(collect_list(elem)).as("ds")))
+
+  /** [[bucketedPairs]] for plain doc_id elements: (doc_a, doc_b) with
+    * doc_a < doc_b (the sorted-bucket order). */
+  private[graft] def bucketedIdPairs(postings: DataFrame, keys: Column*): DataFrame =
+    bucketedPairs(postings, col("doc_id"), keys: _*)
+      .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
+
   /** Per-doc 64-component MinHash signature (columns mh0..mh63).
     *
     * Kirsch-Mitzenmacher family: hash_i(s) = (h1 + i*h2m) mod P derived
@@ -176,9 +198,7 @@ object Dedup {
       expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
     }
     val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-    val buckets = bands.groupBy(col("bk"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    bucketPairs(buckets).distinct()
+    bucketedIdPairs(bands, col("bk")).distinct()
   }
 
   /** Per-doc 32-bit SimHash: for each bit j, majority vote of distinct-token
@@ -238,11 +258,9 @@ object Dedup {
       val bandKeys = (0 until SimBands).map(b =>
         struct(lit(b).as("bi"),
           expr(s"shiftright(simhash, ${b * SimBandBits}) & $SimBandMask").as("bv")))
-      val buckets = sh
+      val bands = sh
         .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
-        .groupBy(col("bk"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      cappedElementPairs(buckets)
+      bucketedPairs(bands, struct(col("doc_id"), col("simhash")), col("bk"))
         .select(col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
           expr("CAST(bit_count(p.x.simhash ^ p.y.simhash) AS INTEGER)").as("hamming"))
         .filter(col("hamming") <= 10)
@@ -529,10 +547,9 @@ object Dedup {
     QueryDef(
       "dd_winnow_pairs",
       (s, d) => {
-        val buckets = graft.text.TextStats.winnowedFpRows(s, d)
+        val postings = graft.text.TextStats.winnowedFpRows(s, d)
           .select(col("doc_id"), col("fp"))
-          .groupBy(col("fp")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        bucketPairs(buckets)
+        bucketedIdPairs(postings, col("fp"))
           .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
           .orderBy("doc_a", "doc_b")
@@ -1309,10 +1326,9 @@ object Dedup {
             val cols = (0 until r).map(j => s"mh${bi * r + j}")
             expr(s"md5(concat_ws('|', $bi, ${cols.mkString(", ")}))")
           }
-          val buckets = sig
-            .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
-            .groupBy(col("bk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          val cands = bucketPairs(buckets).distinct()
+          val cands = bucketedIdPairs(
+            sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk")),
+            col("bk")).distinct()
           cands.agg(count(lit(1)).as("n_cands"))
             .crossJoin(cands.join(jac, Seq("doc_a", "doc_b"), "left_semi")
               .agg(count(lit(1)).as("n_true_cands")))

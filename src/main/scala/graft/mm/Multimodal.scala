@@ -210,9 +210,8 @@ object Multimodal {
         val bands = ph.select(col("doc_id"), col("phash"),
           explode(expr("transform(sequence(0, 3), b -> " +
             "concat_ws(':', b, shiftright(phash, b * 15) & 32767))")).as("bk"))
-        val buckets = bands.groupBy(col("bk"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("phash")))).as("ds"))
-        graft.dedup.Dedup.cappedElementPairs(buckets)
+        graft.dedup.Dedup
+          .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
           .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
             col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
           .distinct()
@@ -286,9 +285,7 @@ object Multimodal {
               .as("fh"))
           .distinct()
         val n = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
-        val buckets = fr.groupBy(col("fh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        graft.dedup.Dedup.bucketPairs(buckets)
+        graft.dedup.Dedup.bucketedIdPairs(fr, col("fh"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)

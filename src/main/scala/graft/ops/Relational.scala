@@ -32,18 +32,17 @@ object Relational {
     * it with a planted hot block. Input: (p_partkey, p_name, p_brand,
     * p_size). Output: deduped (part_a, part_b, na, nb) candidates from the
     * union of the (brand, size) and (name-prefix-12, size) passes, each
-    * capped per-block by [[graft.dedup.Dedup.cappedElementPairs]]. */
+    * capped per-block by [[graft.dedup.Dedup.bucketedPairs]]. */
   def fuzzyMultiblockPairs(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def pairs(buckets: org.apache.spark.sql.DataFrame) =
-      graft.dedup.Dedup.cappedElementPairs(buckets)
-        .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
-          col("p.x.p_name").as("na"), col("p.y.p_name").as("nb"))
+    def named(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
+        col("p.x.p_name").as("na"), col("p.y.p_name").as("nb"))
     val doc = struct(col("p_partkey"), col("p_name"))
-    val byKey = p.groupBy(col("p_brand"), col("p_size"))
-      .agg(sort_array(collect_list(doc)).as("ds"))
-    val byPrefixSize = p.groupBy(substring(col("p_name"), 1, 12).as("pfx"), col("p_size"))
-      .agg(sort_array(collect_list(doc)).as("ds"))
-    pairs(byKey).union(pairs(byPrefixSize)).distinct()
+    val byKey = graft.dedup.Dedup
+      .bucketedPairs(p, doc, col("p_brand"), col("p_size"))
+    val byPrefixSize = graft.dedup.Dedup
+      .bucketedPairs(p, doc, substring(col("p_name"), 1, 12).as("pfx"), col("p_size"))
+    named(byKey).union(named(byPrefixSize)).distinct()
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -319,9 +318,9 @@ object Relational {
       (s, d) => {
         val p = Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
-        val buckets = p.groupBy(col("p_brand"), col("p_size"))
-          .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ds"))
-        graft.dedup.Dedup.cappedElementPairs(buckets)
+        graft.dedup.Dedup
+          .bucketedPairs(p, struct(col("p_partkey"), col("p_name")),
+            col("p_brand"), col("p_size"))
           .select(col("p.x.p_partkey").as("part_a"), col("p.y.p_partkey").as("part_b"),
             levenshtein(col("p.x.p_name"), col("p.y.p_name")).as("edit_dist"))
           .filter(col("edit_dist") <= 10)

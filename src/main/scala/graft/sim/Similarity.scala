@@ -680,13 +680,12 @@ object Similarity {
       "sim_rp_pairs",
       (s, d) => {
         val e = vecs(s, d).select(col("vec_id"), col("v"))
-        val buckets = e
+        val postings = e
           .select(col("vec_id"), col("v"), posexplode(
             expr("rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT)))"))
             .as(Seq("bi", "bv")))
-          .groupBy(col("bi"), col("bv"))
-          .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("ds"))
-        graft.dedup.Dedup.cappedElementPairs(buckets)
+        graft.dedup.Dedup
+          .bucketedPairs(postings, struct(col("vec_id"), col("v")), col("bi"), col("bv"))
           .select(col("p.x.vec_id").as("vec_a"), col("p.y.vec_id").as("vec_b"),
             expr("round(cosine_sim(p.x.v, p.y.v), 6)").as("cos6"))
           .filter(col("cos6") >= 0.35)
