@@ -89,6 +89,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"sort-merge join crept in:\n$p")
   }
 
+  test("bucketedPairs family: pair expansion is explode-from-buckets, never a self-join") {
+    // the consolidated skeleton (Dedup.bucketedPairs) expands pairs from
+    // collected bucket lists — a refactor that reintroduces the sk=sk
+    // self-join form would put a sort-merge or cartesian here
+    Seq("dd_minhash_lsh", "dd_winnow_pairs", "jn_fuzzy_name", "sim_rp_pairs",
+        "mm_video_dedup", "dd_simhash_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: sort-merge join crept in:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product crept in:\n$p")
+    }
+  }
+
   test("tx_pack_sequences: the packing window partitions by source, never globally") {
     val p = plan("tx_pack_sequences")
     assert(p.contains("Window"), s"packing is a per-source prefix sum window:\n$p")
