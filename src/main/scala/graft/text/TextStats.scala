@@ -1288,6 +1288,10 @@ object TextStats {
         // Path choice by depth (spec-pinned equal): the relational loop
         // for shallow oracle-replayable training, the driver heap once
         // per-round job submission would dominate (production vocabs).
+        // This registered path trains EXACT (no dictionary floor) so the
+        // artifact replays on any engine; a web-scale caller bounds the
+        // collect with wordFreqDict's minCount knob, as the corpus
+        // pipeline's tokenizer stage does (RunCorpusPipeline.BpeMinCount).
         val trained =
           if (rounds > DriverHeapCrossover)
             bpeMergesDriverHeap(wordFreqDict(Tables.documents(s, d)), rounds)
