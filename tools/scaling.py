@@ -252,6 +252,22 @@ def main() -> None:
         lines.append("All five flatten at the extra decade — the steep "
                      "0.01→0.1 factors were fixed-cost amortization, not a "
                      "compounding exponent.")
+    lines += [
+        "",
+        "BUILD factors in these tables compare warm-pass times from",
+        "DIFFERENT session warmth: build@0.1 comes from the full-suite",
+        "bench (the warm pass reaches a query with ~90 earlier queries'",
+        "JIT state) while build@1x10 comes from the 11-query decade run",
+        "(much colder session), so a >2x build factor here is largely the",
+        "warmth differential, not data scaling. Confirmed round 14 by",
+        "fresh-JVM-per-run decomposition (graft.tools.WarmupProbe): a",
+        "fresh session's FIRST run costs ~5s at BOTH scales (json_extract",
+        "5.19s @sf0.1 vs 7.32s @1x10 = 1.4x; tx_mask_spans 5.48s vs 6.39s",
+        "= 1.2x — both in line with their serve factors), and a plain",
+        "column prescan absorbs only ~2s of it, so the bulk is",
+        "size-independent JIT/codegen/classload ramp — on a production",
+        "cluster, one ramp per executor lifetime, not per query.",
+    ]
 
     # ---- BPE merge-round cost envelope --------------------------------------
     env_out = subprocess.run(
@@ -271,6 +287,11 @@ def main() -> None:
         "FastBPE driver-heap shape (documented in TextStats.bpeMergesUncached)",
         "is a job-submission-latency threshold, not a data-volume one.",
         "",
+        "An untimed 8-round warm-up run precedes the measurement (round-13",
+        "verdict #4: octile 1 used to read 0.73 s/round vs ~0.3 steady —",
+        "first-touch parquet/codegen/JIT cost billed into the curve's head;",
+        "warmed, the head spike is gone).",
+        "",
     ]
     if m:
         env = json.loads(m.group(1))
@@ -284,9 +305,11 @@ def main() -> None:
             f"Total {env['total']:.1f}s / {env['rounds']} rounds "
             f"({env['total'] / max(env['rounds'], 1):.2f}s per round); "
             f"last-octile / first-octile = {env['flatness_last_over_first']:.2f}x. "
-            "A ratio near 1x = flat per-round cost (O(rounds) total); "
-            "materially above 1x would mean per-round cost grows with the "
-            "accumulated merge table and the loop compounds.",
+            "The failure mode this envelope guards against is a ratio "
+            "materially ABOVE 1x (per-round cost growing with the "
+            "accumulated merge table = a compounding loop); a mild decline "
+            "is HotSpot still tiering the per-round driver path toward the "
+            "~0.2s job-submission constant, not growth.",
             "",
             f"Driver-heap trainer (TextStats.bpeMergesDriverHeap — the "
             f"FastBPE-shape production path, one distributed dictionary pass "
@@ -298,6 +321,23 @@ def main() -> None:
             "rounds = TextStats.DriverHeapCrossover (256), where a 32k-merge "
             "production vocab goes from ~hours of job submission to seconds.",
         ]
+        if "dict_words" in env:
+            lines += [
+                "",
+                f"Dictionary-collect accounting (round-13 verdict #1 — the "
+                f"driver-heap trainer's one collect): {env['dict_words']} "
+                f"distinct words / {env['dict_bytes']} bytes collected at this "
+                f"fixture scale; with the minCount=2 floor "
+                f"{env['dict_words_minCount2']} words / "
+                f"{env['dict_bytes_minCount2']} bytes "
+                "(the synthetic corpus has no hapax words, so the floor prunes "
+                "nothing HERE — it is the production bound, not a fixture "
+                "optimization: distinct-words-with-freq>=F <= total-tokens/F, "
+                "so a web-scale corpus' 10^8+ hapax vocabulary never reaches "
+                "the driver). Exactness contract + spec: "
+                "TextStats.wordFreqDict scaladoc and TextStatsSpec "
+                "\"wordFreqDict minCount floor\".",
+            ]
     else:
         lines.append("BpeEnvelope run FAILED — no GRAFT_BPE_ENVELOPE line "
                      "(rerun `sbt -batch 'runMain graft.tools.BpeEnvelope'`).")
