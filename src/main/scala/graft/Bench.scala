@@ -68,6 +68,23 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
 
+  /** JIT total compilation time in ms (cumulative, HotSpot). */
+  private def jitMillis: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else -1L
+  }
+
+  /** Process CPU time in nanos (-1 if the platform bean is unavailable). */
+  private def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** OS 1-minute load average (-1 if unavailable). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   /** HotSpot code-cache occupancy in MB (used/max). When `used` approaches
     * `max` the JIT stops compiling and generated code runs INTERPRETED — the
     * mechanism behind BENCH_r05's sim_rp_pairs 5x in-suite tax. Logged per
@@ -135,6 +152,20 @@ object Bench {
     val samples = mutable.LinkedHashMap(
       queryList.map { case (name, _) => name -> mutable.ArrayBuffer.empty[Double] }: _*)
     val codeCacheByRound = mutable.ArrayBuffer.empty[Double]
+    // Environment telemetry over the TIMED window (VERDICT r14 #1): a real
+    // plan regression and a uniformly-loaded machine both show as "+15% on
+    // everything" in per-query seconds; they separate on these counters.
+    //  - cpu_wall: process CPU-time / wall. External load steals cores →
+    //    the suite does the SAME cpu work over MORE wall → ratio drops vs
+    //    a clean run. A plan regression adds cpu AND wall → ratio holds.
+    //  - load1_before/after: OS 1-min loadavg. > ~cpus means co-tenants.
+    //  - gc_s, jit_s: deltas over the timed window. A GC/JIT-driven drift
+    //    shows here without touching any query's plan.
+    val envWall0 = System.nanoTime()
+    val envCpu0 = processCpuNanos
+    val envGc0 = gcMillis
+    val envJit0 = jitMillis
+    val envLoad0 = loadAvg
     for (round <- 1 to runs) {
       val w0 = System.nanoTime(); val g0 = gcMillis
       val order = new scala.util.Random(round.toLong).shuffle(queryList)
@@ -156,9 +187,26 @@ object Bench {
       System.err.println(f"[bench] round $round/$runs wall=${(System.nanoTime() - w0) / 1e9}%.1fs " +
         f"gc=${(gcMillis - g0) / 1000.0}%.1fs codecache=$ccUsed%.0f/$ccMax%.0fMB")
     }
+    val envWallS = (System.nanoTime() - envWall0) / 1e9
+    val envCpuS = if (envCpu0 < 0) -1.0 else (processCpuNanos - envCpu0) / 1e9
+    val envJson = {
+      val cpuWall = if (envCpuS < 0 || envWallS <= 0) -1.0 else envCpuS / envWallS
+      f""""env":{"wall_s":$envWallS%.1f,"cpu_s":$envCpuS%.1f,"cpu_wall":$cpuWall%.2f,""" +
+        f""""gc_s":${(gcMillis - envGc0) / 1000.0}%.1f,"jit_s":${(jitMillis - envJit0) / 1000.0}%.1f,""" +
+        f""""load1_before":$envLoad0%.2f,"load1_after":$loadAvg%.2f,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+    }
     val results = samples.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    // p50-of-rounds beside the min: a per-query median that drifts while the
+    // min holds = intermittent noise; both drifting together = systematic.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n == 0) -1.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val p50s = samples.map { case (name, ts) =>
+      name -> median(ts.filter(_ >= 0).toSeq)
     }
     // Noise signature: a query whose rounds disagree >3x (above the cost
     // floor) was hit by external load — the min is still honest, but log it.
@@ -178,8 +226,9 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // A regressed-to-throwing query must not read as an improved total:
     // surface an explicit failure count and a nonzero exit code.
+    val totalP50 = p50s.values.filter(_ >= 0).sum
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"total_p50":${f"$totalP50%.3f"},$envJson,"sf":"$sfDir","queries":$qs}"""
     println(jsonLine)
     // The driver's log capture truncates long tails (BENCH_r04 lost the total
     // and 25 per-query entries); the file copy is the durable artifact. It
@@ -193,8 +242,10 @@ object Bench {
       val ccJson = codeCacheByRound.map(c => f"$c%.1f").mkString("[", ",", "]")
       val warmJson = warmup.map { case (k, t) => "\"" + k + "\":" + f"$t%.3f" }
         .mkString("{", ",", "}")
+      val p50Json = p50s.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
       val fileLine = jsonLine.dropRight(1) +
-        s""","samples":$samplesJson,"warmup":$warmJson,"code_cache_mb":$ccJson}"""
+        s""","p50":$p50Json,"samples":$samplesJson,"warmup":$warmJson,"code_cache_mb":$ccJson}"""
       val out = java.nio.file.Paths.get("target/bench_last.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (fileLine + "\n").getBytes("UTF-8"))
@@ -211,7 +262,7 @@ object Bench {
     // in the long line + target/bench_last.json.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"n":${results.size},"sf":"$sfDir","slowest":$slowest}""")
+    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"n":${results.size},"total_p50":${f"$totalP50%.3f"},$envJson,"sf":"$sfDir","slowest":$slowest}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -38,7 +38,10 @@ object BpeEnvelope {
     // warming over the first few iterations, not just the first.
     graft.text.TextStats.bpeMergesUncached(graft.Tables.documents(s, d), 8)
     val times = Array.fill(rounds)(-1.0)
-    var (j0, t0) = (0L, 0L)
+    // Snapshot AFTER the warm-up: starting at (0, 0) billed all warm-up
+    // jobs/tasks to round 1's stderr delta, misleading when diagnosing a
+    // non-flat curve.
+    var (j0, t0) = (nJobs.get, nTasks.get)
     val merges = graft.text.TextStats.bpeMergesUncached(
       graft.Tables.documents(s, d), rounds,
       (r, t) => {

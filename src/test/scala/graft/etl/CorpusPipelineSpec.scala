@@ -119,7 +119,8 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // THE SEED KEYS THE DRAW: under the public harness tag the noise vector
     // must differ — the card's draw is not the one tx_dp_histogram (or any
     // other release) published, so no cross-release differencing.
-    val harness = graft.text.TextStats.dpNoisyCounts(train, "source")
+    val harness = graft.text.TextStats.dpNoisyCounts(train, "source",
+      seedTag = graft.text.TextStats.DpHarnessSeed)
       .collect().map(r => (r.getString(0), r.getInt(2)))
     assert(internal.map(t => (t._1, t._3)).toSeq != harness.toSeq,
       "release-seed noise must differ from the harness-tag noise")
