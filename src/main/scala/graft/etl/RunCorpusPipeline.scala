@@ -79,9 +79,23 @@ object RunCorpusPipeline {
     *   releases sharing a seed over overlapping data difference to exact
     *   deltas). It is deliberately written to NO artifact here — not the
     *   card, not the manifest. [[main]] draws one from SecureRandom;
-    *   specs pass a fixed value to replay the card. */
+    *   specs pass a fixed value to replay the card.
+    * @param onStage called with (stage name, wall seconds) as each stage's
+    *   terminal action completes — the composed-pipeline scale probe
+    *   (tools/scaling.py's end-to-end decade section) reads per-stage
+    *   cost through it; the default no-op keeps every other caller
+    *   unchanged. Timing is by wall segment between stage boundaries, so
+    *   a stage's figure includes the lazy upstream work its OWN actions
+    *   force (stage 1's count is billed to stage 1, etc.). */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-      dpReleaseSeed: String): StageCounts = {
+      dpReleaseSeed: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): StageCounts = {
+    var tMark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime()
+      onStage(name, (now - tMark) / 1e9)
+      tMark = now
+    }
     val docs = graft.Tables.documents(spark, sfDir)
     val nInput = docs.count()
 
@@ -112,6 +126,7 @@ object RunCorpusPipeline {
     val nDecontamDropped = nClean - cleanBack.count() -
       clean.filter(col("source") === EvalSource).count()
     clean.unpersist()
+    stageDone("clean_decontam")
 
     // 3. mixture sample over the decontaminated corpus.
     val rates = graft.text.TextStats.mixtureRates(cleanBack)
@@ -125,6 +140,7 @@ object RunCorpusPipeline {
     val nSampled = shards.count()
     val splitCounts = shards.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    stageDone("sample_split")
 
     // 5. pack coordinates per (split, source) — tx_pack_sequences' shape;
     // window partitions = (split, source) shards, never a global cumsum.
@@ -142,6 +158,7 @@ object RunCorpusPipeline {
     packed.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/packed.parquet")
     val nPacked = spark.read.parquet(s"$outDir/packed.parquet").count()
+    stageDone("pack")
 
     // 6. tokenizer trained on the TRAIN split only — the vocab must not
     // see val/test text (the tokenizer-side analog of decontamination).
@@ -151,6 +168,7 @@ object RunCorpusPipeline {
     import spark.implicits._
     merges.toDF("merge_rank", "lhs", "rhs", "merged", "n_pairs")
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/bpe_merges.parquet")
+    stageDone("bpe_train")
 
     // 7. release audit. (a) LEAKAGE GATE: stage 1 removed the doc_b side of
     // every ≥0.5-Jaccard pair, so NO pair may survive with both endpoints
@@ -178,6 +196,7 @@ object RunCorpusPipeline {
     graft.text.TextStats.dpNoisyCounts(trainDocs, "source", dpReleaseSeed)
       .select("source", graft.text.TextStats.DpPublicCols: _*)
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/dp_datacard.parquet")
+    stageDone("release_audit")
 
     val counts = StageCounts(nInput, nClean, nDecontamDropped, nSampled,
       splitCounts, nPacked, merges.length.toLong)
@@ -209,11 +228,26 @@ object RunCorpusPipeline {
     val dpReleaseSeed = seedBytes.map("%02x".format(_)).mkString + ":"
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     try {
-      val c = run(spark, sfDir, outDir, dpReleaseSeed)
+      val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val c = run(spark, sfDir, outDir, dpReleaseSeed,
+        onStage = (name, sec) => stageSecs(name) = sec)
       println(s"[pipeline] input=${c.nInput} clean=${c.nClean} " +
         s"decontam_dropped=${c.nDecontamDropped} sampled=${c.nSampled} " +
         s"splits=${c.splits.toSeq.sortBy(_._1).mkString(",")} " +
         s"packed=${c.nPacked} bpe_merges=${c.nMerges} -> $outDir")
+      // One parseable line for the composed-pipeline scale probe
+      // (tools/scaling.py): per-stage wall seconds + the manifest counts,
+      // so the end-to-end decade section reads stage factors AND count
+      // conservation from one record. Timings are NOT in manifest.json —
+      // that artifact stays a deterministic function of the corpus.
+      val stagesJson = stageSecs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val splitsJson = c.splits.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""GRAFT_PIPELINE {"sf":"$sfDir","stages":$stagesJson,""" +
+        s""""n_input":${c.nInput},"n_clean":${c.nClean},""" +
+        s""""n_decontam_dropped":${c.nDecontamDropped},"n_sampled":${c.nSampled},""" +
+        s""""splits":$splitsJson,"n_packed":${c.nPacked},"n_bpe_merges":${c.nMerges}}""")
     } finally spark.stop()
   }
 }

@@ -42,8 +42,10 @@ PATTERNS = {
         r"duckdb\.org|docs\.oracle\.com|scala-lang\.org|arxiv\.org|"
         r"en\.wikipedia\.org|localhost|127\.0\.0\.1))[\w.-]+"),
     # non-public JVM package roots referenced outside import lines
+    # (com.sun.management is the JDK's own exported management API —
+    # OperatingSystemMXBean for process-CPU telemetry — not a vendor pkg)
     "internal-pkg2": re.compile(
-        r"\b(?:com|net|io)\.(?!fasterxml)[a-z][\w]*\.[a-z][\w]*\.[A-Za-z]"),
+        r"\b(?:com|net|io)\.(?!fasterxml|sun\.management)[a-z][\w]*\.[a-z][\w]*\.[A-Za-z]"),
     # cloud buckets other than the reference's own public one or the
     # clearly-fake placeholders the config specs use
     "internal-bucket": re.compile(

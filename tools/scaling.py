@@ -124,6 +124,41 @@ def bench_extra_decade() -> dict:
     return run_bench(SF1X_DIR, "sf0.1x10 (extra decade)", pattern)
 
 
+def run_pipeline(sf_dir: str, out_dir: str, label: str) -> dict | None:
+    """Run the composed corpus pipeline (clean -> decontaminate -> sample ->
+    split -> pack -> BPE -> release audit) and return its GRAFT_PIPELINE
+    record: per-stage wall seconds + manifest counts. The persisted-index
+    store is purged first so stage 1 pays its own pair-graph build at each
+    scale point (the composed pipeline is a BUILD path, unlike the bench's
+    warmed serving measurement)."""
+    print(f"[scaling] corpus pipeline {label} ...", flush=True)
+    purge_artifacts()
+    out = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.etl.RunCorpusPipeline {sf_dir} {out_dir}"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32"})
+    m = re.search(r"GRAFT_PIPELINE (\{.*\})", out.stdout)
+    if not m:
+        print(f"[scaling] pipeline {label} FAILED:\n{out.stdout[-1500:]}",
+              flush=True)
+        return None
+    return json.loads(m.group(1))
+
+
+def run_warmup_probe(sf_dir: str, query: str, prescan: str) -> dict | None:
+    """Fresh-JVM warm-up decomposition for one query (graft.tools
+    .WarmupProbe): prescan run1/run2 split input first-touch from JIT ramp,
+    query run1/run2/run3 show the warmed floor."""
+    out = subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.tools.WarmupProbe {sf_dir} {query} {prescan}"],
+        capture_output=True, text=True,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32"})
+    m = re.search(r"GRAFT_WARMUP_PROBE (\{.*\})", out.stdout)
+    return json.loads(m.group(1)) if m else None
+
+
 def main() -> None:
     runs = {sf: bench(sf) for sf in SFS}
     qs = sorted(runs["0.1"]["queries"])
@@ -267,6 +302,129 @@ def main() -> None:
         "column prescan absorbs only ~2s of it, so the bulk is",
         "size-independent JIT/codegen/classload ramp — on a production",
         "cluster, one ramp per executor lifetime, not per query.",
+    ]
+
+    # ---- composed corpus pipeline at the extra decade ----------------------
+    pipe01 = run_pipeline("/root/testdata/sf0.1", "/tmp/graft_pipe_01",
+                          "sf0.1")
+    pipe1x = run_pipeline(SF1X_DIR, "/tmp/graft_pipe_1x", "sf0.1x10")
+    lines += [
+        "",
+        "## Corpus pipeline end-to-end at the extra decade (round-14 verdict #2)",
+        "",
+        "RunCorpusPipeline (clean -> decontaminate -> mixture-sample -> split",
+        "-> pack -> train-split BPE at 300 merges -> release audit + DP card)",
+        "run as ONE composed job at sf0.1 and on the 10x disjoint-replica",
+        "corpus, artifact store purged first — so stage 1 pays the pair-graph",
+        "BUILD at each point and the factors below are end-to-end build cost,",
+        "the regime a fresh 100 TB corpus run pays once. Stage seconds are",
+        "wall segments between stage boundaries (each stage's figure includes",
+        "the lazy upstream work its own actions force).",
+        "",
+    ]
+    if pipe01 and pipe1x:
+        stages = list(pipe01["stages"])
+        lines += [
+            "| stage | sec@0.1 | sec@1x10 | factor |",
+            "|---|---|---|---|",
+        ]
+        tot01 = tot1x = 0.0
+        for st in stages:
+            a, b = pipe01["stages"][st], pipe1x["stages"].get(st, float("nan"))
+            tot01 += a
+            tot1x += b
+            lines.append(f"| {st} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+        lines.append(f"| **total** | {tot01:.2f} | {tot1x:.2f} | "
+                     f"{tot1x / tot01:.1f}x |")
+        counts = ["n_input", "n_clean", "n_decontam_dropped", "n_sampled",
+                  "n_packed"]
+        ratios = ", ".join(
+            f"{c} {pipe01[c]}->{pipe1x[c]} ({pipe1x[c] / max(pipe01[c], 1):.1f}x)"
+            for c in counts)
+        lines += [
+            "",
+            "Manifest count conservation across the decade (replicas are",
+            "content-disjoint, so every corpus-derived count should grow ~10x;",
+            f"BPE merge count is depth-pinned at {pipe01['n_bpe_merges']}): "
+            + ratios
+            + f"; n_bpe_merges {pipe01['n_bpe_merges']}->{pipe1x['n_bpe_merges']}.",
+            "",
+            "Reading the factors: a stage near 10x scales linearly with the",
+            "corpus; well UNDER 10x is fixed-cost amortization (the pipeline's",
+            "job-submission / write-commit constants); well over 20x would be",
+            "a compounding stage — the per-query sections above bound each",
+            "stage's constituent operators, this table bounds their",
+            "composition (checkpoint writes + action interleaving included).",
+        ]
+    else:
+        lines.append("Pipeline run FAILED at one or both scale points — "
+                     "rerun `sbt 'runMain graft.etl.RunCorpusPipeline <dir> <out>'`.")
+
+    # ---- st_pii_gate warm-up decomposition (round-14 verdict #3) -----------
+    pii01 = run_warmup_probe("/root/testdata/sf0.01", "st_pii_gate",
+                             "documents:text")
+    pii1 = run_warmup_probe("/root/testdata/sf0.1", "st_pii_gate",
+                            "documents:text")
+    lines += [
+        "",
+        "## st_pii_gate warm-up decomposition (round-14 verdict #3)",
+        "",
+        "The one remaining >2x cell in the main table (0.01->0.1 factor,",
+        "annotated `floor`), decomposed with the same fresh-JVM-per-run",
+        "WarmupProbe discipline that settled json_extract/tx_mask_spans:",
+        "one JVM per scale point, a documents:text prescan to absorb input",
+        "first-touch, then the query three times — run3 is the warmed floor.",
+        "",
+    ]
+    if pii01 and pii1:
+        lines += [
+            "| scale | prescan1 | prescan2 | run1 | run2 | run3 |",
+            "|---|---|---|---|---|---|",
+            "| sf0.01 | " + " | ".join(
+                f"{pii01[k]:.2f}" for k in
+                ["prescan1", "prescan2", "run1", "run2", "run3"]) + " |",
+            "| sf0.1 | " + " | ".join(
+                f"{pii1[k]:.2f}" for k in
+                ["prescan1", "prescan2", "run1", "run2", "run3"]) + " |",
+            "",
+            f"Warmed factor (min of run2/run3 at sf0.1 over sf0.01): "
+            f"{min(pii1['run2'], pii1['run3']) / min(pii01['run2'], pii01['run3']):.1f}x"
+            " over a 10x corpus — the suite-bench 2.1x cell is the",
+            "fixed-cost floor plus session-state noise, not a super-linear",
+            "expression path (the gate is a narrow scan + regex counts with",
+            "one O(sources) aggregation).",
+        ]
+    else:
+        lines.append("WarmupProbe run FAILED — rerun "
+                     "`sbt 'runMain graft.tools.WarmupProbe <dir> st_pii_gate documents:text'`.")
+
+    # ---- suite-tail isolated cost (round-14 verdict #4) --------------------
+    tail = run_bench("/root/testdata/sf0.1", "tail isolated",
+                     "^(an_sql_revenue|an_percentile)$")
+    lines += [
+        "",
+        "## Suite-tail isolated cost (round-14 verdict #4)",
+        "",
+        "The two slowest suite queries, re-benched ALONE at sf0.1 (same",
+        "3-round min methodology, 2-query suite) next to their full-suite",
+        "numbers from this same regeneration — recorded so future audits can",
+        "subtract session effects (code-cache pressure, neighbor GC debt)",
+        "from the plan's own cost without re-deriving it:",
+        "",
+        "| query | suite min | isolated min | suite/isolated |",
+        "|---|---|---|---|",
+    ]
+    for q in ["an_percentile", "an_sql_revenue"]:
+        s = runs["0.1"]["queries"].get(q, -1.0)
+        i = tail["queries"].get(q, -1.0)
+        lines.append(f"| {q} | {s:.2f} | {i:.2f} | {s / i:.1f}x |"
+                     if s > 0 and i > 0 else f"| {q} | {s:.2f} | {i:.2f} | n/a |")
+    lines += [
+        "",
+        "Both plans are audited clean (PLANS.md: broadcast joins + pushed",
+        "filters, two-exchange aggregations); a suite/isolated ratio near 1x",
+        "says the suite number IS the plan cost, materially above 1x says",
+        "the suite tail is session-state tax, not query work.",
     ]
 
     # ---- BPE merge-round cost envelope --------------------------------------
