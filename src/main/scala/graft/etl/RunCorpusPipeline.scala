@@ -50,7 +50,8 @@ import graft.Sessions
   * work. Every stage writes parquet, so a 100 TB run can resume at any
   * stage boundary.
   *
-  * Usage: `sbt "runMain graft.etl.RunCorpusPipeline <sfDir> <outDir>"` */
+  * Usage: `sbt "runMain graft.etl.RunCorpusPipeline <sfDir> <outDir>
+  * [decontamMinShingles]"` */
 object RunCorpusPipeline {
 
   /** Drop a doc when it shares at least this many distinct 3-token
@@ -86,10 +87,21 @@ object RunCorpusPipeline {
     *   cost through it; the default no-op keeps every other caller
     *   unchanged. Timing is by wall segment between stage boundaries, so
     *   a stage's figure includes the lazy upstream work its OWN actions
-    *   force (stage 1's count is billed to stage 1, etc.). */
+    *   force (stage 1's count is billed to stage 1, etc.).
+    * @param decontamMinShingles decontamination drop threshold (default
+    *   [[DecontamMinShingles]] — the dd_decontaminate oracle convention).
+    *   A corpus whose shingle density differs from the eval source's
+    *   tunes this; the scale probe raises it because on the SYNTHETIC
+    *   fixture at sf0.1 threshold 2 marks 99.5% of docs contaminated
+    *   (the generator's small vocabulary makes 3-token shingles collide
+    *   corpus-wide), leaving nothing for the downstream stages to
+    *   measure. An all-contaminated corpus is still a legal run: every
+    *   stage handles empty input and the release is empty with a
+    *   zero-count manifest (spec-pinned), not a crash. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       dpReleaseSeed: String,
-      onStage: (String, Double) => Unit = (_, _) => ()): StageCounts = {
+      onStage: (String, Double) => Unit = (_, _) => (),
+      decontamMinShingles: Int = DecontamMinShingles): StageCounts = {
     var tMark = System.nanoTime()
     def stageDone(name: String): Unit = {
       val now = System.nanoTime()
@@ -116,12 +128,12 @@ object RunCorpusPipeline {
       .select(col("sng")).distinct()
     val contaminated = sh.join(broadcast(evalDict), "sng")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= DecontamMinShingles)
+      .filter(col("n_shared") >= decontamMinShingles)
       .select(col("doc_id"))
     val decontam = clean.filter(col("source") =!= EvalSource)
       .join(contaminated, Seq("doc_id"), "left_anti")
     decontam.write.mode("overwrite").parquet(s"$outDir/clean.parquet")
-    val cleanBack = spark.read.parquet(s"$outDir/clean.parquet")
+    val cleanBack = spark.read.schema(decontam.schema).parquet(s"$outDir/clean.parquet")
     val nClean = clean.count()
     val nDecontamDropped = nClean - cleanBack.count() -
       clean.filter(col("source") === EvalSource).count()
@@ -136,7 +148,7 @@ object RunCorpusPipeline {
     val splitDocs = graft.text.TextStats.withSplit(sampled).drop("h16")
     splitDocs.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/shards.parquet")
-    val shards = spark.read.parquet(s"$outDir/shards.parquet")
+    val shards = spark.read.schema(splitDocs.schema).parquet(s"$outDir/shards.parquet")
     val nSampled = shards.count()
     val splitCounts = shards.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -157,7 +169,7 @@ object RunCorpusPipeline {
         expr("(cum - n_tokens) % 256").as("offset_in_win"))
     packed.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/packed.parquet")
-    val nPacked = spark.read.parquet(s"$outDir/packed.parquet").count()
+    val nPacked = spark.read.schema(packed.schema).parquet(s"$outDir/packed.parquet").count()
     stageDone("pack")
 
     // 6. tokenizer trained on the TRAIN split only — the vocab must not
@@ -222,6 +234,12 @@ object RunCorpusPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_corpus_out"
+    // Optional 3rd arg: decontamination threshold override (see run()'s
+    // decontamMinShingles scaladoc — the scale probe raises it on the
+    // shingle-dense synthetic fixture; the default is the oracle
+    // convention).
+    val minShingles =
+      if (args.length > 2) args(2).toInt else DecontamMinShingles
     // Fresh secret seed per release run; printed nowhere, stored nowhere.
     val seedBytes = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(seedBytes)
@@ -230,7 +248,8 @@ object RunCorpusPipeline {
     try {
       val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val c = run(spark, sfDir, outDir, dpReleaseSeed,
-        onStage = (name, sec) => stageSecs(name) = sec)
+        onStage = (name, sec) => stageSecs(name) = sec,
+        decontamMinShingles = minShingles)
       println(s"[pipeline] input=${c.nInput} clean=${c.nClean} " +
         s"decontam_dropped=${c.nDecontamDropped} sampled=${c.nSampled} " +
         s"splits=${c.splits.toSeq.sortBy(_._1).mkString(",")} " +
@@ -244,7 +263,7 @@ object RunCorpusPipeline {
         .mkString("{", ",", "}")
       val splitsJson = c.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""GRAFT_PIPELINE {"sf":"$sfDir","stages":$stagesJson,""" +
+      println(s"""GRAFT_PIPELINE {"sf":"$sfDir","min_shingles":$minShingles,"stages":$stagesJson,""" +
         s""""n_input":${c.nInput},"n_clean":${c.nClean},""" +
         s""""n_decontam_dropped":${c.nDecontamDropped},"n_sampled":${c.nSampled},""" +
         s""""splits":$splitsJson,"n_packed":${c.nPacked},"n_bpe_merges":${c.nMerges}}""")

@@ -77,6 +77,34 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(chained.count() == 0, "packing must tile each shard contiguously")
   }
 
+  test("all-contaminated corpus yields an empty release, not a crash") {
+    // Found by the round-15 scale probe: at sf0.1 the oracle-default
+    // decontamination threshold marks ~99.5% of the synthetic fixture
+    // contaminated, and the then-empty partitioned shards write had no
+    // schema to read back (UNABLE_TO_INFER_SCHEMA). The read-backs now
+    // carry explicit schemas, so the degenerate-but-legal outcome is an
+    // empty release with a zero-count manifest. Fixture: every doc is the
+    // SAME quality-passing text, and the min doc_id is an eval-source doc
+    // — the exact-dup keeper keeps only that doc, the eval-source
+    // exclusion then empties the corpus by construction.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus_empty_in").toString
+    val text = "quick brown foxes jump over lazy dogs beside seven silver rivers"
+    (0L to 9L).map(i => (i, text, "en",
+        if (i == 0L) RunCorpusPipeline.EvalSource else "src1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val outE = java.nio.file.Files.createTempDirectory("corpus_empty_out").toString
+    val c = RunCorpusPipeline.run(spark, dir, outE, specSeed)
+    assert(c.nInput == 10 && c.nClean == 1)
+    assert(c.nSampled == 0 && c.nPacked == 0 && c.nMerges == 0 &&
+      c.splits.isEmpty, s"release must be empty: $c")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(outE, "manifest.json")), "UTF-8")
+    assert(manifest.contains(""""n_sampled":0""") &&
+      manifest.contains(""""n_surviving_neardup_pairs":0"""), manifest)
+  }
+
   test("tokenizer vocab is trained on the train split only") {
     counts
     val shards = spark.read.parquet(s"$out/shards.parquet")

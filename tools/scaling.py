@@ -124,6 +124,19 @@ def bench_extra_decade() -> dict:
     return run_bench(SF1X_DIR, "sf0.1x10 (extra decade)", pattern)
 
 
+# Decontamination threshold for the pipeline scale probe. The registered
+# default (2, the dd_decontaminate oracle convention) marks 99.5% of sf0.1
+# docs contaminated on the SYNTHETIC fixture (measured round 15: 4725/4750
+# non-eval docs share >=2 3-token shingles with src0 — the generator's small
+# vocabulary makes shingles collide corpus-wide; the per-doc shared-shingle
+# distribution is p50=19/p90=34/max=94), which correctly yields an EMPTY
+# release (that path is spec-pinned) but leaves the downstream stages with
+# nothing to measure. 20 drops ~50% at sf0.1 — and, because the 10x replicas
+# are content-disjoint, the same ~50% per replica at the extra decade — so
+# every stage carries 10x-growing mass and the factors are meaningful.
+PIPELINE_MIN_SHINGLES = 20
+
+
 def run_pipeline(sf_dir: str, out_dir: str, label: str) -> dict | None:
     """Run the composed corpus pipeline (clean -> decontaminate -> sample ->
     split -> pack -> BPE -> release audit) and return its GRAFT_PIPELINE
@@ -135,7 +148,8 @@ def run_pipeline(sf_dir: str, out_dir: str, label: str) -> dict | None:
     purge_artifacts()
     out = subprocess.run(
         ["sbt", "-batch",
-         f"runMain graft.etl.RunCorpusPipeline {sf_dir} {out_dir}"],
+         f"runMain graft.etl.RunCorpusPipeline {sf_dir} {out_dir} "
+         f"{PIPELINE_MIN_SHINGLES}"],
         capture_output=True, text=True,
         env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "32"})
     m = re.search(r"GRAFT_PIPELINE (\{.*\})", out.stdout)
@@ -319,7 +333,12 @@ def main() -> None:
         "BUILD at each point and the factors below are end-to-end build cost,",
         "the regime a fresh 100 TB corpus run pays once. Stage seconds are",
         "wall segments between stage boundaries (each stage's figure includes",
-        "the lazy upstream work its own actions force).",
+        "the lazy upstream work its own actions force). Probe runs use",
+        f"decontamMinShingles={PIPELINE_MIN_SHINGLES} (see the constant's",
+        "comment in tools/scaling.py: the oracle-default threshold 2 marks",
+        "99.5% of this synthetic fixture contaminated at sf0.1, correctly",
+        "producing an EMPTY release — spec-pinned — with nothing downstream",
+        "to measure).",
         "",
     ]
     if pipe01 and pipe1x:
@@ -345,8 +364,9 @@ def main() -> None:
             "",
             "Manifest count conservation across the decade (replicas are",
             "content-disjoint, so every corpus-derived count should grow ~10x;",
-            f"BPE merge count is depth-pinned at {pipe01['n_bpe_merges']}): "
-            + ratios
+            "BPE merge count is bounded by PipelineBpeRounds=300 and by",
+            "dictionary exhaustion — vocabulary-shaped, not",
+            "corpus-size-proportional): " + ratios
             + f"; n_bpe_merges {pipe01['n_bpe_merges']}->{pipe1x['n_bpe_merges']}.",
             "",
             "Reading the factors: a stage near 10x scales linearly with the",
