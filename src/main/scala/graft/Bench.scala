@@ -85,6 +85,29 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Fixed-work single-thread CPU canary: 4×10⁸ xorshift steps, wall
+    * seconds. Pure per-core speed — no allocation, no Spark, no IO — so
+    * its value moves ONLY when the machine generation does. Divides out
+    * platform drift across rounds: suite-total / canary is comparable
+    * between machines where raw totals are not (round 15: totals jumped
+    * 61.5→~70 s between rounds 13 and 14 on UNTOUCHED query code with an
+    * idle machine both sides — adjudicable only as "probably platform"
+    * because no fixed-work reference existed; this closes that gap). */
+  private def cpuCanarySec: Double = {
+    val t0 = System.nanoTime()
+    var x = 88172645463325252L
+    var acc = 0L
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    // fold acc into stderr-invisible state so the loop cannot be elided
+    if (acc == 42L) System.err.print("")
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** HotSpot code-cache occupancy in MB (used/max). When `used` approaches
     * `max` the JIT stops compiling and generated code runs INTERPRETED — the
     * mechanism behind BENCH_r05's sim_rp_pairs 5x in-suite tax. Logged per
@@ -166,6 +189,9 @@ object Bench {
     val envGc0 = gcMillis
     val envJit0 = jitMillis
     val envLoad0 = loadAvg
+    // Canary runs twice, min taken: the first pass may be interpreted
+    // (C2 compiles the loop within ~100ms; the second pass is steady).
+    val canary = math.min(cpuCanarySec, cpuCanarySec)
     for (round <- 1 to runs) {
       val w0 = System.nanoTime(); val g0 = gcMillis
       val order = new scala.util.Random(round.toLong).shuffle(queryList)
@@ -193,6 +219,7 @@ object Bench {
       val cpuWall = if (envCpuS < 0 || envWallS <= 0) -1.0 else envCpuS / envWallS
       f""""env":{"wall_s":$envWallS%.1f,"cpu_s":$envCpuS%.1f,"cpu_wall":$cpuWall%.2f,""" +
         f""""gc_s":${(gcMillis - envGc0) / 1000.0}%.1f,"jit_s":${(jitMillis - envJit0) / 1000.0}%.1f,""" +
+        f""""canary_s":$canary%.2f,""" +
         f""""load1_before":$envLoad0%.2f,"load1_after":$loadAvg%.2f,"cpus":${Runtime.getRuntime.availableProcessors}}"""
     }
     val results = samples.map { case (name, ts) =>

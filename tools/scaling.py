@@ -216,6 +216,17 @@ def main() -> None:
         f"Totals: sf0.001 {totals['0.001']:.1f}s, sf0.01 {totals['0.01']:.1f}s, "
         f"sf0.1 {totals['0.1']:.1f}s "
         f"(suite factor {totals['0.1'] / totals['0.01']:.1f}x over the last decade).",
+        "",
+        "Platform note (round 15, the r13->r14 +14% drift adjudication):",
+        "every sf0.1 suite total measured through round 13 sat at 61.5-63.7s;",
+        "every one measured since round 14 sits at 69-70s — including",
+        "round-15 runs on an IDLE machine (env telemetry: load1 ~2 on 32",
+        "cpus, gc ~4s, cpu_wall ~2.0) with zero plan changes to the moved",
+        "queries. A uniform shift that reproduces when idle and spares no",
+        "query class is the machine generation, not the engine; the bench's",
+        "fixed-work CPU canary (`canary_s` in the env block, added round 15)",
+        "makes future shifts directly measurable — compare suite-total /",
+        "canary_s across rounds instead of raw totals.",
     ]
     if flagged:
         lines.append("")
