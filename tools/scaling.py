@@ -216,17 +216,29 @@ def main() -> None:
         f"Totals: sf0.001 {totals['0.001']:.1f}s, sf0.01 {totals['0.01']:.1f}s, "
         f"sf0.1 {totals['0.1']:.1f}s "
         f"(suite factor {totals['0.1'] / totals['0.01']:.1f}x over the last decade).",
+    ]
+    # Per-point env telemetry (the bench embeds it in bench_last.json since
+    # round 15) — rendered into the artifact so drift adjudication never
+    # again depends on a log that scrolled away.
+    env01 = runs["0.1"].get("env", {})
+    canaries = "/".join(
+        f"{runs[sf].get('env', {}).get('canary_s', float('nan')):.2f}"
+        for sf in SFS)
+    lines += [
         "",
         "Platform note (round 15, the r13->r14 +14% drift adjudication):",
         "every sf0.1 suite total measured through round 13 sat at 61.5-63.7s;",
-        "every one measured since round 14 sits at 69-70s — including",
-        "round-15 runs on an IDLE machine (env telemetry: load1 ~2 on 32",
-        "cpus, gc ~4s, cpu_wall ~2.0) with zero plan changes to the moved",
-        "queries. A uniform shift that reproduces when idle and spares no",
-        "query class is the machine generation, not the engine; the bench's",
-        "fixed-work CPU canary (`canary_s` in the env block, added round 15)",
-        "makes future shifts directly measurable — compare suite-total /",
-        "canary_s across rounds instead of raw totals.",
+        "every one measured since round 14 sits at 69-73s (this regeneration:",
+        f"{totals['0.1']:.1f}s on an idle machine — load1",
+        f"{env01.get('load1_before', -1.0):.1f}->{env01.get('load1_after', -1.0):.1f} "
+        f"on {env01.get('cpus', 0):.0f} cpus, gc {env01.get('gc_s', -1.0):.1f}s, "
+        f"cpu_wall {env01.get('cpu_wall', -1.0):.2f}) with zero plan changes to",
+        "the moved queries. A uniform shift that reproduces when idle and",
+        "spares no query class is the machine generation, not the engine.",
+        "The bench's fixed-work single-thread CPU canary (`canary_s`, added",
+        f"round 15; this machine, per scale point: {canaries}s) makes future",
+        "shifts directly measurable — compare suite-total / canary_s across",
+        "rounds instead of raw totals.",
     ]
     if flagged:
         lines.append("")
