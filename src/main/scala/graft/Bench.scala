@@ -184,14 +184,21 @@ object Bench {
     //  - load1_before/after: OS 1-min loadavg. > ~cpus means co-tenants.
     //  - gc_s, jit_s: deltas over the timed window. A GC/JIT-driven drift
     //    shows here without touching any query's plan.
+    // Canary runs twice, min taken: the first pass may be interpreted
+    // (C2 compiles the loop within ~100ms; the second pass is steady).
+    // TWO SEPARATE CALLS on purpose — do not "simplify" to min(x, x) of a
+    // memoized value, the warm second draw is the measurement. It runs
+    // BEFORE the env snapshots below so its ~1s of single-thread work and
+    // its own C2 compile don't contaminate the cpu_wall/jit_s counters
+    // used to adjudicate suite drift.
+    val canaryCold = cpuCanarySec
+    val canaryWarm = cpuCanarySec
+    val canary = math.min(canaryCold, canaryWarm)
     val envWall0 = System.nanoTime()
     val envCpu0 = processCpuNanos
     val envGc0 = gcMillis
     val envJit0 = jitMillis
     val envLoad0 = loadAvg
-    // Canary runs twice, min taken: the first pass may be interpreted
-    // (C2 compiles the loop within ~100ms; the second pass is steady).
-    val canary = math.min(cpuCanarySec, cpuCanarySec)
     for (round <- 1 to runs) {
       val w0 = System.nanoTime(); val g0 = gcMillis
       val order = new scala.util.Random(round.toLong).shuffle(queryList)
@@ -282,8 +289,9 @@ object Bench {
     spark.stop()
     // The driver records only the LAST ~2000 chars of the log; the full
     // one-line record above outgrew that window two rounds running (BENCH_r10
-    // and r11 both landed parsed:null). This compact summary (<500 chars —
-    // total/failed/count + the 5 slowest) is printed LAST, after spark.stop()
+    // and r11 both landed parsed:null). This compact summary (~650 chars
+    // since the round-15 env/p50 fields — total/failed/count + telemetry +
+    // the 5 slowest; size a tail capture at >=1000) is printed LAST, after spark.stop()
     // so no shutdown logging can follow it, guaranteeing any tail window
     // captures one complete parseable record. The full per-query record stays
     // in the long line + target/bench_last.json.

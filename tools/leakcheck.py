@@ -42,10 +42,13 @@ PATTERNS = {
         r"duckdb\.org|docs\.oracle\.com|scala-lang\.org|arxiv\.org|"
         r"en\.wikipedia\.org|localhost|127\.0\.0\.1))[\w.-]+"),
     # non-public JVM package roots referenced outside import lines
-    # (com.sun.management is the JDK's own exported management API —
-    # OperatingSystemMXBean for process-CPU telemetry — not a vendor pkg)
+    # (com.sun.management.<Class> is the JDK's own exported management API —
+    # OperatingSystemMXBean for process-CPU telemetry — not a vendor pkg;
+    # the [A-Z] bound exempts only DIRECT classes of that package, so its
+    # lowercase subpackages — the JDK-internal ones — and lookalike roots
+    # that merely share the prefix stay flagged)
     "internal-pkg2": re.compile(
-        r"\b(?:com|net|io)\.(?!fasterxml|sun\.management)[a-z][\w]*\.[a-z][\w]*\.[A-Za-z]"),
+        r"\b(?:com|net|io)\.(?!fasterxml|sun\.management\.[A-Z])[a-z][\w]*\.[a-z][\w]*\.[A-Za-z]"),
     # cloud buckets other than the reference's own public one or the
     # clearly-fake placeholders the config specs use
     "internal-bucket": re.compile(

@@ -12,7 +12,9 @@
 # Fails open: a scanner error must never block a snapshot commit — the
 # committed stale copy is then the evidence something broke.
 cd "$(git rev-parse --show-toplevel)" || exit 0
-last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/[^0-9]//g' | sort -n | tail -1)
+# strip leading zeros: dash treats $((09 + 1)) as a FATAL bad-octal error,
+# which would block the commit — the opposite of fail-open
+last=$(ls CORRECTNESS_r*.json 2>/dev/null | sed 's/[^0-9]//g; s/^0*//' | sort -n | tail -1)
 round=$((${last:-0} + 1))
 if python3 tools/leakcheck.py "$round" >/dev/null 2>&1; then
   git add LEAKCHECK.json

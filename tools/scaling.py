@@ -8,7 +8,10 @@ dominated by the fixed per-query cost (scan + noop job + final sort sampling,
 profiled in Bench.scala's scaladoc), so their factors are reported but not
 meaningful as exponents.
 
-Usage: python3 tools/scaling.py  (from the repo root; ~5 min, idle machine)
+Usage: python3 tools/scaling.py  (from the repo root; ~30-40 min, idle
+machine — three full-suite benches + the extra-decade bench + two composed
+corpus-pipeline runs + two fresh-JVM warmup probes + the isolated tail
+bench + the 64-round BPE envelope)
 """
 import json
 import math
@@ -224,12 +227,21 @@ def main() -> None:
     canaries = "/".join(
         f"{runs[sf].get('env', {}).get('canary_s', float('nan')):.2f}"
         for sf in SFS)
+    # Idleness is DERIVED from the telemetry, never asserted: a loadavg
+    # above a quarter of the cores during the bench means co-tenants were
+    # stealing CPU and this regeneration's absolute numbers are suspect.
+    load_peak = max(env01.get("load1_before", -1.0),
+                    env01.get("load1_after", -1.0))
+    n_cpus = max(env01.get("cpus", 0), 1)
+    idle_claim = ("an idle machine" if 0 <= load_peak < n_cpus / 4
+                  else f"a LOADED machine (load1 peak {load_peak:.1f} — "
+                       "treat these absolute numbers as suspect)")
     lines += [
         "",
         "Platform note (round 15, the r13->r14 +14% drift adjudication):",
         "every sf0.1 suite total measured through round 13 sat at 61.5-63.7s;",
         "every one measured since round 14 sits at 69-73s (this regeneration:",
-        f"{totals['0.1']:.1f}s on an idle machine — load1",
+        f"{totals['0.1']:.1f}s on {idle_claim} — load1",
         f"{env01.get('load1_before', -1.0):.1f}->{env01.get('load1_after', -1.0):.1f} "
         f"on {env01.get('cpus', 0):.0f} cpus, gc {env01.get('gc_s', -1.0):.1f}s, "
         f"cpu_wall {env01.get('cpu_wall', -1.0):.2f}) with zero plan changes to",
