@@ -12,8 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * hazard for a real engine even though harness fixtures are immutable. The
   * key here digests the table's file names, sizes, and mtimes (the
   * `stagedEventsJson` staging-cache discipline from round 5, see
-  * sources/Ingest.scala), so a mutated corpus provably forces a rebuild and
-  * two distinct corpora can never collide onto one artifact file.
+  * sources/Ingest.scala), so a mutated corpus forces a rebuild (up to
+  * [[tableSig]]'s stated detection boundary) and two distinct corpora can
+  * never collide onto one artifact file.
   *
   * Why atomic publish: concurrent JVMs (bench + tests) may race to build the
   * same artifact. Each builder writes to a private temp dir and publishes
@@ -29,17 +30,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Artifacts {
 
   /** Content signature of one fixture table under `d`: a 12-hex md5 of the
-    * absolute path plus every data file's (name, size, mtime). Cheap — a
-    * directory listing, no data read — so callers can recompute it per query
-    * and still catch in-place dataset rewrites. */
+    * absolute path plus every data file's (relative path, size, mtime),
+    * walked RECURSIVELY so partitioned layouts (hive-style subdirs) sign
+    * their leaf files — a top-level-only listing would miss a rewrite two
+    * levels down because a directory entry's (size, mtime) need not change
+    * when its contents do. Cheap — directory listings, no data read — so
+    * callers can recompute it per query and still catch in-place dataset
+    * rewrites. Detection boundary: a rewrite that preserves a leaf file's
+    * name, byte length, AND mtime within the filesystem's timestamp
+    * resolution is invisible to this key (Spark's UUID part names make
+    * that combination unreachable for Spark-written tables; a catalog
+    * snapshot id replaces this digest on a real cluster — see the
+    * object doc). */
   def tableSig(d: String, table: String): String = {
     val src = new java.io.File(s"$d/$table.parquet")
-    val files =
-      if (src.isDirectory)
-        Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
-      else Seq(src)
-    val sig = src.getAbsolutePath +
-      files.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"|$rel:${f.length}:${f.lastModified}")
+    val sig = src.getAbsolutePath + walk(src, src.getName).mkString
     md5Hex(sig).take(12)
   }
 
@@ -75,6 +85,12 @@ object Artifacts {
     * paths. */
   def indexParquetPath(s: SparkSession, name: String, d: String, table: String,
       root: String = baseDir)(build: => DataFrame): String = {
+    // `s` is deliberately part of the signature even though the local-FS
+    // implementation never touches it: the builder DataFrame carries its
+    // own session, but an object-store-backed implementation of this same
+    // API resolves and stats paths through the session's hadoopConf — and
+    // the symmetric indexParquet needs it for the read. Dropping it would
+    // be an API break the first time the store leaves the local disk.
     val key = s"${name}_${tableSig(d, table)}"
     val mapKey = s"$root|$key"
     def publish(): String = {
@@ -85,19 +101,62 @@ object Artifacts {
         build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
         if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists())
           deleteRecursively(fin) // corrupt leftover (crashed writer): clear it
-        if (!tmp.renameTo(fin)) deleteRecursively(tmp) // lost the race: reuse winner's
+        if (!tmp.renameTo(fin)) {
+          // A failed rename means EITHER a concurrent winner published fin
+          // first (fine — discard our copy and read theirs) OR fin is an
+          // undeletable corrupt dir and no valid copy exists anywhere.
+          // Conflating the two silently handed out a _SUCCESS-less path;
+          // distinguish by the winner's _SUCCESS and fail loud otherwise —
+          // a thrown build beats an unreadable artifact served as real.
+          if (new java.io.File(fin, "_SUCCESS").exists()) deleteRecursively(tmp)
+          else {
+            deleteRecursively(tmp)
+            throw new IllegalStateException(
+              s"artifact publish failed: cannot rename into $fin and no " +
+                "valid copy exists (undeletable corrupt leftover?)")
+          }
+        }
       }
       fin.getAbsolutePath
     }
-    val cached = published.getOrElseUpdate(mapKey, publish())
-    // Self-heal a swept artifact: the fast-path map can outlive the files
-    // when ANOTHER process's retention sweep (or a manual tmp clean) removes
-    // the published dir — observed round 11 as PATH_NOT_FOUND mid-suite when
-    // a concurrent JVM gc'd the shared store. The durable guard is the
-    // _SUCCESS file, so re-check it on every handout and republish on miss:
-    // one file stat per query against a query-plan's worth of work.
-    if (new java.io.File(cached, "_SUCCESS").exists()) cached
-    else { published.remove(mapKey); published.getOrElseUpdate(mapKey, publish()) }
+    // One in-JVM build at a time per (root, key): TrieMap.getOrElseUpdate
+    // inserts atomically but may evaluate the thunk in two threads and
+    // discard one result — harmless for correctness (publish handles the
+    // rename race) but each discarded result is a full duplicate Spark
+    // build. The lock object is canonical via the TrieMap's atomic insert.
+    val lock = buildLocks.getOrElseUpdate(mapKey, new Object)
+    lock.synchronized {
+      val cached = published.getOrElseUpdate(mapKey, publish())
+      // Self-heal a swept artifact: the fast-path map can outlive the files
+      // when ANOTHER process's retention sweep (or a manual tmp clean)
+      // removes the published dir — observed round 11 as PATH_NOT_FOUND
+      // mid-suite when a concurrent JVM gc'd the shared store. The durable
+      // guard is the _SUCCESS file, so re-check it on every handout and
+      // republish on miss: one file stat per query against a query-plan's
+      // worth of work. A valid handout also REFRESHES the _SUCCESS mtime,
+      // so an artifact a live workload keeps probing can never age past a
+      // janitor's retention horizon between touches (gc ages by _SUCCESS
+      // mtime); pick maxAgeMs comfortably above the longest query so an
+      // in-flight reader's path outlives its scan.
+      val success = new java.io.File(cached, "_SUCCESS")
+      if (success.exists()) {
+        success.setLastModified(System.currentTimeMillis()): Unit
+        cached
+      } else {
+        published.remove(mapKey)
+        val healed = published.getOrElseUpdate(mapKey, publish())
+        // The retry must hand out a VERIFIED path: if the store is being
+        // swept faster than we can republish, failing loud is the only
+        // honest option left.
+        if (!new java.io.File(healed, "_SUCCESS").exists()) {
+          published.remove(mapKey)
+          throw new IllegalStateException(
+            s"artifact self-heal failed: republished $healed lacks _SUCCESS " +
+              "(store being swept concurrently?)")
+        }
+        healed
+      }
+    }
   }
 
   /** [[indexParquetPath]] + read: the artifact as a DataFrame. */
@@ -107,21 +166,36 @@ object Artifacts {
 
   /** Memoize a driver-state model under a content-signature key. The cache
     * grows one entry per corpus CONTENT actually seen — model-sized values
-    * only (centroids, codebooks, a count), never data-sized. */
+    * only (centroids, codebooks, a count), never data-sized. Concurrency
+    * contract: the insert is atomic but the thunk is NOT serialized — two
+    * threads racing an uncached key may both run `build` and one result is
+    * discarded (safe: every memoized build is a deterministic function of
+    * the content key; the only cost is the duplicate build, and the mains
+    * run queries serially). */
   def memo[T](cache: scala.collection.concurrent.TrieMap[String, T], key: String)
       (build: => T): T =
     cache.getOrElseUpdate(key, build)
 
   /** Retention sweep for the artifact store: delete published artifacts
-    * whose `_SUCCESS` is older than `maxAgeMs`, plus writer temp dirs older
-    * than the same horizon (a crashed writer's `_w########` leftover is
-    * garbage the moment its JVM died). Content keying makes this safe at
-    * any time: a live corpus snapshot re-publishes under the same key on
-    * next touch, and a reader never holds a path without its `_SUCCESS`
-    * (the fast-path map is invalidated for swept keys). On a cluster this
-    * is the nightly janitor over the shared store prefix. Returns the
-    * number of directories removed. `root` defaults to [[baseDir]]; specs
-    * sweep a private root explicitly (see [[indexParquetPath]]). */
+    * whose `_SUCCESS` is older than `maxAgeMs` (handouts REFRESH that
+    * mtime — see [[indexParquetPath]] — so only artifacts no live workload
+    * probes can age out), plus writer temp dirs whose NEWEST inner file is
+    * older than the same horizon. The temp-dir age must be the newest
+    * inner mtime, not the dir's own: a directory's mtime is set at
+    * creation and Spark stages task output under `_temporary` subpaths, so
+    * a dir-mtime check would sweep a still-writing build whose job simply
+    * outlived the horizon; with the recursive check, only a writer that
+    * has produced NOTHING for a full horizon — a crashed JVM's leftover —
+    * qualifies. Content keying makes the sweep safe at any time: a live
+    * corpus snapshot re-publishes under the same key on next touch, and a
+    * reader never RECEIVES a path without its `_SUCCESS` (the fast-path
+    * map is invalidated for swept keys; a reader already mid-scan is
+    * protected by the touch-on-handout refresh as long as maxAgeMs
+    * comfortably exceeds the longest query). On a cluster this is the
+    * nightly janitor over the shared store prefix. Returns the number of
+    * directories fully removed (a partially-undeletable dir is not
+    * counted). `root` defaults to [[baseDir]]; specs sweep a private root
+    * explicitly (see [[indexParquetPath]]). */
   def gc(maxAgeMs: Long, storeRoot: String = baseDir): Int = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val root = new java.io.File(storeRoot)
@@ -130,30 +204,44 @@ object Artifacts {
     // graft-prefixed dirs (spec temps, the scaling fixture); those are not
     // this store's to delete.
     val storeName = "^graft_.+_[0-9a-f]{12}(_w[0-9a-f]{8})?$".r
+    def newestMtime(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+          .map(newestMtime).toSeq).max
+      else f.lastModified()
     val victims = Option(root.listFiles()).getOrElse(Array.empty).toSeq
       .filter(f => f.isDirectory && storeName.matches(f.getName))
       .filter { f =>
         val success = new java.io.File(f, "_SUCCESS")
         if (success.exists()) success.lastModified() < cutoff
-        else f.lastModified() < cutoff // half-written leftover or temp dir
+        else newestMtime(f) < cutoff // leftover idle for a full horizon
       }
-    victims.foreach { f =>
+    victims.count { f =>
       published.filterInPlace((_, p) => p != f.getAbsolutePath)
       deleteRecursively(f)
     }
-    victims.size
   }
 
   // Published-artifact paths, keyed by (name, content-sig). Only a fast-path
   // map: the durable guard is the _SUCCESS file, which other JVMs also honor.
   private val published = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // Per-(root, key) build locks — canonical objects via the TrieMap's
+  // atomic insert; bounded by the artifact count, like `published`.
+  private val buildLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+  /** True iff `f` and everything under it is gone afterwards — a silent
+    * partial delete upstream turned into "corrupt dir served as real"
+    * (publish) and an overcounted sweep (gc), so failure must be visible. */
+  private def deleteRecursively(f: java.io.File): Boolean = {
+    val childrenOk =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).forall(deleteRecursively)
+      else true
+    childrenOk && (f.delete() || !f.exists())
   }
 }

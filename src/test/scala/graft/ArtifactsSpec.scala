@@ -110,6 +110,61 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(spark.read.parquet(p2).count() == 2)
   }
 
+  test("a handout refreshes _SUCCESS mtime, so hot artifacts outlive the janitor horizon") {
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_art8_store").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_art8").toString
+    writeDocs(dir, Seq((1L, "a b c")))
+    def build = Tables.documents(spark, dir).select("doc_id")
+    val p = Artifacts.indexParquetPath(spark, "spec_touch", dir, "documents", isoRoot)(build)
+    val success = new java.io.File(p, "_SUCCESS")
+    // age the artifact far past a 60s horizon, then probe it once
+    assert(success.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    val p2 = Artifacts.indexParquetPath(spark, "spec_touch", dir, "documents", isoRoot)(build)
+    assert(p2 == p)
+    assert(success.lastModified() > System.currentTimeMillis() - 60 * 1000L,
+      "handout must refresh the _SUCCESS mtime")
+    // the just-probed artifact survives a janitor pass at a 60s horizon
+    assert(Artifacts.gc(60 * 1000L, isoRoot) == 0,
+      "a hot artifact must not be swept")
+    assert(success.exists())
+  }
+
+  test("gc ages writer temps by their NEWEST inner file, sparing a live build") {
+    val isoRoot = java.nio.file.Files.createTempDirectory("graft_art9_store").toString
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    // live build: dir mtime is old (dirs keep their creation mtime while
+    // Spark stages output under _temporary) but an inner file is FRESH
+    val live = new java.io.File(isoRoot, "graft_live_0123456789ab_w01234567")
+    val liveInner = new java.io.File(live, "_temporary/part-0")
+    liveInner.getParentFile.mkdirs()
+    java.nio.file.Files.write(liveInner.toPath, "x".getBytes)
+    assert(live.setLastModified(old))
+    // crashed leftover: everything inside idle for a full horizon
+    val dead = new java.io.File(isoRoot, "graft_dead_0123456789ab_w89abcdef")
+    val deadInner = new java.io.File(dead, "part-0")
+    deadInner.getParentFile.mkdirs()
+    java.nio.file.Files.write(deadInner.toPath, "x".getBytes)
+    Seq(deadInner, dead).foreach(f => assert(f.setLastModified(old)))
+    assert(Artifacts.gc(60 * 1000L, isoRoot) == 1,
+      "exactly the idle leftover is swept")
+    assert(live.exists(), "a temp with fresh output is a LIVE writer, not garbage")
+    assert(!dead.exists())
+  }
+
+  test("tableSig walks nested layouts: a leaf rewrite under a partition dir changes the key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_art10").toString
+    val leaf = new java.io.File(s"$dir/t.parquet/part=1/f1.parquet")
+    leaf.getParentFile.mkdirs()
+    java.nio.file.Files.write(leaf.toPath, "aaaa".getBytes)
+    val sig1 = Artifacts.tableSig(dir, "t")
+    // rewrite the leaf two levels down: same name, different size — the
+    // top-level entry (the partition DIR) keeps its (name, size) and on
+    // Linux its mtime, so a non-recursive signature would not move
+    java.nio.file.Files.write(leaf.toPath, "aaaaaaaa".getBytes)
+    assert(Artifacts.tableSig(dir, "t") != sig1,
+      "nested leaf rewrite must change the content signature")
+  }
+
   test("two roots with one content key never serve each other's paths") {
     // The fast-path map is keyed by (root, name, sig): a second store root
     // must publish its own copy, not hand out the first root's path.

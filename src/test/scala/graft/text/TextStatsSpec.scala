@@ -437,21 +437,30 @@ class TextStatsSpec extends AnyFunSuite {
       Seq((1L, text, "en", "s0", text.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    def artSuccess = new java.io.File(
-      new java.io.File(graft.Artifacts.baseDir,
-        s"graft_bpe_merges_r${TextStats.BpeRounds}_" +
-          graft.Artifacts.tableSig(dir, "documents")), "_SUCCESS")
+    def artDir = new java.io.File(graft.Artifacts.baseDir,
+      s"graft_bpe_merges_r${TextStats.BpeRounds}_" +
+        graft.Artifacts.tableSig(dir, "documents"))
+    def artSuccess = new java.io.File(artDir, "_SUCCESS")
+    // No-retrain proxy: the DATA files' mtimes. (_SUCCESS mtime is not
+    // usable here since round 15 — every handout deliberately refreshes it
+    // so the janitor never sweeps a hot artifact; a retrain replaces the
+    // part files via tmp-dir rename, so THEIR mtimes move exactly when a
+    // rewrite happens.)
+    def dataMtimes = Option(artDir.listFiles())
+      .fold(Seq.empty[(String, Long)])(_.toSeq.filter(_.getName.startsWith("part-"))
+        .map(f => f.getName -> f.lastModified()).sortBy(_._1))
     write("aaaa aaaa aaaa ab ab")
     val m1 = TextStats.bpeMerges(spark, dir)
     assert(m1.nonEmpty)
     assert(artSuccess.exists(), "training must publish the merge table to the store")
-    val published = artSuccess.lastModified()
+    val published = dataMtimes
+    assert(published.nonEmpty)
     // A fresh JVM has an empty memo but the same artifact store: clearing
     // the in-process memo models a restart, and the second call must come
-    // back from the PUBLISHED table (same _SUCCESS mtime = no rewrite).
+    // back from the PUBLISHED table (same data-file mtimes = no rewrite).
     TextStats.bpeModels.clear()
     assert(TextStats.bpeMerges(spark, dir) == m1)
-    assert(artSuccess.lastModified() == published,
+    assert(dataMtimes == published,
       "post-restart consumer must read the artifact, not retrain")
     // Rewriting the corpus in place changes the content signature: a new
     // artifact is trained and published; the old key can never be served.
