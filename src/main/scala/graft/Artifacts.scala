@@ -84,21 +84,38 @@ object Artifacts {
     * by (root, name, content-sig) so two roots never serve each other's
     * paths. */
   def indexParquetPath(s: SparkSession, name: String, d: String, table: String,
-      root: String = baseDir)(build: => DataFrame): String = {
+      root: String = baseDir)(build: => DataFrame): String =
     // `s` is deliberately part of the signature even though the local-FS
     // implementation never touches it: the builder DataFrame carries its
     // own session, but an object-store-backed implementation of this same
     // API resolves and stats paths through the session's hadoopConf — and
     // the symmetric indexParquet needs it for the read. Dropping it would
     // be an API break the first time the store leaves the local disk.
-    val key = s"${name}_${tableSig(d, table)}"
+    publishedDirPath(name, tableSig(d, table), root)(
+      p => build.write.mode("overwrite").parquet(p))
+
+  /** The store discipline for ANY directory payload — in-JVM build lock
+    * per (root, name, content-sig), private-temp write + atomic rename
+    * across JVMs, `_SUCCESS`-guarded handouts with touch-refresh and
+    * self-heal, a store-shaped published name (`graft_<name>_<sig>`) so
+    * [[gc]] janitors it like every other artifact. `writeTo` receives the
+    * temp path and must leave a Spark-style `_SUCCESS` there (any
+    * DataFrameWriter format does). [[indexParquetPath]] is the parquet
+    * specialization; the staged-JSON landing zone
+    * (graft.sources.Ingest.stagedEventsJson) publishes newline-delimited
+    * JSON through the same path — it previously hand-rolled a weaker copy
+    * (top-level-only signature, un-swept dir name, unlocked in-place
+    * overwrite) and inherited none of the race fixes. */
+  def publishedDirPath(name: String, contentSig: String,
+      root: String = baseDir)(writeTo: String => Unit): String = {
+    val key = s"${name}_$contentSig"
     val mapKey = s"$root|$key"
     def publish(): String = {
       val fin = new java.io.File(root, s"graft_$key")
       if (!new java.io.File(fin, "_SUCCESS").exists()) {
         val tmp = new java.io.File(root,
           s"graft_${key}_w${java.util.UUID.randomUUID.toString.take(8)}")
-        build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        writeTo(tmp.getAbsolutePath)
         if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists())
           deleteRecursively(fin) // corrupt leftover (crashed writer): clear it
         if (!tmp.renameTo(fin)) {

@@ -17,8 +17,13 @@ import java.nio.file.{Files, Paths}
   * Parser semantics match Python `configparser` where the reference relies
   * on them: `[SECTION]` headers (trailing whitespace tolerated — the
   * reference's `[DWH] ` line has one), `KEY=value` pairs with whitespace
-  * trimmed, keys LOWERCASED on store and lookup (configparser's default
-  * `optionxform`), a loud error on a key before any section header
+  * trimmed, keys matched CASE-INSENSITIVELY on lookup with last-wins
+  * collapse across case variants (configparser's default `optionxform`
+  * observable behavior — though the stored key keeps its ORIGINAL case, a
+  * deliberate deviation so the `[HADOOP]` passthrough can hand
+  * case-sensitive Hadoop keys like `fs.AbstractFileSystem.s3a.impl`
+  * through verbatim; configparser would lowercase them, which Hadoop then
+  * silently ignores), a loud error on a key before any section header
   * (configparser's MissingSectionHeaderError), empty values allowed
   * (`HOST=`), `#`/`;` comment lines, and the single quotes the reference
   * writes around S3 URIs are stripped (psycopg2 SQL interpolation needed
@@ -30,15 +35,19 @@ object GraftConfig {
     /** Lookup: section name matched exactly first (configparser sections ARE
       * case-sensitive), falling back to the lexicographically-first
       * case-insensitive match — a deterministic convenience the reference's
-      * all-caps sections never need. Keys are case-insensitive (stored
-      * lowercased, configparser optionxform). Empty values read as absent —
-      * `HOST=` in the shipped dwh.cfg means "not configured", not "empty
-      * string host". */
+      * all-caps sections never need. Keys are matched case-insensitively
+      * (configparser optionxform; exact match first, then the
+      * lexicographically-first case-insensitive hit — the stored key keeps
+      * its written case for the [HADOOP] verbatim passthrough). Empty
+      * values read as absent — `HOST=` in the shipped dwh.cfg means "not
+      * configured", not "empty string host". */
     def get(section: String, key: String): Option[String] =
       sections.get(section)
         .orElse(sections.keys.filter(_.equalsIgnoreCase(section))
           .toSeq.sorted.headOption.map(sections))
-        .flatMap(_.get(key.toLowerCase)).filter(_.nonEmpty)
+        .flatMap(m => m.get(key).orElse(
+          m.keys.filter(_.equalsIgnoreCase(key)).toSeq.sorted.headOption.map(m)))
+        .filter(_.nonEmpty)
 
     def getOr(section: String, key: String, default: String): String =
       get(section, key).getOrElse(default)
@@ -65,9 +74,12 @@ object GraftConfig {
           case i =>
             val s = section.getOrElse(throw new IllegalArgumentException(
               s"line ${ln + 1}: key before any [section] header: '$line'"))
-            val k = line.substring(0, i).trim.toLowerCase
+            val k = line.substring(0, i).trim
             val v = unquote(line.substring(i + 1).trim)
-            out(s) = out(s) + (k -> v)
+            // last-wins across case variants (what configparser's lowercase
+            // collapse does observably), but the surviving entry keeps ITS
+            // OWN case — the [HADOOP] passthrough needs it verbatim
+            out(s) = out(s).filterNot(_._1.equalsIgnoreCase(k)) + (k -> v)
         }
       }
     }

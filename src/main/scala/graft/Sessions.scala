@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * - UTC session TZ: E1/E2-E7 extract-family correctness vs the oracle.
   * - ANSI off: Redshift-permissive integer division / overflow (SURVEY §4.3).
-  * - nanosAsLong: the fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark
-  *   reads it as BIGINT nanos (mirrors the reference's BIGINT staging col).
+  * - nanosAsLong: legacy-fixture compatibility — fixtures through round 9
+  *   shipped `events.ts` as parquet TIMESTAMP(NANOS), which Spark reads as
+  *   BIGINT nanos under this flag; current fixtures ship TIMESTAMP(MICROS).
+  *   Do NOT read events.parquet raw on that basis: `Tables.events`
+  *   normalizes EITHER physical shape to BIGINT epoch-nanos at the reader
+  *   boundary (TablesSpec is the tripwire), and every consumer goes
+  *   through it.
   * - AQE on: runtime re-plan (skew joins, dynamic coalescing) — the knob that
   *   matters at the 100 TB target, harmless locally.
   * - shuffle.partitions from cpus: local mode wants ~#threads, not 200; on a
@@ -58,7 +63,9 @@ object Sessions {
     *    plus the static-credentials provider (`SimpleAWSCredentialsProvider`;
     *    with `TOKEN` also set, the temporary-session provider).
     *  - no credentials at all → `AnonymousAWSCredentialsProvider` — the
-    *    reference's source bucket is public, exactly this case.
+    *    reference's source bucket is public, exactly this case. A PARTIAL
+    *    credential set (SECRET/TOKEN without KEY, or KEY without SECRET)
+    *    is a loud config error, never a silent anonymous fallback.
     *  - `[AWS] ENDPOINT/REGION` → `fs.s3a.endpoint` / `fs.s3a.endpoint.region`
     *    (S3-compatible stores, region pinning).
     *  - `[AWS] CREDENTIALS_PROVIDER` overrides the inferred provider.
@@ -77,8 +84,23 @@ object Sessions {
       "ENDPOINT" -> "fs.s3a.endpoint",
       "REGION" -> "fs.s3a.endpoint.region",
     ).flatMap { case (k, h) => cfg.get("AWS", k).map(h -> _) }.toMap
+    // Anonymous is inferred only when NO credential material is present at
+    // all (the reference's public source bucket). A PARTIAL credential set
+    // — SECRET or TOKEN without KEY, or KEY without SECRET — is a config
+    // error, not an anonymous session: silently proceeding unauthenticated
+    // turns a typo'd KEY line into a confusing 403 at read time (and the
+    // reference's own configparser access raises on a missing option).
+    val hasKey = aws.contains("fs.s3a.access.key")
+    val hasSecret = aws.contains("fs.s3a.secret.key")
+    val hasToken = aws.contains("fs.s3a.session.token")
+    if (cfg.get("AWS", "CREDENTIALS_PROVIDER").isEmpty && (hasKey || hasSecret || hasToken))
+      require(hasKey && hasSecret,
+        s"[AWS] credentials are partial (KEY=${if (hasKey) "set" else "MISSING"}, " +
+          s"SECRET=${if (hasSecret) "set" else "MISSING"}" +
+          (if (hasToken) ", TOKEN=set" else "") +
+          ") — set both KEY and SECRET, or neither for anonymous access")
     val provider = cfg.get("AWS", "CREDENTIALS_PROVIDER").getOrElse {
-      (aws.contains("fs.s3a.access.key"), aws.contains("fs.s3a.session.token")) match {
+      (hasKey, hasToken) match {
         case (true, true) => "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
         case (true, false) => "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
         case _ => "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
@@ -91,9 +113,18 @@ object Sessions {
 
   /** Land [[cloudFsConf]] on a LIVE session's hadoopConfiguration. Hadoop
     * `FileSystem` instances are created lazily at first access per scheme,
-    * so setting these after `getOrCreate()` still governs every subsequent
-    * `s3a://` open — and, unlike `spark.hadoop.*` builder configs, this
-    * works when an earlier suite already owns the shared SparkContext. */
+    * so setting these after `getOrCreate()` governs every `s3a://` scheme
+    * NOT YET touched in this JVM — and, unlike `spark.hadoop.*` builder
+    * configs, this works when an earlier suite already owns the shared
+    * SparkContext. Caveat: Hadoop caches FileSystem instances per
+    * (scheme, authority, ugi), NOT per Configuration, so a bucket already
+    * opened under earlier credentials keeps them regardless of these
+    * sets. To re-credential a touched bucket, either scope the keys with
+    * `fs.s3a.bucket.<name>.*` BEFORE first access, set
+    * `fs.s3a.impl.disable.cache=true` via [HADOOP] (per-open cost), or
+    * start a fresh JVM — the reference's one-shot etl.py run is the
+    * fresh-JVM case, which is why this mapping suffices for its
+    * workflow. */
   def applyCloudFs(spark: SparkSession, cfg: GraftConfig.Config): Map[String, String] = {
     val confs = cloudFsConf(cfg)
     confs.foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }

@@ -118,53 +118,63 @@ object Ingest {
     require(sources.size == target.fields.length,
       s"jsonpaths has ${sources.size} entries but target has ${target.fields.length} columns " +
         "(COPY maps them positionally)")
-    val readSchema = StructType(sources.zip(target.fields).map {
-      case (src, tf) => StructField(src, tf.dataType, tf.nullable)
-    })
+    // Redshift COPY accepts the SAME source field in multiple jsonpaths
+    // entries (loading one field into two columns), so the read schema is
+    // deduplicated by source field — a naive per-entry schema would carry
+    // duplicate names and fail the json read far from the manifest with an
+    // unexplained duplicate-column error. A field loaded into columns of
+    // DIFFERENT types has no single read type; reject that loudly here.
+    val fieldType = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    sources.zip(target.fields).foreach { case (src, tf) =>
+      fieldType.get(src) match {
+        case Some(prev) =>
+          require(prev.dataType == tf.dataType,
+            s"jsonpaths maps source field '$src' to columns of different " +
+              s"types (${prev.dataType.simpleString} vs ${tf.dataType.simpleString}) " +
+              "— one JSON field has one parse type")
+        case None =>
+          fieldType(src) = StructField(src, tf.dataType, tf.nullable)
+      }
+    }
+    val readSchema = StructType(fieldType.values.toSeq)
     (readSchema, sources.zip(target.fields.map(_.name)))
   }
 
   /** S1 via an actual jsonpaths manifest: schema'd single-pass read of the
-    * source-named fields, then ONE positional rename to the target columns
-    * (`toDF` — field order already matches the target by construction;
-    * renaming one-at-a-time would corrupt any mapping where a source field
-    * name equals a DIFFERENT target column's name, e.g. swapped ids). */
+    * (deduplicated) source fields, then ONE positional projection to the
+    * target columns — `col(src).as(tgt)` per manifest entry, so a source
+    * field mapped to two columns is read once and projected twice, and a
+    * mapping where a source field name equals a DIFFERENT target column's
+    * name (e.g. swapped ids) cannot cross-contaminate the way one-at-a-time
+    * renames would. */
   def readJsonViaJsonpaths(spark: SparkSession, dataPath: String,
       manifestJson: String, target: StructType): DataFrame = {
-    val (readSchema, _) = jsonpathsMapping(manifestJson, target)
+    val (readSchema, mapping) = jsonpathsMapping(manifestJson, target)
     spark.read.schema(readSchema).json(dataPath)
-      .toDF(target.fieldNames.toIndexedSeq: _*)
+      .select(mapping.map { case (src, tgt) =>
+        org.apache.spark.sql.functions.col(src).as(tgt)
+      }: _*)
   }
 
   /** Deterministic staging dir holding a JSON-serialized copy of the fixture
     * events table — the landing-zone shape the reference's S1 COPY actually
-    * reads (newline-delimited JSON objects). Written once per fixture
-    * CONTENT, `_SUCCESS`-guarded, so repeated bench rounds and verify runs
-    * reuse it. The cache key digests the fixture's file names, sizes, and
-    * mtimes — not just the path — so a regenerated fixture under the same
-    * path gets a fresh staging dir instead of silently serving stale JSON
-    * (which would hash-mismatch the fresh-parquet oracle and present as a
-    * phantom engine bug). */
-  def stagedEventsJson(spark: SparkSession, sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/events.parquet")
-    val sigFiles =
-      if (src.isDirectory) Option(src.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
-      else Seq(src)
-    // The trailing format tag versions the STAGED representation (ts as
-    // BIGINT nanos). Bumping it orphans every staging dir written under an
-    // older serialization — necessary when the serialized type changes even
-    // though the fixture bytes did not (as when Tables.events gained ts
-    // normalization: same parquet mtimes, different JSON payload).
-    val sig = sfDir +
-      sigFiles.map(f => s"|${f.getName}:${f.length}:${f.lastModified}").mkString +
-      "|fmt=ts_ns_v2"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val dir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-events-json-$key")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      graft.Tables.events(spark, sfDir).write.mode("overwrite").json(dir.toString)
-    dir.toString
-  }
+    * reads (newline-delimited JSON objects). Published through the
+    * [[graft.Artifacts]] store discipline (round 15 — previously a
+    * hand-rolled weaker copy: top-level-only content signature, an
+    * in-place `mode(overwrite)` write two concurrent JVMs could interleave
+    * into a corrupt-but-`_SUCCESS`-carrying cache, and a dir name the
+    * janitor never swept), so it is content-keyed against fixture
+    * rewrites, built under a lock + atomic rename, and [[graft.Artifacts
+    * .gc]]-reclaimable like every other artifact. The format tag in the
+    * NAME versions the STAGED representation (ts as BIGINT nanos):
+    * bumping it retires dirs written under an older serialization even
+    * when the fixture bytes did not change (as when Tables.events gained
+    * ts normalization — same parquet mtimes, different JSON payload). */
+  def stagedEventsJson(spark: SparkSession, sfDir: String): String =
+    graft.Artifacts.publishedDirPath("events_json_ts_ns_v2",
+        graft.Artifacts.tableSig(sfDir, "events")) { tmp =>
+      graft.Tables.events(spark, sfDir).write.mode("overwrite").json(tmp)
+    }
 
   /** Manifest for [[eventsFixtureTarget]], mixing both Redshift jsonpath
     * spellings; entry order follows the TARGET columns (the positional COPY

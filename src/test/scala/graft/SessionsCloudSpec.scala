@@ -66,6 +66,34 @@ class SessionsCloudSpec extends AnyFunSuite {
     assert(c("fs.s3a.aws.credentials.provider") == "com.example.Chain")
   }
 
+  test("[HADOOP] preserves key CASE — Hadoop conf keys are case-sensitive") {
+    // configparser would lowercase fs.AbstractFileSystem.s3a.impl, which
+    // Hadoop then silently ignores; the passthrough must ship it verbatim.
+    val c = Sessions.cloudFsConf(cfg(
+      """[HADOOP]
+        |fs.AbstractFileSystem.s3a.impl=org.apache.hadoop.fs.s3a.S3A
+        |""".stripMargin))
+    assert(c.contains("fs.AbstractFileSystem.s3a.impl"),
+      s"case-sensitive key must pass through verbatim, got keys ${c.keys}")
+  }
+
+  test("PARTIAL [AWS] credentials are a loud config error, not silent anonymous") {
+    // SECRET without KEY: proceeding anonymous turns a typo'd KEY line into
+    // a confusing 403 at read time. The reference's configparser access
+    // raises on a missing option; this mapping must be as loud.
+    val e = intercept[IllegalArgumentException] {
+      Sessions.cloudFsConf(cfg("[AWS]\nSECRET=s\n"))
+    }
+    assert(e.getMessage.contains("KEY=MISSING"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Sessions.cloudFsConf(cfg("[AWS]\nKEY=k\nTOKEN=t\n")) // KEY without SECRET
+    }
+    // an explicit provider override takes responsibility for its own creds
+    val c = Sessions.cloudFsConf(cfg(
+      "[AWS]\nSECRET=s\nCREDENTIALS_PROVIDER=com.example.Chain\n"))
+    assert(c("fs.s3a.aws.credentials.provider") == "com.example.Chain")
+  }
+
   test("applyCloudFs lands the configs on a LIVE session's hadoopConfiguration") {
     val spark = TestSpark.spark
     val hc = spark.sparkContext.hadoopConfiguration

@@ -101,6 +101,37 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonpaths: one source field may load into multiple columns (Redshift COPY allows it)") {
+    import org.apache.spark.sql.types._
+    // $['id'] twice: the read schema must deduplicate (a duplicate-name
+    // schema fails the json read far from the manifest), and the positional
+    // projection reads the field once, projects it twice.
+    val manifest = """{"jsonpaths": ["$['id']", "$['id']", "$.name"]}"""
+    val target = StructType(Seq(
+      StructField("id_a", LongType),
+      StructField("id_b", LongType),
+      StructField("name", StringType)))
+    val (readSchema, renames) = Ingest.jsonpathsMapping(manifest, target)
+    assert(readSchema.fieldNames.toSeq == Seq("id", "name"),
+      "read schema must carry each source field once")
+    assert(renames == Seq("id" -> "id_a", "id" -> "id_b", "name" -> "name"))
+    val path = tmpJson("events_dup.json", Seq("""{"id":7,"name":"x"}"""))
+    val df = Ingest.readJsonViaJsonpaths(spark, path, manifest, target)
+    assert(df.columns.toSeq == Seq("id_a", "id_b", "name"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 7L && r.getString(2) == "x")
+    // the same field demanded at two DIFFERENT types has no single parse
+    // type — loud manifest error, not a downstream AnalysisException
+    val conflicting = StructType(Seq(
+      StructField("id_a", LongType),
+      StructField("id_b", StringType),
+      StructField("name", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Ingest.jsonpathsMapping(manifest, conflicting)
+    }
+    assert(e.getMessage.contains("different"), e.getMessage)
+  }
+
   test("Layout: distkey repartition + sortkey sortWithinPartitions hold per partition") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val out = Layout.layout(li, Some("l_orderkey"), Some("l_shipdate"), partitions = 4)
