@@ -150,23 +150,27 @@ object DocsStream {
     * memory sink, AvailableNow — the runIncrementalScreenStream lifecycle
     * for media). */
   def runMediaScreenStream(spark: SparkSession, docsDir: String,
-      idxPath: String, queryName: String = "media_screen"): DataFrame = {
-    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
-    val q = mediaVerdicts(docs, spark.read.parquet(idxPath))
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("doc_id")
-  }
+      idxPath: String, queryName: String = "media_screen"): DataFrame =
+    runScreenStream(spark, docsDir, idxPath, queryName, mediaVerdicts)
 
   /** [[landingVerdicts]] as an incremental stream over an arriving-files
     * directory, screened against the index parquet (static side re-read per
     * micro-batch — at scale, the index a nightly batch job maintains).
     * Complete-mode memory sink, AvailableNow. */
   def runIncrementalScreenStream(spark: SparkSession, docsDir: String,
-      idxPath: String, queryName: String = "incremental_screen"): DataFrame = {
+      idxPath: String, queryName: String = "incremental_screen"): DataFrame =
+    runScreenStream(spark, docsDir, idxPath, queryName, landingVerdicts)
+
+  /** The shared memory-sink screen lifecycle, parameterized by the verdict
+    * function exactly like [[runVerdictsToParquet]] parameterizes the
+    * checkpointed landing — one copy of the readStream / complete-mode /
+    * AvailableNow plumbing, so a sink or trigger change cannot silently
+    * reach one screen and miss the other. */
+  private def runScreenStream(spark: SparkSession, docsDir: String,
+      idxPath: String, queryName: String,
+      verdicts: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
-    val q = landingVerdicts(docs, spark.read.parquet(idxPath))
+    val q = verdicts(docs, spark.read.parquet(idxPath))
       .writeStream.outputMode("complete").format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -200,14 +204,22 @@ object DocsStream {
       mediaVerdicts, maxFilesPerTrigger)
 
   /** The shared checkpointed landing job: arriving files → per-batch
-    * verdicts against a static index → append to a parquet landing table.
-    * Offsets live in `checkpointDir`, so a kill/restart between runs can
-    * neither double-screen an arrival (offsets only commit after the batch
-    * lands) nor miss one (uncommitted files re-list on restart); verdicts
-    * are per-document (no cross-doc state), so per-micro-batch computation
-    * inside `foreachBatch` is globally correct for ANY verdict function
-    * with that property. `maxFilesPerTrigger` > 0 forces multi-batch runs
-    * (spec). */
+    * verdicts against a static index → landed under a per-batch partition
+    * of the parquet landing table. Offsets live in `checkpointDir`, so a
+    * kill/restart between runs can neither double-screen an arrival nor
+    * miss one — and the landing write is IDEMPOTENT per micro-batch, the
+    * half of that guarantee foreachBatch does not give for free: its
+    * at-least-once contract means a crash between a plain `append` and
+    * the offset commit would replay the batch and duplicate its rows on
+    * restart. Batch ids are stable across such replays (they are a pure
+    * function of the committed offsets), so `overwrite` into a
+    * `batch_seq=<id>` partition makes the replay rewrite the same rows
+    * instead of doubling them — the standard foreachBatch exactly-once
+    * recipe. Readers of `outDir` see one extra `batch_seq` partition
+    * column (arrival provenance). Verdicts are per-document (no cross-doc
+    * state), so per-micro-batch computation is globally correct for ANY
+    * verdict function with that property. `maxFilesPerTrigger` > 0 forces
+    * multi-batch runs (spec). */
   private def runVerdictsToParquet(spark: SparkSession, docsDir: String,
       idxPath: String, outDir: String, checkpointDir: String,
       verdicts: (DataFrame, DataFrame) => DataFrame,
@@ -217,8 +229,9 @@ object DocsStream {
     if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val q = reader.parquet(docsDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        verdicts(batch, idx).write.mode("append").parquet(outDir); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        verdicts(batch, idx).write.mode("overwrite")
+          .parquet(s"$outDir/batch_seq=$batchId"); ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -516,9 +529,16 @@ object DocsStream {
   }
 
   def mixtureFill(docs: DataFrame, rates: DataFrame): DataFrame =
-    graft.text.TextStats.sampleByThreshold(
-        docs.join(broadcast(rates.select(col("source"), col("n_target"))), Seq("source")),
-        rates)
+    // ONE broadcast join attaching BOTH n_target and thresh (the previous
+    // shape joined rates twice — once here for n_target, once inside
+    // sampleByThreshold for thresh — two broadcast hash joins on the
+    // per-arrival hot path for the same O(sources) table). The draw
+    // expression is the shared mixtureKeepPredicate, so the stream's keep
+    // decision provably cannot drift from the batch sampler's.
+    docs
+      .join(broadcast(rates.select(col("source"), col("n_target"), col("thresh"))),
+        Seq("source"))
+      .filter(expr(graft.text.TextStats.mixtureKeepPredicate))
       .groupBy(col("source"), col("n_target"))
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("source"), col("n_target"), col("n_sampled"),

@@ -443,11 +443,30 @@ object EventsStream extends Serializable {
     * table is the monitor's published artifact — the same discipline as
     * every persisted index. */
   def runDriftStream(spark: SparkSession, eventsDir: String,
-      queryName: String = "drift_stream"): DataFrame = {
+      queryName: String = "drift_stream"): DataFrame =
+    runCountsMonitor(spark, queryName,
+      dayTypeCounts(readEventsStream(spark, eventsDir)), driftFromCounts)
+
+  /** The shared monitor lifecycle behind [[runDriftStream]] /
+    * [[runBackfillStream]] / [[runFreshnessStream]] — previously three
+    * near-identical copies, which meant every lifecycle defect had to be
+    * fixed three times. Streams the O(cells) aggregation in complete mode
+    * into a temp parquet table (the file round-trip gives the self-joining
+    * scorer fresh attribute ids — see [[runDriftStream]]'s design note),
+    * scores the re-read table, MATERIALIZES the result, and deletes the
+    * temp dir (previously leaked per call — the lazily-read frame forbade
+    * deletion, so repeated monitor runs accumulated unbounded temp
+    * parquet). The explicit read schema makes an EMPTY landing dir — the
+    * normal start state of a real stream — score as an empty frame
+    * instead of dying on parquet schema inference (zero micro-batches
+    * write zero files); both fixes are the established
+    * EmbedStream.runUpsertStream discipline. */
+  private def runCountsMonitor(spark: SparkSession, queryName: String,
+      streamedCounts: DataFrame, score: DataFrame => DataFrame): DataFrame = {
     val countsDir = java.nio.file.Files
       .createTempDirectory(s"graft_$queryName").toString
-    val counts = dayTypeCounts(readEventsStream(spark, eventsDir))
-    val q = counts.writeStream
+    val schema = streamedCounts.schema
+    val q = streamedCounts.writeStream
       .outputMode("complete")
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.write.mode("overwrite").parquet(countsDir); ()
@@ -455,7 +474,18 @@ object EventsStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    driftFromCounts(spark.read.parquet(countsDir))
+    val result = score(spark.read.schema(schema).parquet(countsDir))
+      .localCheckpoint()
+    deleteRecursively(java.nio.file.Paths.get(countsDir))
+    result
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
   }
 
   /** Coverage scoring of graft.ops.Analytics an_backfill_plan over a
@@ -481,20 +511,9 @@ object EventsStream extends Serializable {
     * parquet round-trip (counts table overwritten per trigger, scoring join
     * over the re-read table). */
   def runBackfillStream(spark: SparkSession, eventsDir: String,
-      queryName: String = "backfill_stream"): DataFrame = {
-    val countsDir = java.nio.file.Files
-      .createTempDirectory(s"graft_$queryName").toString
-    val counts = dayTypeCounts(readEventsStream(spark, eventsDir))
-    val q = counts.writeStream
-      .outputMode("complete")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(countsDir); ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    backfillFromCounts(spark.read.parquet(countsDir))
-  }
+      queryName: String = "backfill_stream"): DataFrame =
+    runCountsMonitor(spark, queryName,
+      dayTypeCounts(readEventsStream(spark, eventsDir)), backfillFromCounts)
 
   /** Per-type watermark maxima — the streamable half of the freshness
     * audit (graft.ops.Analytics an_watermark_lag): ONE complete-mode
@@ -517,19 +536,9 @@ object EventsStream extends Serializable {
     * parquet round-trip (the scoring join reads the watermark table against
     * an aggregate of itself). */
   def runFreshnessStream(spark: SparkSession, eventsDir: String,
-      queryName: String = "freshness_stream"): DataFrame = {
-    val maxDir = java.nio.file.Files
-      .createTempDirectory(s"graft_$queryName").toString
-    val q = typeWatermarks(readEventsStream(spark, eventsDir)).writeStream
-      .outputMode("complete")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(maxDir); ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    freshnessFromMax(spark.read.parquet(maxDir))
-  }
+      queryName: String = "freshness_stream"): DataFrame =
+    runCountsMonitor(spark, queryName,
+      typeWatermarks(readEventsStream(spark, eventsDir)), freshnessFromMax)
 
   /** GENERALIZED quasi-identifier cell: (event_type, hour-of-day). The
     * fine-grained audit (graft.ops.Analytics an_kanon_audit) flags under-k

@@ -1169,6 +1169,15 @@ object TextStats extends TextDp with TextBpe {
       .withColumn("thresh", expr("n_target * 4294967296L div n_docs"))
   }
 
+  /** The mixture draw's keep predicate over an attached `thresh` column —
+    * ONE definition shared by [[sampleByThreshold]] and any caller that
+    * attaches the rate table itself (graft.streaming.DocsStream
+    * .mixtureFill joins rates once for BOTH n_target and thresh rather
+    * than paying two broadcast joins per micro-batch), so the draw cannot
+    * drift between consumers. */
+  private[graft] val mixtureKeepPredicate =
+    "md5_prefix48(CAST(doc_id AS STRING)) div 65536 < thresh"
+
   /** The deterministic mixture draw: keep a doc iff its 32-bit md5 prefix
     * clears its source's threshold. Stream-legal (broadcast static rate
     * table + scan predicate, no sort/window) — the same expression batch
@@ -1177,7 +1186,7 @@ object TextStats extends TextDp with TextBpe {
       rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .join(broadcast(rates.select(col("source"), col("thresh"))), Seq("source"))
-      .filter(expr("md5_prefix48(CAST(doc_id AS STRING)) div 65536 < thresh"))
+      .filter(expr(mixtureKeepPredicate))
 
 
 

@@ -302,6 +302,22 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(removed >= 1, "user 1's state row was never removed after its last timeout")
   }
 
+  test("counts monitors on an EMPTY landing dir return empty frames, not a schema crash") {
+    // The normal start state of a real stream: zero arrivals → zero
+    // micro-batches → an empty temp counts table. Before round 15 the
+    // read-back inferred its schema from the (empty) parquet dir and threw
+    // UNABLE_TO_INFER_SCHEMA in all three monitors; the shared
+    // runCountsMonitor lifecycle now reads under the aggregation's own
+    // schema, so the scorers see an empty table and return empty verdicts.
+    val dir = java.nio.file.Files.createTempDirectory("events_mon_empty").toString
+    assert(EventsStream.runDriftStream(spark, dir, "drift_empty_spec")
+      .collect().isEmpty)
+    assert(EventsStream.runBackfillStream(spark, dir, "backfill_empty_spec")
+      .collect().isEmpty)
+    assert(EventsStream.runFreshnessStream(spark, dir, "freshness_empty_spec")
+      .collect().isEmpty)
+  }
+
   test("streaming drift gate equals the registered batch variant") {
     val land = java.nio.file.Files.createTempDirectory("events_drift").toString
     graft.Tables.events(spark, sf)
