@@ -146,23 +146,51 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ONE table of graft's native functions — (name, class name, arity,
+  * builder) — iterated by BOTH registration paths below, so the
+  * extension-loaded cluster session and the `register()`-covered foreign
+  * session can never expose different function sets (previously two
+  * hand-maintained copies). Builders validate ARITY loudly: `exprs.head`
+  * alone would silently DROP surplus arguments (`cosine_sim(a, b, c)`
+  * computing from (a, b) — a wrong answer with no error) and throw a raw
+  * IndexOutOfBounds on missing ones. */
+private object GraftFunctionTable {
+  private def arity1(name: String, mk: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => mk(a)
+    case exprs => throw new IllegalArgumentException(
+      s"function $name requires exactly 1 argument, got ${exprs.length}")
+  }
+
+  private def arity2(name: String, mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => mk(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"function $name requires exactly 2 arguments, got ${exprs.length}")
+  }
+
+  val entries: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSim].getName,
+      arity2("cosine_sim", CosineSim(_, _))),
+    ("dot_product", classOf[DotProduct].getName,
+      arity2("dot_product", DotProduct(_, _))),
+    ("simhash32", classOf[SimHash32].getName, arity1("simhash32", SimHash32)),
+    ("simhash60", classOf[SimHash60].getName, arity1("simhash60", SimHash60)),
+    ("rp_band_codes", classOf[RpBandCodes].getName,
+      arity1("rp_band_codes", RpBandCodes)),
+    ("md5_prefix48", classOf[Md5Prefix48].getName,
+      arity1("md5_prefix48", Md5Prefix48)),
+  )
+}
+
 /** Session registration for graft's native expressions (idempotent) — the
   * temp-function path for sessions not built with [[GraftExtensions]]. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash60", exprs => SimHash60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rp_band_codes", exprs => RpBandCodes(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix48", exprs => Md5Prefix48(exprs.head), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    GraftFunctionTable.entries.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
 
 /** Production wiring: register graft's native expressions through
@@ -173,30 +201,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (exprs: Seq[Expression]) => SimHash32(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("simhash60"),
-      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("rp_band_codes"),
-      new ExpressionInfo(classOf[RpBandCodes].getName, "rp_band_codes"),
-      (exprs: Seq[Expression]) => RpBandCodes(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("md5_prefix48"),
-      new ExpressionInfo(classOf[Md5Prefix48].getName, "md5_prefix48"),
-      (exprs: Seq[Expression]) => Md5Prefix48(exprs.head)))
-  }
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctionTable.entries.foreach { case (name, className, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(className, name), builder))
+    }
 }

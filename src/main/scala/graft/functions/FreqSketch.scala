@@ -40,6 +40,11 @@ object FreqSketch {
     override def zero: MgBuf = MgBuf(Vector.empty)
 
     override def reduce(b: MgBuf, item: String): MgBuf = {
+      // Typed Aggregators see nulls un-filtered (unlike built-in aggs,
+      // which skip them): a null item would enter the buffer and NPE in
+      // the count-tie String comparison of merge/finish's sortBy. Skip
+      // nulls — the built-in-aggregate convention.
+      if (item == null) return b
       val i = b.entries.indexWhere(_.item == item)
       if (i >= 0)
         MgBuf(b.entries.updated(i, Counted(item, b.entries(i).cnt + 1L)))

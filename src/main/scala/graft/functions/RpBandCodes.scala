@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
@@ -46,9 +45,9 @@ object RpBandCodesImpl {
   val BandBits = 8
   val Planes: Int = Bands * BandBits
 
-  private val md5 = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
+  // md5 comes from SimHashImpl's shared per-thread digest — one ThreadLocal
+  // per executor thread for the whole package, not one per kernel.
+  private def md5 = SimHashImpl.md5
 
   /** signs(p*dim + i) ∈ {+1, -1}: high bit of md5("rp:p:i") first byte.
     * Built once per dimensionality per JVM (Planes×Dim md5 calls — 8k at

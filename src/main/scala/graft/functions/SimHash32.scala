@@ -11,8 +11,23 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Shared SimHash kernel, called from both interpreted eval and generated
   * code (a static call keeps the codegen template trivial). */
 object SimHashImpl {
-  private val md5 = new ThreadLocal[MessageDigest] {
+  // Shared per-thread digest for every md5-derived kernel in this package
+  // (RpBandCodesImpl reuses it rather than holding a second ThreadLocal).
+  private[functions] val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared analysis-time check for the token-array expressions. */
+  private[functions] def requireStringArray(fn: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<string>, got ${other.sql}")
+    }
   }
 
   /** 32-bit token hash = first 4 md5 bytes big-endian — bit-compatible with
@@ -109,11 +124,32 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash32"
 
-  override def nullSafeEval(tokens: Any): Any =
-    SimHashImpl.compute(tokens.asInstanceOf[ArrayData])
+  // Null even for a non-null child: the empty token array yields null (see
+  // the nullSafeEval note), so the parent's child-nullability shortcut
+  // must not apply.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SimHashImpl.requireStringArray(prettyName, child.dataType)
+
+  // EMPTY token array → null, not the all-ones code: with zero tokens
+  // every bit vote ties at 0 and the >= 0 rule would set all bits,
+  // clustering every token-less doc into one LSH bucket — and diverging
+  // from the exploded/oracle formulation, which produces NO row for a doc
+  // with no tokens. Null is the scalar analog of that absent row.
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHashImpl.compute(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.SimHashImpl.compute($c);
+       |}
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -130,6 +166,15 @@ case class Md5Prefix48(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def prettyName: String = "md5_prefix48"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix48 requires string, got ${other.sql}")
+    }
+  }
 
   override def nullSafeEval(s: Any): Any =
     SimHashImpl.prefix48(s.asInstanceOf[UTF8String])
@@ -155,11 +200,25 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash60"
 
-  override def nullSafeEval(tokens: Any): Any =
-    SimHashImpl.compute60(tokens.asInstanceOf[ArrayData])
+  // See SimHash32: empty array → null, so nullable regardless of child.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SimHashImpl.requireStringArray(prettyName, child.dataType)
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else SimHashImpl.compute60(arr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute60($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = graft.functions.SimHashImpl.compute60($c);
+       |}
+     """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -25,9 +25,19 @@ object TopK {
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   final class TopKAgg(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
+    require(k >= 1, s"topK needs k >= 1, got $k")
+
     override def zero: Buf = Buf(Vector.empty)
 
-    override def reduce(b: Buf, in: Scored): Buf = insert(b, in)
+    // NaN scores never enter the buffer: `lt` is not a total order under
+    // NaN (every comparison is false), so one NaN-scored entry reaching
+    // `entries.last` would make the full-buffer guard reject ALL later
+    // candidates — an arrival-order-dependent wrong top-k. cosine_sim
+    // returns NaN exactly for zero-norm vectors, which have no meaningful
+    // similarity rank; dropping them matches the window-oracle convention
+    // of ranking only comparable scores.
+    override def reduce(b: Buf, in: Scored): Buf =
+      if (java.lang.Double.isNaN(in.score)) b else insert(b, in)
 
     override def merge(a: Buf, b: Buf): Buf =
       b.entries.foldLeft(a)(insert)

@@ -51,19 +51,23 @@ object GraftProperties extends Properties("graft") {
 
   property("simhash60 fits in 60 bits and equals the vote-by-vote reference") =
     forAll(tokenGen) { toks =>
-      val got = toks.toDF("t").groupBy().agg(collect_list(col("t")).as("ts"))
+      val row = toks.toDF("t").groupBy().agg(collect_list(col("t")).as("ts"))
         .selectExpr("simhash60(ts) AS h") // registered by TestSpark session
-        .head.getLong(0)
-      // independent reference computation of the same semantics
-      val votes = new Array[Int](60)
-      toks.foreach { t =>
-        val h = functions.SimHashImpl.tokenHash60(
-          org.apache.spark.unsafe.types.UTF8String.fromString(t))
-        (0 until 60).foreach(j => votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+        .head
+      if (toks.isEmpty) row.isNullAt(0) // round 15: empty array → null
+      else {
+        val got = row.getLong(0)
+        // independent reference computation of the same semantics
+        val votes = new Array[Int](60)
+        toks.foreach { t =>
+          val h = functions.SimHashImpl.tokenHash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          (0 until 60).foreach(j => votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1))
+        }
+        val expect = (0 until 60).foldLeft(0L)((acc, j) =>
+          if (votes(j) >= 0) acc | (1L << j) else acc)
+        got == expect && (got >>> 60) == 0L
       }
-      val expect = (0 until 60).foldLeft(0L)((acc, j) =>
-        if (votes(j) >= 0) acc | (1L << j) else acc)
-      got == expect && (got >>> 60) == 0L
     }
 
   property("md5_prefix48 equals the SQL conv(substr(md5)) chain it replaces") =

@@ -52,4 +52,14 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(agg.merge(a, b).entries == Vector(
       FreqSketch.Counted("x", 8), FreqSketch.Counted("y", 1)))
   }
+
+  test("null items are skipped, not buffered (typed Aggregators see nulls un-filtered)") {
+    // A null entering the buffer NPE'd in the count-tie String comparison
+    // of merge/finish's sortBy; nulls now skip, matching the built-in
+    // aggregate convention.
+    val agg = FreqSketch.misraGries(2)
+    val b = Seq("a", null, "a", null, "b").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(b, b)) == Vector(
+      FreqSketch.Counted("a", 4), FreqSketch.Counted("b", 2)))
+  }
 }

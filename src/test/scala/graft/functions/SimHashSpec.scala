@@ -48,4 +48,37 @@ class SimHashSpec extends AnyFunSuite {
       .map(s => SimHashImpl.tokenHash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
     assert(got == native)
   }
+
+  test("empty token array hashes to NULL, not the all-ones code") {
+    // Zero tokens = every bit vote ties at 0, and the >= 0 rule would set
+    // all 32/60 bits — clustering every token-less doc into ONE LSH bucket
+    // and diverging from the exploded formulation, which emits no row for
+    // a doc with no tokens. Null is the scalar analog of that absent row.
+    import spark.implicits._
+    val r = Seq(("a b", 1), ("", 2)).toDF("text", "id")
+      .select(expr("simhash32(array_remove(split(text, ' '), ''))").as("h32"),
+        expr("simhash60(array_remove(split(text, ' '), ''))").as("h60"))
+      .orderBy("h32").collect()
+    assert(r.exists(row => row.isNullAt(0) && row.isNullAt(1)),
+      "token-less doc must hash to null")
+    assert(r.exists(row => !row.isNullAt(0) && !row.isNullAt(1)))
+  }
+
+  test("wrong input types and wrong arity fail at analysis, not mid-execution") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L), "s")).toDF("nums", "s")
+    // type checks: array<bigint> into simhash32, bigint into md5_prefix48
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("simhash32(nums)")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("md5_prefix48(CAST(1 AS BIGINT))")).collect()
+    }
+    // arity: surplus arguments were previously dropped SILENTLY
+    // (cosine_sim(a, b, c) computed from (a, b) — a wrong answer, no error)
+    val e = intercept[Exception] {
+      df.select(expr("simhash32(nums, s)")).collect()
+    }
+    assert(e.getMessage.contains("argument"), e.getMessage)
+  }
 }

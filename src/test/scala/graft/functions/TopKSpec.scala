@@ -30,4 +30,17 @@ class TopKSpec extends AnyFunSuite {
     val m = agg.merge(b, Buf(Vector(Scored(6, 0.7), Scored(7, 0.05))))
     assert(m.entries == Seq(Scored(2, 0.9), Scored(5, 0.9), Scored(6, 0.7)))
   }
+
+  test("NaN scores never enter the buffer (cosine_sim of a zero-norm vector)") {
+    // The comparator is not a total order under NaN: one NaN-scored entry
+    // reaching entries.last made the full-buffer guard reject EVERY later
+    // candidate (lt(in, NaN) is always false) — an arrival-order-dependent
+    // wrong top-k. NaN candidates are dropped at reduce.
+    val agg = TopK.topK(2)
+    val b = Seq(Scored(1, 0.1), Scored(2, Double.NaN), Scored(3, 0.2),
+      Scored(4, 0.9), Scored(5, Double.NaN)).foldLeft(agg.zero)(agg.reduce)
+    assert(b.entries == Seq(Scored(4, 0.9), Scored(3, 0.2)),
+      "NaN must neither rank nor block later candidates")
+    intercept[IllegalArgumentException] { TopK.topK(0) }
+  }
 }
