@@ -1052,10 +1052,11 @@ object Analytics {
       * (qi, user_id); the distinct-user count partial-aggregates map-side
       * after an in-partition distinct. Output is O(|QI domain|) — here
       * 24·|types|·|decades|, bounded regardless of corpus size. Decade
-      * bucket = floor(value/10): FLOOR division on both engines — a raw
+      * bucket = explicit floor(value/10) on both engines — a raw
       * double→bigint CAST truncates in Spark but rounds in DuckDB, and
-      * integer `div` truncates toward zero in Spark while DuckDB `//`
-      * floors, so negatives would bucket differently under either. */
+      * integer division (`div` and `//` alike) truncates toward zero in
+      * BOTH engines, so a negative value would bucket to the wrong
+      * (toward-zero) decade under either shortcut. */
     QueryDef(
       "an_kanon_audit",
       (s, d) => Tables.events(s, d)

@@ -235,7 +235,14 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for the fixed query set (vec_id < 8):
     * queries broadcast over one corpus scan, self excluded, per-query
-    * window rank — the ground truth the ANN paths are evaluated against. */
+    * window rank — the ground truth the cosine ANN paths are evaluated
+    * against. Zero-norm candidates are EXCLUDED before ranking: cosine_sim
+    * yields NaN for them (see [[graft.functions.CosineSim]]'s edge note),
+    * NaN has no similarity rank, and without the filter the window
+    * formulation would sort NaN first while the bounded TopK aggregator
+    * drops it — this filter is what keeps sim_topk_brute ≡ sim_topk_agg
+    * and pins the convention the oracles mirror (their 0/0 is likewise
+    * excluded in [[duckBruteSql]]/[[duckBruteCte]]). */
   private def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < 8)
@@ -246,38 +253,122 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("cand_id") =!= col("q_id"))
       .withColumn("cos6", expr(cosExpr))
+      .filter(col("cos6").isNotNull && !isnan(col("cos6")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
   }
 
-  /** IVF probe/search shape shared by `sim_ann_ivf` and the √N-scaled
-    * variant: assign the corpus to trained cells, probe each query's
-    * `nprobe` nearest cells (centroids broadcast, corpus never shuffled by
-    * the probe), exact-cosine re-rank the union of probed cells to top-3. */
-  private def annIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+  /** Exact brute-force DOT-PRODUCT top-k for the fixed query set — the
+    * MIPS ground truth. Serves `sim_mips_topk` directly and is the exact
+    * side of the PQ recall eval (ADC scores approximate the DOT metric, so
+    * a cosine ground truth would conflate metric mismatch with
+    * quantization loss). No NaN guard needed: a dot product of finite
+    * vectors is always finite, zero-norm included. */
+  private def bruteMipsTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("va"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("cand_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("ip", expr("dot_product(va, vb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"),
+        expr("round(ip, 6)").as("ip6"), col("rank"))
+  }
+
+  /** Standalone brute-force cosine top-`k` oracle — ONE text for
+    * `sim_topk_brute` and `sim_topk_agg` (previously two byte-identical
+    * copies). `NOT isnan(cos)` mirrors [[bruteTopK]]'s zero-norm exclusion;
+    * under NULL-on-0/0 DuckDB semantics the predicate is NULL and the row
+    * drops the same way. */
+  private def duckBruteSql(k: Int): String =
+    s"""SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+       |        FROM embeddings WHERE vec_id < 8) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos))
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** The same ranking as a `brute AS (...)` CTE projected to (q_id,
+    * cand_id) — the exact-cosine ground-truth block of the IVF recall
+    * evals (`sim_ann_recall`, `sim_nprobe_sweep`). */
+  private def duckBruteCte(k: Int): String =
+    s"""brute AS (SELECT q_id, cand_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+       |        FROM embeddings WHERE vec_id < 8) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos)) WHERE rank <= $k)""".stripMargin
+
+  /** Dot-metric twin of [[duckBruteCte]] — the exact ground truth of the
+    * PQ recall eval ([[duckPqRecallSql]]), mirroring [[bruteMipsTopK]]. */
+  private def duckMipsBruteCte(k: Int): String =
+    s"""brute AS (SELECT q_id, cand_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${duckDotOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
+       |        FROM embeddings WHERE vec_id < 8) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |  WHERE c.vec_id <> q.vec_id) WHERE rank <= $k)""".stripMargin
+
+  /** The IVF probe block shared by EVERY IVF-served path (`sim_ann_ivf`,
+    * `sim_ann_ivf_sqrtn`, `sim_mips_ivf`, `sim_ann_filtered`,
+    * `sim_ivf_pq`): rank the broadcast centroids per query under
+    * `metricFn`, keep each query's top `nprobe` cells. One audited home,
+    * the bucketedPairs discipline — callers project (q_id, probe_cell,
+    * …) from the returned frame. `e` must carry (vec_id, v) plus any
+    * pass-through columns the caller needs (e.g. label). */
+  private def ivfProbes(e: DataFrame, cdf: DataFrame, nprobe: Int,
+      metricFn: String): DataFrame = {
+    val wq = Window.partitionBy(col("vec_id")).orderBy(col("psc").desc, col("cid").asc)
+    e.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cdf))
+      .withColumn("psc", expr(s"round($metricFn(v, cv), 6)"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe)
+  }
+
+  /** IVF probe/search shape shared by the cosine and dot serving paths:
+    * assign the corpus to trained cells, probe each query's `nprobe`
+    * nearest cells under `metricFn` (centroids broadcast via [[ivfProbes]],
+    * corpus never shuffled by the probe), exact re-rank the union of
+    * probed cells to top-3 under the same metric. One body for
+    * [[annIvfSearch]] and [[mipsIvfSearch]] — previously two near-verbatim
+    * copies that a probe/re-rank fix would have had to hit twice. */
+  private def ivfSearch(s: SparkSession, d: String, k: Int, nprobe: Int,
+      metricFn: String, scoreCol: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
     val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
     val asg = cellsStored(s, d, k).select(col("vec_id"), col("cell"))
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("cos6").desc, col("cid").asc)
-    val probes = e.filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cdf))
-      .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
+    val probes = ivfProbes(e, cdf, nprobe, metricFn)
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
     val c = e.join(asg, "vec_id")
       .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos6").desc, col("cand_id").asc)
+      .orderBy(col(scoreCol).desc, col("cand_id").asc)
     c.join(broadcast(probes),
         c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
-      .withColumn("cos6", expr(cosExpr))
+      .withColumn(scoreCol, expr(s"round($metricFn(va, vb), 6)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("q_id"), col("cand_id"), col("cos6"), col("rank"))
+      .select(col("q_id"), col("cand_id"), col(scoreCol), col("rank"))
       .orderBy("q_id", "rank")
   }
+
+  /** Cosine IVF serving — `sim_ann_ivf` and the √N-scaled variant. */
+  private def annIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame =
+    ivfSearch(s, d, k, nprobe, "cosine_sim", "cos6")
 
   /** IVF serving under the INNER-PRODUCT metric (the faiss
     * IndexIVF/METRIC_INNER_PRODUCT shape): the SAME trained index — raw-
@@ -286,80 +377,47 @@ object Similarity {
     * dot re-ranked. This is how one physical index serves both the cosine
     * queries (sim_ann_ivf) and the dot-trained retrieval models
     * (sim_mips_topk is the brute ground truth); recall vs brute MIPS is
-    * asserted in SimilaritySpec. Plan shape identical to [[annIvfSearch]]:
-    * centroids broadcast, corpus never shuffled by the probe, candidates
-    * read via the stored assignment artifact. */
-  private def mipsIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"))
-    val cdf = centroidsDf(s, trainKMeans(s, d, k, Iters))
-    val asg = cellsStored(s, d, k).select(col("vec_id"), col("cell"))
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("ip6").desc, col("cid").asc)
-    val probes = e.filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cdf))
-      .withColumn("ip6", expr("round(dot_product(v, cv), 6)"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("v").as("va"), col("cid").as("probe_cell"))
-    val c = e.join(asg, "vec_id")
-      .select(col("vec_id").as("cand_id"), col("v").as("vb"), col("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("ip6").desc, col("cand_id").asc)
-    c.join(broadcast(probes),
-        c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
-      .withColumn("ip6", expr("round(dot_product(va, vb), 6)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("cand_id"), col("ip6"), col("rank"))
-      .orderBy("q_id", "rank")
-  }
+    * asserted in SimilaritySpec. Plan shape identical to [[annIvfSearch]]
+    * by construction (shared [[ivfSearch]] body). */
+  private def mipsIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame =
+    ivfSearch(s, d, k, nprobe, "dot_product", "ip6")
 
   private def duckDotOf(a: String, b: String): String =
     s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), 6)"
 
-  /** Oracle for [[mipsIvfSearch]]: the shared k-means replay, probes and
-    * re-rank under the dot metric. */
-  private def duckMipsIvfSql(nprobe: Int): String = {
-    val pdot = duckDotOf("e.v", "c.cv")
-    s"""WITH ${duckKmeansChain()},
-       |probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
-       |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
-       |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY $pdot DESC, c.cid ASC) AS rn
-       |  FROM e, c$Iters c WHERE e.vec_id < 8) WHERE rn <= $nprobe),
-       |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
-       |          FROM assign a JOIN e USING (vec_id)),
-       |ranked AS (
-       |  SELECT p.q_id, c.cand_id, ${duckDotOf("p.va", "c.vb")} AS ip6,
-       |         row_number() OVER (PARTITION BY p.q_id
-       |                            ORDER BY ${duckDotOf("p.va", "c.vb")} DESC,
-       |                                     c.cand_id ASC) AS rank
-       |  FROM probes p JOIN cands c
-       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)
-       |SELECT q_id, cand_id, ip6, CAST(rank AS INTEGER) AS rank FROM ranked
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
-  }
-
-  /** Oracle for [[annIvfSearch]] over a given training chain + probe budget. */
-  /** Shared probe/candidate/ranked-result CTE text of the IVF oracle,
-    * ending in `ivfranked(q_id, cand_id, cos6, rank)` — consumed by both
-    * the search oracle and the recall-eval oracle. */
-  private def duckIvfCtes(nprobe: Int): String = {
-    val pcos = duckCosOf("e.v", "c.cv")
+  /** Shared probe/candidate/ranked-result CTE text of the IVF oracle under
+    * a given metric, ending in `ivfranked(q_id, cand_id, <scoreCol>,
+    * rank)` — the oracle twin of [[ivfProbes]]+[[ivfSearch]], consumed by
+    * the cosine search oracle ([[duckAnnIvfSql]]), the dot search oracle
+    * ([[duckMipsIvfSql]]) and the recall-eval oracle. */
+  private def duckIvfCtes(nprobe: Int,
+      metricOf: (String, String) => String = duckCosOf,
+      scoreCol: String = "cos6"): String = {
+    val pm = metricOf("e.v", "c.cv")
     s"""probes AS (SELECT vec_id AS q_id, va, probe_cell FROM (
        |  SELECT e.vec_id, e.v AS va, c.cid AS probe_cell,
        |         row_number() OVER (PARTITION BY e.vec_id
-       |                            ORDER BY $pcos DESC, c.cid ASC) AS rn
+       |                            ORDER BY $pm DESC, c.cid ASC) AS rn
        |  FROM e, c${Iters} c WHERE e.vec_id < 8) WHERE rn <= $nprobe),
        |cands AS (SELECT a.vec_id AS cand_id, e.v AS vb, a.cell
        |          FROM assign a JOIN e USING (vec_id)),
        |ivfranked AS (
-       |  SELECT p.q_id, c.cand_id, ${duckCosOf("p.va", "c.vb")} AS cos6,
+       |  SELECT p.q_id, c.cand_id, ${metricOf("p.va", "c.vb")} AS $scoreCol,
        |         row_number() OVER (PARTITION BY p.q_id
-       |                            ORDER BY ${duckCosOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
+       |                            ORDER BY ${metricOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
        |  FROM probes p JOIN cands c
        |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)""".stripMargin
   }
 
+  /** Oracle for [[mipsIvfSearch]]: the shared k-means replay, probes and
+    * re-rank under the dot metric. */
+  private def duckMipsIvfSql(nprobe: Int): String =
+    s"""WITH ${duckKmeansChain()},
+       |${duckIvfCtes(nprobe, duckDotOf, "ip6")}
+       |SELECT q_id, cand_id, ip6, CAST(rank AS INTEGER) AS rank
+       |FROM ivfranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** Oracle for [[annIvfSearch]] over a given training chain + probe budget. */
   private def duckAnnIvfSql(chain: String, nprobe: Int): String =
     s"""WITH $chain,
        |${duckIvfCtes(nprobe)}
@@ -602,18 +660,12 @@ object Similarity {
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** Oracle for `sim_pq_recall`: the PQ ADC top-3 against the exact
-    * brute-force top-3, hits counted per query from the exact side. */
+    * brute-force DOT-metric top-3 ([[duckMipsBruteCte]] — the metric ADC
+    * approximates), hits counted per query from the exact side. */
   private def duckPqRecallSql: String =
     s"""WITH $duckPqRankedCtes,
        |pq AS (SELECT q_id, cand_id FROM r WHERE rank <= 3),
-       |brute AS (SELECT q_id, cand_id FROM (
-       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-       |         row_number() OVER (PARTITION BY q.vec_id
-       |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8) q,
-       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
-       |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3)
+       |${duckMipsBruteCte(3)}
        |SELECT b.q_id, CAST(COUNT(p.cand_id) AS BIGINT) AS n_hits,
        |       (1000 * CAST(COUNT(p.cand_id) AS BIGINT)) // 3 AS recall_permille
        |FROM brute b LEFT JOIN pq p
@@ -716,24 +768,21 @@ object Similarity {
            |WHERE ${duckCosOf("a.v", "c.v")} >= 0.35
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
-    /** Brute-force cosine top-5 for queries vec_id < 8 (self excluded). */
+    /** Brute-force cosine top-5 for queries vec_id < 8 (self excluded;
+      * zero-norm candidates have no rank — see [[bruteTopK]]). */
     QueryDef(
       "sim_topk_brute",
       (s, d) => bruteTopK(s, d, 5).orderBy("q_id", "rank"),
-      Some(s"""SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
-              |         row_number() OVER (PARTITION BY q.vec_id
-              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-              |        FROM embeddings WHERE vec_id < 8) q,
-              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
-              |  WHERE c.vec_id <> q.vec_id)
-              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(duckBruteSql(5))),
 
     /** Top-k via the bounded typed Aggregator (graft.functions.TopK): same
-      * result as the window formulation (same oracle), but partial buffers
-      * cap the shuffle at O(queries × k) — the formulation that survives
-      * millions of candidates per query. */
+      * result as the window formulation (same oracle — [[duckBruteSql]]),
+      * but partial buffers cap the shuffle at O(queries × k) — the
+      * formulation that survives millions of candidates per query. The
+      * explicit NaN filter mirrors [[bruteTopK]]'s: TopK already drops NaN
+      * at reduce, so the filter is what makes the equivalence to the
+      * window path hold by construction, not by the aggregator's side
+      * behavior. */
     QueryDef(
       "sim_topk_agg",
       (s, d) => {
@@ -744,6 +793,7 @@ object Similarity {
         val scored = c.crossJoin(broadcast(q))
           .filter(col("cand_id") =!= col("q_id"))
           .withColumn("cos6", expr(cosExpr))
+          .filter(col("cos6").isNotNull && !isnan(col("cos6")))
           .select(col("q_id"), col("cand_id"), col("cos6"))
           .as[(Long, Long, Double)]
         scored.groupByKey(_._1)
@@ -753,18 +803,9 @@ object Similarity {
             entries.zipWithIndex.map { case (en, i) => (qid, en.id, en.score, i + 1) }
           }
           .toDF("q_id", "cand_id", "cos6", "rank")
-          .withColumn("rank", col("rank").cast("int"))
           .orderBy("q_id", "rank")
       },
-      Some(s"""SELECT q_id, cand_id, cos6, CAST(rank AS INTEGER) AS rank FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, $duckCos AS cos6,
-              |         row_number() OVER (PARTITION BY q.vec_id
-              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-              |        FROM embeddings WHERE vec_id < 8) q,
-              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
-              |  WHERE c.vec_id <> q.vec_id)
-              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+      Some(duckBruteSql(5))),
 
     /** Trained IVF cell assignment for every vector (k-means, K cells,
       * Iters Lloyd's rounds — the oracle replays training exactly). */
@@ -822,14 +863,7 @@ object Similarity {
       Some(s"""WITH ${duckKmeansChain()},
               |${duckIvfCtes(NProbe)},
               |ivf AS (SELECT q_id, cand_id FROM ivfranked WHERE rank <= 3),
-              |brute AS (SELECT q_id, cand_id FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-              |         row_number() OVER (PARTITION BY q.vec_id
-              |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-              |        FROM embeddings WHERE vec_id < 8) q,
-              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
-              |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3)
+              |${duckBruteCte(3)}
               |SELECT b.q_id, CAST(COUNT(i.cand_id) AS BIGINT) AS n_hits,
               |       (1000 * CAST(COUNT(i.cand_id) AS BIGINT)) // 3 AS recall_permille
               |FROM brute b LEFT JOIN ivf i
@@ -880,15 +914,7 @@ object Similarity {
            |             JOIN cands c
            |               ON c.cell = p.probe_cell AND c.cand_id <> p.q_id),
            |ivf AS (SELECT nprobe, q_id, cand_id FROM vis WHERE rank <= 3),
-           |brute AS (SELECT q_id, cand_id FROM (
-           |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-           |         row_number() OVER (PARTITION BY q.vec_id
-           |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
-           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-           |        FROM embeddings WHERE vec_id < 8) q,
-           |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb
-           |        FROM embeddings) c
-           |  WHERE c.vec_id <> q.vec_id) WHERE rank <= 3),
+           |${duckBruteCte(3)},
            |x AS (SELECT n.nprobe, b.q_id, b.cand_id, i.cand_id AS hit
            |      FROM npv n CROSS JOIN brute b
            |      LEFT JOIN ivf i ON i.nprobe = n.nprobe AND i.q_id = b.q_id
@@ -920,13 +946,7 @@ object Similarity {
         val e = vecs(s, d).select(col("vec_id"), col("v"), col("label"))
         val cdf = centroidsDf(s, trainKMeans(s, d, K, Iters))
         val asg = cellsStored(s, d, K).select(col("vec_id"), col("cell"))
-        val wq = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos6").desc, col("cid").asc)
-        val probes = e.filter(col("vec_id") < 8)
-          .crossJoin(broadcast(cdf))
-          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= NProbe)
+        val probes = ivfProbes(e, cdf, NProbe, "cosine_sim")
           .select(col("vec_id").as("q_id"), col("v").as("va"),
             col("label").as("q_label"), col("cid").as("probe_cell"))
         val c = e.join(asg, "vec_id")
@@ -974,8 +994,10 @@ object Similarity {
       * [0, 127]. All arithmetic in integer micro-units (the sim_rp_pairs
       * discipline): floats become `round(v * 1e6)` BIGINTs first, so both
       * engines compute bit-identical codes — no float division anywhere,
-      * and Spark `div` truncation equals DuckDB `//` floor because every
-      * operand is non-negative. A narrow one-pass map (no shuffle, no model
+      * and integer division agrees because BOTH engines truncate toward
+      * zero (Spark `div` ≡ DuckDB `//`; every operand here is non-negative
+      * anyway, so even a floor-vs-truncate disagreement couldn't bite).
+      * A narrow one-pass map (no shuffle, no model
       * state); emitted checksums (sum/min/max of codes) keep the oracle
       * row compact while pinning every code. */
     QueryDef(
@@ -1015,7 +1037,14 @@ object Similarity {
       * path can't give the oracle). Same distributed shape as
       * sim_topk_brute: queries broadcast, one window per query for the
       * top-k; at scale the scan reads 64-byte codes instead of 256-byte
-      * floats — the 4× IO cut is the point of quantized serving. */
+      * floats — the 4× IO cut is the point of quantized serving.
+      *
+      * Exactness envelope (the k-means-sum-bound discipline): worst-case
+      * |score| = ma·mb·Dim·127², which fits BIGINT only while the max
+      * |component| stays ≲ 3.0 (scale m ≤ 3e6 micro at Dim=64). Beyond it
+      * Spark's non-ANSI multiply wraps silently while DuckDB's checked
+      * arithmetic errors — SimilaritySpec pins the fixture inside the
+      * envelope so the boundary can't be crossed unnoticed. */
     QueryDef(
       "sim_topk_q8",
       (s, d) => {
@@ -1217,22 +1246,28 @@ object Similarity {
       Some(duckPqTopkSql)),
 
     /** PQ RECALL@3 EVAL — the `sim_ann_recall` discipline applied to the
-      * OTHER index half: per query, how many of the exact brute-force top-3
-      * the compressed ADC serving path returned (1000‰ = lossless ranking).
-      * PQ is a lossy code; production watches this number after every
-      * codebook retrain, because distortion creep (corpus drift away from
-      * the trained centroids) degrades serving silently while `sim_pq_codes`'
-      * dist2_total still looks plausible. Cost: the brute pass runs on the
-      * QUERY SAMPLE only (queries broadcast over one corpus scan); the PQ
-      * side probes the persisted code table + memoized codebook — no
-      * training, no raw-vector scan. The left join from the exact top-3
-      * guarantees every query reports, hits or not. */
+      * OTHER index half: per query, how many of the exact top-3 the
+      * compressed ADC serving path returned (1000‰ = lossless ranking).
+      * The exact side is the DOT-metric brute force ([[bruteMipsTopK]]):
+      * ADC scores are query·reconstructed-candidate inner products, so a
+      * cosine ground truth would conflate quantization loss with metric
+      * mismatch whenever candidate norms spread (exactly what
+      * `sim_norm_audit` measures) and 1000‰ would be unreachable even at
+      * infinite codebook size. PQ is a lossy code; production watches this
+      * number after every codebook retrain, because distortion creep
+      * (corpus drift away from the trained centroids) degrades serving
+      * silently while `sim_pq_codes`' dist2_total still looks plausible.
+      * Cost: the brute pass runs on the QUERY SAMPLE only (queries
+      * broadcast over one corpus scan); the PQ side probes the persisted
+      * code table + memoized codebook — no training, no raw-vector scan.
+      * The left join from the exact top-3 guarantees every query reports,
+      * hits or not. */
     QueryDef(
       "sim_pq_recall",
       (s, d) => {
         val pq = pqTopK(s, d, 3)
           .select(col("q_id"), col("cand_id")).withColumn("hit", lit(1))
-        bruteTopK(s, d, 3)
+        bruteMipsTopK(s, d, 3)
           .select(col("q_id"), col("cand_id"))
           .join(pq, Seq("q_id", "cand_id"), "left_outer")
           .groupBy(col("q_id"))
@@ -1269,13 +1304,7 @@ object Similarity {
         val model = trainPq(s, d)
         val e = vecs(s, d).select(col("vec_id"), col("v"))
         val cdf = centroidsDf(s, trainKMeans(s, d))
-        val wq = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos6").desc, col("cid").asc)
-        val probes = e.filter(col("vec_id") < 8)
-          .crossJoin(broadcast(cdf))
-          .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= NProbe)
+        val probes = ivfProbes(e, cdf, NProbe, "cosine_sim")
           .select(col("vec_id").as("q_id"), col("cid").as("probe_cell"))
         // The serving index: (cand_id, cell, m, code) — codes + coarse cell,
         // never the raw vectors.
@@ -1324,22 +1353,7 @@ object Similarity {
       * aggregator (sim_topk_agg) is the million-candidate formulation. */
     QueryDef(
       "sim_mips_topk",
-      (s, d) => {
-        val e = vecs(s, d)
-        val q = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("v").as("va"))
-        val c = e.select(col("vec_id").as("cand_id"), col("v").as("vb"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("ip").desc, col("cand_id").asc)
-        c.crossJoin(broadcast(q))
-          .filter(col("cand_id") =!= col("q_id"))
-          .withColumn("ip", expr("dot_product(va, vb)"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("cand_id"),
-            expr("round(ip, 6)").as("ip6"), col("rank"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => bruteMipsTopK(s, d, 5).orderBy("q_id", "rank"),
       Some("""SELECT q_id, cand_id, round(ip, 6) AS ip6, CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
              |         list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) AS ip,

@@ -262,7 +262,9 @@ class SimilaritySpec extends AnyFunSuite {
   test("sim_pq_recall: every query reports; hits restate the pq∩brute top-3 overlap") {
     val rec = run("sim_pq_recall").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val brute3 = run("sim_topk_brute").filter(col("rank") <= 3).collect()
+    // ground truth is the DOT-metric brute force (the metric ADC
+    // approximates), not the cosine one — see the sim_pq_recall doc
+    val brute3 = run("sim_mips_topk").filter(col("rank") <= 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val pq3 = run("sim_pq_topk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -369,4 +371,46 @@ class SimilaritySpec extends AnyFunSuite {
       assert(byLabel(l) == ((n, mn, mx, avg)), s"label $l: JVM replay mismatch")
     }
   }
+
+  test("zero-norm candidates rank in NEITHER top-k formulation (brute ≡ agg)") {
+    // cosine_sim of a zero-norm vector is NaN (CosineSim's edge note): the
+    // window path would sort NaN first while TopK drops it — the explicit
+    // exclusion in both paths is what keeps them equivalent. Planted via a
+    // temp corpus with an all-zero candidate (vec 9; queries are vec_id<8).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zeronorm").toString
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0L until 9L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f), (i % 3).toInt)) :+
+        ((9L, Array.fill(8)(0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val brute = run2("sim_topk_brute", tmp).collect()
+    val agg = run2("sim_topk_agg", tmp).collect()
+    assert(brute.nonEmpty)
+    assert(brute.map(_.toSeq).toSeq == agg.map(_.toSeq).toSeq,
+      "window and aggregator formulations must agree row-for-row")
+    assert(!brute.exists(_.getLong(1) == 9L),
+      "the zero-norm candidate must not rank (NaN has no similarity)")
+    assert(brute.map(r => (r.getLong(0), r.getInt(3))).groupBy(_._1)
+      .forall(_._2.map(_._2).sorted.toSeq == (1 to 5)),
+      "ranks stay dense 1..5 after the exclusion (9 finite candidates remain)")
+  }
+
+  test("sim_topk_q8 exactness envelope: the fixture's scales fit the BIGINT score bound") {
+    // worst-case |score| = ma*mb*Dim*127^2 (doc on sim_topk_q8): Spark
+    // would wrap past 2^63 while DuckDB errors, so the boundary must be
+    // pinned, not assumed
+    val m = graft.Tables.embeddings(spark, sf)
+      .selectExpr("max(aggregate(transform(embedding, " +
+        "x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), " +
+        "CAST(1 AS BIGINT), (a, x) -> greatest(a, x))) AS m")
+      .head.getLong(0)
+    val worst = BigInt(m) * BigInt(m) * Similarity.Dim * 127 * 127
+    assert(worst <= BigInt(Long.MaxValue),
+      s"max scale $m micro breaches the q8 BIGINT envelope (worst=$worst)")
+  }
+
+  private def run2(name: String, dir: String) =
+    Similarity.defs.find(_.name == name).get.fn(spark, dir)
 }
