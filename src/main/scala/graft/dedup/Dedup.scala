@@ -78,6 +78,7 @@ object Dedup {
     * Long.MaxValue); the shuffle key widens, nothing else changes. */
   private def gram8Rows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toks).as("tk"))
@@ -109,6 +110,54 @@ object Dedup {
     * collisions (3 tokens ≈ 6.4e4 combinations vs ~2e4 spans at sf0.01),
     * which is the boilerplate-repeat regime the operator exists for. */
   val LineTok = 3
+
+  /** Width of the `pos` field in the packed line-keeper key (2^20 — spans
+    * per doc, i.e. docs under ~3M tokens at [[LineTok]]=3). */
+  private val LinePosW = 1048576L
+
+  /** Largest doc_id the packed key can carry without overflowing a BIGINT
+    * (doc_id * [[LinePosW]] + pos ≤ Long.MaxValue for pos < LinePosW). */
+  private val LineMaxDoc = Long.MaxValue / LinePosW
+
+  /** The packed line-keeper key `doc_id * 2^20 + pos`: min over ONE scalar
+    * BIGINT hash-aggregates with map-side combine (a struct min forces
+    * SortAggregate + per-task sorts — PlanShapeSpec pins the aggregate
+    * shape), and ordering matches (doc_id, pos) lexicographic while the
+    * fields are in range. The width contract is ENFORCED, not just stated:
+    * an out-of-range row (pos ≥ 2^20, i.e. a ≥3M-token doc, or doc_id ≥
+    * 2^43) raises loudly instead of silently bleeding its keepers into the
+    * neighboring doc_id's key range — at 100 TB a silent mis-attribution
+    * would corrupt removal counts with no error anywhere downstream. The
+    * guard is three integer compares per span row inside codegen. */
+  private val packedLineKey: String =
+    s"""CASE WHEN pos >= 0 AND pos < $LinePosW
+       |          AND doc_id >= 0 AND doc_id < $LineMaxDoc
+       |     THEN doc_id * $LinePosW + pos
+       |     ELSE raise_error(concat('packed line key out of range: doc_id=',
+       |            CAST(doc_id AS STRING), ' pos=', CAST(pos AS STRING))) END"""
+      .stripMargin.replace('\n', ' ')
+
+  /** Decode the doc side of [[packedLineKey]]. */
+  private val packedLineDoc: String = s"kp div $LinePosW"
+
+  /** Span rows `(doc_id, pos, line)` — the [[LineTok]]-token consecutive
+    * non-overlapping pseudo-line stream the whole line-dedup family shares
+    * (dd_line_dedup, dd_line_dedup_apply, dd_dedup_funnel's line stage).
+    * Expects `doc_id`, token array `t`, and span count `nl`; the partial
+    * tail span is outside the line model on both engines. */
+  private def lineSpans(docs: DataFrame): DataFrame =
+    docs.filter(col("nl") >= 1)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
+          s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
+          .as(Seq("pos", "line")))
+
+  /** Global first-occurrence keeper per distinct line — `(line, kp)` where
+    * kp is the min [[packedLineKey]]. ONE map-combinable aggregation: the
+    * million-copy cookie banner collapses to one partial per task, never
+    * one partition (the window form would sort every copy in one place). */
+  private def lineKeepers(lines: DataFrame): DataFrame =
+    lines.groupBy(col("line")).agg(min(expr(packedLineKey)).as("kp"))
 
   /** Expand each bucket's sorted element list `ds` into its (x, y) element
     * pairs (x before y in sort order) — the shared tail of EVERY bucketed
@@ -608,8 +657,9 @@ object Dedup {
       * near-dup scores 1000‰; templated boilerplate shows up as a partial
       * mass long before any whole-doc detector fires. Shape at scale: one
       * doc_id window builds the positional 8-gram stream (7 leads, one
-      * sort, each md5 computed exactly ONCE — hashes truncated to 16 hex
-      * chars to halve shuffle width), then a single (gh, doc_id) partial
+      * sort, each md5 computed exactly ONCE — hashes truncated to the
+      * 48-bit prefix, 12 hex chars, [[gram8Rows]]'s stated collision
+      * budget, to shrink shuffle width), then a single (gh, doc_id) partial
       * aggregation collapses positions to postings and EVERYTHING after
       * runs on the postings frame: the cross-doc df is a gh-window count
       * over it and the per-doc rollup a second aggregation — no probe join,
@@ -829,7 +879,9 @@ object Dedup {
       * attach, then the argmax is a map-combinable MAX of ONE packed BIGINT
       * — n_tokens·2^32 + (2^32−1−doc_id), so max-by-length ties break to
       * min-id in the same scalar op (the dd_line_dedup packing discipline;
-      * contract: n_tokens < 2^31, doc_id < 2^32 — states the widths). A
+      * contract: n_tokens < 2^31, doc_id < 2^32 — ENFORCED with a
+      * raise_error guard like [[packedLineKey]], so an out-of-range doc
+      * fails the job instead of silently electing the wrong keeper). A
       * struct argmax would force SortAggregate; the packed form combines
       * map-side, so a million-doc boilerplate cluster costs one partial per
       * task. Verdict join is cluster-keyed, pair-graph-sized. */
@@ -842,7 +894,13 @@ object Dedup {
           .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
         val cl = clusters.join(len, Seq("doc_id"))
         val best = cl.groupBy(col("cluster_id"))
-          .agg(max(expr("n_tokens * 4294967296 + (4294967295 - doc_id)")).as("kb"))
+          .agg(max(expr(
+            "CASE WHEN n_tokens >= 0 AND n_tokens < 2147483648 " +
+              "AND doc_id >= 0 AND doc_id <= 4294967295 " +
+              "THEN n_tokens * 4294967296 + (4294967295 - doc_id) " +
+              "ELSE raise_error(concat('packed best key out of range: doc_id=', " +
+              "CAST(doc_id AS STRING), ' n_tokens=', CAST(n_tokens AS STRING))) END"))
+            .as("kb"))
           .select(col("cluster_id"), expr("4294967295 - (kb % 4294967296)").as("best_doc"))
         cl.join(best, Seq("cluster_id"))
           .withColumn("status",
@@ -1264,19 +1322,10 @@ object Dedup {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
           .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
-        val lines = docs.filter(col("nl") >= 1)
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
-              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
-              .as(Seq("pos", "line")))
-        // Keeper key packed into ONE BIGINT (doc_id * 2^20 + pos): min over
-        // a scalar hash-aggregates (a struct min forces SortAggregate +
-        // per-task sorts); ordering is identical while pos < 2^20, i.e.
-        // docs under ~3M tokens at LineTok=3 — states the packing contract.
-        val keepPerDoc = lines
-          .groupBy(col("line"))
-          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
-          .groupBy(expr("kp div 1048576").as("doc_id"))
+        // Keeper rule: [[lineKeepers]] — min packed (doc_id, pos) BIGINT,
+        // map-combinable, width contract enforced in packedLineKey.
+        val keepPerDoc = lineKeepers(lineSpans(docs))
+          .groupBy(expr(packedLineDoc).as("doc_id"))
           .agg(count(lit(1)).as("n_kept"))
         docs.select(col("doc_id"), col("nl").as("n_lines"))
           .join(keepPerDoc, Seq("doc_id"), "left_outer")
@@ -1429,14 +1478,8 @@ object Dedup {
         val surv = flagged.filter(col("s_ok"))
           .select(col("doc_id"), col("source"), expr(toks).as("t"))
           .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
-        val lines = surv.filter(col("nl") >= 1)
-          .select(col("doc_id"), col("source"),
-            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
-              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
-              .as(Seq("pos", "line")))
-        val lineTok = lines.groupBy(col("line"))
-          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
-          .select(expr("kp div 1048576").as("doc_id"))
+        val lineTok = lineKeepers(lineSpans(surv))
+          .select(expr(packedLineDoc).as("doc_id"))
           .groupBy(col("doc_id")).agg(expr(s"$LineTok * count(1)").as("tok_line_doc"))
         val lineBySrc = surv.select(col("doc_id"), col("source"))
           .join(lineTok, Seq("doc_id"), "left_outer")
@@ -1614,15 +1657,13 @@ object Dedup {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
           .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
-        val lines = docs.filter(col("nl") >= 1)
-          .select(col("doc_id"),
-            posexplode(expr(s"transform(sequence(0, CAST(nl AS INT) - 1), " +
-              s"i -> array_join(slice(t, i * $LineTok + 1, $LineTok), ' '))"))
-              .as(Seq("pos", "line")))
-        val keep = lines.groupBy(col("line"))
-          .agg(min(expr("doc_id * 1048576 + pos")).as("kp"))
+        val lines = lineSpans(docs)
+        val keep = lineKeepers(lines)
+        // The probe-side pack can stay unguarded: every span row also flows
+        // through lineKeepers' guarded min in the same job, so an
+        // out-of-range row raises there before a silent mismatch here.
         val cleaned = lines.join(keep, Seq("line"))
-          .filter(expr("doc_id * 1048576 + pos = kp"))
+          .filter(expr(s"doc_id * $LinePosW + pos = kp"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_kept"),
             collect_list(struct(col("pos"), col("line"))).as("pl"))

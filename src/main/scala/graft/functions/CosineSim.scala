@@ -184,12 +184,18 @@ private object GraftFunctionTable {
 }
 
 /** Session registration for graft's native expressions (idempotent) — the
-  * temp-function path for sessions not built with [[GraftExtensions]]. */
+  * temp-function path for sessions not built with [[GraftExtensions]].
+  * Skips names already present so the many per-producer register() calls
+  * (every native-function producer registers defensively — the foreign-
+  * session rule) neither re-shadow an extension-injected function nor spam
+  * a replaced-function WARN per query build. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit =
     GraftFunctionTable.entries.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      if (!spark.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
     }
 }
 

@@ -528,13 +528,16 @@ object DocsStream {
     spark.table(queryName).orderBy("source")
   }
 
-  def mixtureFill(docs: DataFrame, rates: DataFrame): DataFrame =
+  def mixtureFill(docs: DataFrame, rates: DataFrame): DataFrame = {
     // ONE broadcast join attaching BOTH n_target and thresh (the previous
     // shape joined rates twice — once here for n_target, once inside
     // sampleByThreshold for thresh — two broadcast hash joins on the
     // per-arrival hot path for the same O(sources) table). The draw
     // expression is the shared mixtureKeepPredicate, so the stream's keep
     // decision provably cannot drift from the batch sampler's.
+    // The predicate uses the native md5_prefix48 — register on the frame's
+    // session for GraftExtensions-less callers (the withSplit rule).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .join(broadcast(rates.select(col("source"), col("n_target"), col("thresh"))),
         Seq("source"))
@@ -545,4 +548,5 @@ object DocsStream {
         expr("1000 * n_sampled div n_target").as("fill_permille"),
         expr("CASE WHEN abs(1000 * n_sampled div n_target - 1000) > 300 " +
           "THEN 'drift' ELSE 'ok' END").as("verdict"))
+  }
 }

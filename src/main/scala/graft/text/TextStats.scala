@@ -1144,13 +1144,18 @@ object TextStats extends TextDp with TextBpe {
     * `h16` + `split`), shared with the corpus pipeline so a pipeline run
     * and the registered query can never disagree on membership. */
   private[graft] def withSplit(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+      : org.apache.spark.sql.DataFrame = {
+    // The assignment hash is the native md5_prefix48 — register it on the
+    // frame's session so the transform works on sessions not built with
+    // GraftExtensions (the simhash()/dd_embed_cosine foreign-session rule).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("h16", expr("md5_prefix48(CAST(doc_id AS STRING)) % 65536"))
       .withColumn("split",
         when(col("h16") < SplitValMax, "val")
           .when(col("h16") < SplitTestMax, "test")
           .otherwise("train"))
+  }
 
   /** Per-source mixture-sampling plan for [[defs tx_mixture_sample]] and
     * the streaming quota-fill monitor (graft.streaming.DocsStream
@@ -1183,10 +1188,13 @@ object TextStats extends TextDp with TextBpe {
     * table + scan predicate, no sort/window) — the same expression batch
     * and stream, which is what lets DocsStreamSpec pin stream ≡ batch. */
   private[graft] def sampleByThreshold(docs: org.apache.spark.sql.DataFrame,
-      rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rates: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // mixtureKeepPredicate uses the native md5_prefix48 (withSplit rule).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .join(broadcast(rates.select(col("source"), col("thresh"))), Seq("source"))
       .filter(expr(mixtureKeepPredicate))
+  }
 
 
 
@@ -1200,6 +1208,7 @@ object TextStats extends TextDp with TextBpe {
   def cdcChunkRows(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val wLead = Window.partitionBy("doc_id").orderBy("pos")
     val wCum = wLead.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
@@ -1271,6 +1280,7 @@ object TextStats extends TextDp with TextBpe {
   def winnowedFpRows(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val wLead = Window.partitionBy("doc_id").orderBy("pos")
     val wMin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, 4)
