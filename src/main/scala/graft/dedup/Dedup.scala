@@ -165,14 +165,17 @@ object Dedup {
     * here, hyperplane-LSH code buckets in graft.sim, fuzzy-join blocks in
     * graft.ops), with the `cap` filter bounding the quadratic per-bucket
     * expansion in ONE audited place. Elements may be scalars or structs;
-    * the result is `p.x` / `p.y` of the element type. */
+    * the result is `p.x` / `p.y` of the element type, with the bucket
+    * frame's OTHER columns (e.g. the bucket key) carried through so a
+    * consumer that needs them (dd_embed_cosine's `cell`) doesn't join
+    * back. */
   def cappedElementPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     buckets
       .filter(size(col("ds")) <= cap)
-      .select(explode(expr(
+      .withColumn("p", explode(expr(
         "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS x, y AS y))))"))
-        .as("p"))
+          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS x, y AS y))))")))
+      .drop("ds")
 
   /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b). */
   private[graft] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
@@ -183,17 +186,40 @@ object Dedup {
     * frame by `keys` into sorted per-bucket element lists, drop hot buckets
     * over [[MaxBucket]], expand per-bucket element pairs — the shape every
     * bucketed candidate generator repeats (shingle/minhash/simhash/winnow/
-    * frame buckets here, pHash bands in graft.mm, hyperplane-LSH codes in
-    * graft.sim, fuzzy-join blocks in graft.ops). `elem` may be a scalar id
-    * or a struct carrying a payload (codes/vectors ride the bucket rows so
-    * the verify step needs no join back); result is `p.x` / `p.y` of the
-    * element type. One audited home for the build+cap+expand sequence —
-    * [[cappedElementPairs]] stays the expansion-only tail for the one
-    * caller that must reuse the bucket frame itself ([[jaccardPairsUncached]]
-    * derives per-doc counts from the same bucket exchange). */
-  def bucketedPairs(postings: DataFrame, elem: Column, keys: Column*): DataFrame =
+    * frame/cell buckets here, pHash bands in graft.mm, hyperplane-LSH codes
+    * in graft.sim, fuzzy-join blocks in graft.ops). `elem` may be a scalar
+    * id or a struct carrying a payload (codes/vectors ride the bucket rows
+    * so the verify step needs no join back); result is the key columns plus
+    * `p.x` / `p.y` of the element type.
+    *
+    * Hot keys are removed BEFORE the bucket collect, not just before the
+    * expansion: a counting pass (map-side-combined, so a degenerate key
+    * costs one partial per task) derives the over-cap key set, which is
+    * BROADCAST as a left-anti filter onto the postings — hot postings are
+    * dropped at the map side and never shuffle, and no collect_list buffer
+    * ever holds an over-cap bucket. Without this, a stop-shingle shared by
+    * ~100M docs would materialize one ~GB array row just to be discarded
+    * by the size filter — the 100 TB OOM the cap exists to prevent. The
+    * broadcast is safe by construction: |hot keys| ≤ |postings| / cap
+    * (every hot key has > cap postings), and in practice the hot set is
+    * the Zipf head (stop-shingles / degenerate bands) — the same size
+    * class as dd_decontaminate's broadcast dictionary. The size filter in
+    * [[cappedElementPairs]] stays as a defensive second statement of the
+    * cap (it also covers null keys, which an anti-join can't match).
+    * `keys` must be NAMED columns (`col("bk")` / `expr(..).as("bv")`) —
+    * the anti-join joins by those names. */
+  def bucketedPairs(postings: DataFrame, elem: Column, keys: Column*): DataFrame = {
+    val p = postings.select((keys :+ elem.as("__e")): _*)
+    val keyNames = p.columns.dropRight(1).toSeq
+    val hot = p.groupBy(keyNames.map(col): _*)
+      .agg(count(col("__e")).as("__n"))
+      .filter(col("__n") > MaxBucket)
+      .select(keyNames.map(col): _*)
     cappedElementPairs(
-      postings.groupBy(keys: _*).agg(sort_array(collect_list(elem)).as("ds")))
+      p.join(broadcast(hot), keyNames, "left_anti")
+        .groupBy(keyNames.map(col): _*)
+        .agg(sort_array(collect_list(col("__e"))).as("ds")))
+  }
 
   /** [[bucketedPairs]] for plain doc_id elements: (doc_a, doc_b) with
     * doc_a < doc_b (the sorted-bucket order). */
@@ -336,14 +362,17 @@ object Dedup {
       |    GROUP BY doc_id, j)
       |  GROUP BY doc_id)""".stripMargin
 
-  /** Inverted-index Jaccard pairs ≥ `permille`: ONE bucket build
-    * (xxhash64(shingle) → sorted doc list) from which BOTH the candidate
-    * pair intersections and the per-doc distinct-shingle counts derive.
-    * Deriving `n` from the bucket postings — instead of a second aggregation
-    * over the shingle rows — makes every consumer share the same bucket
-    * exchange, which Catalyst's ReuseExchange then computes once: the
-    * expensive scan → posexplode → window shingle subtree appears a single
-    * time in the physical plan (it previously ran 3x per query). */
+  /** Inverted-index Jaccard pairs ≥ `permille`: candidate intersections
+    * come from [[bucketedIdPairs]] over xxhash64(shingle) postings (the
+    * audited invert → hot-key anti-join → cap → expand skeleton), and the
+    * per-doc distinct-shingle counts `n` are a direct aggregation of the
+    * SAME postings — uncapped on purpose: dropping hot shingles bounds
+    * pair generation but must not shrink a doc's denominator. The
+    * expensive scan → posexplode → window → distinct shingle subtree is
+    * identical under all three consumers (n, the hot-key count, the bucket
+    * build), so Catalyst's ReuseExchange computes the distinct exchange
+    * once and the extra passes are shuffle re-reads, not corpus
+    * re-scans. */
   /** DuckDB CTE chain mirroring [[jaccardPairs]], ending in `jac(doc_a,
     * doc_b, jaccard_permille)`. The `keep` CTE states the [[MaxBucket]] cap
     * the Spark side applies in [[bucketPairs]]: hot shingles are dropped
@@ -439,15 +468,43 @@ object Dedup {
       jaccardPairsUncached(s, d))
       .filter(col("jaccard_permille") >= permille)
 
+  /** Same-cell cosine pairs `(cell, vec_a, vec_b, cos6)` with vec_a <
+    * vec_b — the shared candidate+verify stage of [[defs dd_embed_cosine]]
+    * and [[defs dd_semantic_dedup]], routed through [[bucketedPairs]] so
+    * IVF-cell blocking gets the same audited hot-bucket discipline as
+    * every other candidate generator (previously each query hand-rolled
+    * the cell-keyed self-join with NO cap, so one degenerate cell — a
+    * collapsed centroid, an all-zeros embedding cluster — went quadratic).
+    * Trained cells are ~√N ≈ far under [[MaxBucket]] at fixture scales, so
+    * the cap is dormant and both engines agree by construction (the
+    * oracles state the same HAVING cap). Vectors ride the bucket rows as
+    * struct elements, so cosine verification needs no join back to the
+    * embedding table. */
+  private def cellCosPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val asg = graft.sim.Similarity.assignCells(s, d)
+      .select(col("vec_id"), col("cell"))
+    bucketedPairs(e.join(asg, "vec_id"), struct(col("vec_id"), col("v")), col("cell"))
+      .select(col("cell"),
+        col("p.x.vec_id").as("vec_a"), col("p.y.vec_id").as("vec_b"),
+        expr("round(cosine_sim(p.x.v, p.y.v), 6)").as("cos6"))
+  }
+
+  /** The [[MaxBucket]] cap over trained cells as a DuckDB CTE — the oracle
+    * mirror of [[cellCosPairs]]'s hot-bucket anti-join (assumes `ev`
+    * (vec_id, v, cell) in scope). */
+  private def duckCellKeep: String =
+    s"keepc AS (SELECT cell FROM ev GROUP BY cell HAVING COUNT(*) <= $MaxBucket)"
+
   private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
-    val buckets = shingleRows(s, d)
+    val postings = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
       // string (collisions ~2^-64 per pair, perturbing one count at most)
       .select(xxhash64(col("sng")).as("sk"), col("doc_id"))
-      .groupBy(col("sk")).agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val n = buckets.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = bucketPairs(buckets)
+    val n = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = bucketedIdPairs(postings, col("sk"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val na = n.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = n.select(col("doc_id").as("doc_b"), col("n").as("nb"))
@@ -934,34 +991,27 @@ object Dedup {
       * the same trained k-means cell (graft.sim.Similarity — the oracle
       * replays training exactly), verified with the exact native cosine.
       * Blocking by learned cell replaces the earlier fixed-cardinality
-      * `label` block: the candidate join is keyed on `cell`, and at scale K
-      * grows ~√N so per-cell all-pairs stays bounded — the standard IVF
-      * dedup trade (recall limited to same-cell pairs, like any ANN-backed
-      * near-dup). Dot/norm use the identical left-fold formula in both
-      * engines. */
+      * `label` block, and the per-cell all-pairs expansion rides
+      * [[cellCosPairs]] — the shared [[bucketedPairs]] skeleton, so cells
+      * are capped at [[MaxBucket]] like every other candidate block (at
+      * scale K grows ~√N so per-cell pair mass stays bounded; a degenerate
+      * cell is dropped, the standard IVF dedup trade). Dot/norm use the
+      * identical left-fold formula in both engines. */
     QueryDef(
       "dd_embed_cosine",
-      (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val asg = graft.sim.Similarity.assignCells(s, d).select(col("vec_id"), col("cell"))
-        val ev = e.join(asg, "vec_id")
-        val l = ev.select(col("vec_id").as("vec_a"), col("v").as("va"), col("cell"))
-        val r = ev.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("cell").as("cell2"))
-        l.join(r, l("cell") === r("cell2") && l("vec_a") < r("vec_b"))
-          .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
-          .filter(col("cos6") >= 0.35)
-          .select(col("vec_a"), col("vec_b"), col("cell"), col("cos6"))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, d) => cellCosPairs(s, d)
+        .filter(col("cos6") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cell"), col("cos6"))
+        .orderBy("vec_a", "vec_b"),
       Some(s"""WITH ${graft.sim.Similarity.duckKmeansChain()},
              |ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+             |$duckCellKeep,
              |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.cell,
              |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i])) AS dot,
              |        list_sum(list_transform(a.v, x -> x * x)) AS na,
              |        list_sum(list_transform(c.v, x -> x * x)) AS nb
-             |      FROM ev a JOIN ev c ON a.cell = c.cell AND a.vec_id < c.vec_id)
+             |      FROM ev a JOIN keepc k ON k.cell = a.cell
+             |           JOIN ev c ON a.cell = c.cell AND a.vec_id < c.vec_id)
              |SELECT vec_a, vec_b, cell, round(dot / sqrt(na * nb), 6) AS cos6
              |FROM p WHERE round(dot / sqrt(na * nb), 6) >= 0.35
              |ORDER BY vec_a, vec_b""".stripMargin)),
@@ -976,29 +1026,25 @@ object Dedup {
       * that share no n-grams land in one cell with cosine ~1 and dedup
       * here, invisibly to every lexical screen.
       *
-      * Scale shape: identical to [[defs dd_embed_cosine]] (cell-blocked
-      * pair mass N²/K = N^1.5, cell-parallel, annotated `pairs` in
-      * SCALING.md; at 100 TB cells get the MaxBucket cap + multi-assign);
-      * the verdict adds one vec-keyed rollup and a left join from the
-      * cell-assignment ARTIFACT — the pair stream is never re-scanned. */
+      * Scale shape: identical to [[defs dd_embed_cosine]] — the pair
+      * stream IS [[cellCosPairs]] (cell-blocked pair mass N²/K = N^1.5,
+      * cell-parallel, hot cells capped at [[MaxBucket]] through the shared
+      * [[bucketedPairs]] skeleton, annotated `pairs` in SCALING.md); the
+      * verdict adds one vec-keyed rollup and a left join from the
+      * cell-assignment ARTIFACT — the pair stream is never re-scanned.
+      * A vector is dropped when a LOWER-id same-cell vector clears the
+      * threshold, so the dup count groups by the PAIR'S LARGER side
+      * (cellCosPairs' vec_b). */
     QueryDef(
       "dd_semantic_dedup",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val asg = graft.sim.Similarity.assignCells(s, d)
           .select(col("vec_id"), col("cell"))
-        val ev = e.join(asg, "vec_id")
-        val l = ev.select(col("vec_id").as("vec_a"), col("v").as("va"), col("cell"))
-        val r = ev.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-          col("cell").as("cell2"))
-        val dups = l.join(r, l("cell") === r("cell2") && l("vec_a") > r("vec_b"))
-          .withColumn("cos6", expr("round(cosine_sim(va, vb), 6)"))
+        val dups = cellCosPairs(s, d)
           .filter(col("cos6") >= 0.35)
-          .groupBy(col("vec_a"))
+          .groupBy(col("vec_b"))
           .agg(count(lit(1)).as("n_dups"))
-          .withColumnRenamed("vec_a", "vec_id")
+          .withColumnRenamed("vec_b", "vec_id")
         asg.join(dups, Seq("vec_id"), "left_outer")
           .select(col("vec_id"), col("cell"),
             coalesce(col("n_dups"), lit(0L)).as("n_dups"))
@@ -1008,11 +1054,13 @@ object Dedup {
       },
       Some(s"""WITH ${graft.sim.Similarity.duckKmeansChain()},
              |ev AS (SELECT e.vec_id, e.v, a.cell FROM e JOIN assign a USING (vec_id)),
+             |$duckCellKeep,
              |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
              |        list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.v[i])) AS dot,
              |        list_sum(list_transform(a.v, x -> x * x)) AS na,
              |        list_sum(list_transform(c.v, x -> x * x)) AS nb
-             |      FROM ev a JOIN ev c ON a.cell = c.cell AND a.vec_id > c.vec_id),
+             |      FROM ev a JOIN keepc k ON k.cell = a.cell
+             |           JOIN ev c ON a.cell = c.cell AND a.vec_id > c.vec_id),
              |dd AS (SELECT vec_a AS vec_id, COUNT(*) AS n_dups FROM p
              |       WHERE round(dot / sqrt(na * nb), 6) >= 0.35 GROUP BY vec_a)
              |SELECT a.vec_id, a.cell,

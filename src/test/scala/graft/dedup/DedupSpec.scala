@@ -120,6 +120,26 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 19900 + 1)
   }
 
+  test("bucketedPairs: hot keys are anti-joined out BEFORE the bucket collect") {
+    import spark.implicits._
+    // A key with MaxBucket+1 postings must never reach collect_list: the
+    // counting pass + broadcast anti-join drops its postings map-side (the
+    // 100 TB stop-shingle OOM guard), and only the cold bucket expands.
+    val hot = (0L to Dedup.MaxBucket.toLong).map(id => ("hot", id))
+    val cold = Seq(("cold", 1L), ("cold", 2L))
+    val pairs = Dedup.bucketedIdPairs(
+      (hot ++ cold).toDF("bk", "doc_id"), col("bk"))
+    assert(pairs.collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, 2L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"hot-key removal must be a pre-collect anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the hot-key set must broadcast (it is |postings|/cap at most):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no shuffle join in the skeleton:\n$plan")
+  }
+
   test("simhash_pairs: multi-band candidates verified by Hamming threshold") {
     val p = run("dd_simhash_pairs").collect()
     assert(p.nonEmpty)
