@@ -41,6 +41,15 @@ object Sessions {
       // hold the whole library's generated classes (a few MB of classes —
       // model-state scale, not data scale).
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // Iterative operators (graft.dedup.Dedup.connectedComponents)
+      // checkpoint each round and drop the reference to the previous
+      // round's frame; with a reliable checkpoint dir configured the FILES
+      // of dropped rounds would otherwise accumulate on the cluster store
+      // for the life of the session (cleanCheckpoints defaults to false;
+      // local-mode localCheckpoint blocks are already GC-cleaned by the
+      // ContextCleaner). This makes dropped reliable checkpoints follow
+      // the same lifecycle — the GraphFrames/Pregel discipline.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")

@@ -252,6 +252,45 @@ object Dedup {
     hh.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
+  /** Band keys for a b-bands × r-rows layout over stored minhash columns
+    * mh0..mh{b*r-1} — ONE generator for every layout consumer
+    * ([[minhashPairs]] and the dd_band_tuning sweep), so a hash-family or
+    * delimiter change can't desynchronize the layouts. */
+  private def bandKeyCols(b: Int, r: Int): Seq[Column] =
+    (0 until b).map { bi =>
+      val cols = (0 until r).map(j => s"mh${bi * r + j}")
+      expr(s"md5(concat_ws('|', $bi, ${cols.mkString(", ")}))")
+    }
+
+  /** The 64 minhash components as DuckDB select items (`mh0..mh63`),
+    * mirroring [[minhashSig]]'s Kirsch-Mitzenmacher family. */
+  private val duckMins: String = (0 until NumHashes)
+    .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i")
+    .mkString(",\n          ")
+
+  /** [[bandKeyCols]]'s DuckDB twin: the band-key md5 list for a b×r
+    * layout, for use inside `unnest([...])`. */
+  private def duckBandList(b: Int, r: Int): String =
+    (0 until b).map { bi =>
+      val cols = (0 until r).map(j => s"mh${bi * r + j}").mkString(", ")
+      s"md5(concat_ws('|', $bi, $cols))"
+    }.mkString(",\n            ")
+
+  /** DuckDB CTE chain `hs/hh/sig` deriving the 64-component signature
+    * table from a `(doc_id, sng)` relation `src` — stated ONCE for the
+    * three minhash oracles (lsh, quality, band tuning), which previously
+    * hand-copied it; a hash-family change now edits one definition on each
+    * side. Pre-stripped: embed anywhere inside an outer stripMargin
+    * string. */
+  private def duckSigChain(src: String): String =
+    s"""hs AS (SELECT doc_id, md5(sng) AS m FROM $src),
+       |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
+       |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
+       |       FROM hs),
+       |sig AS (SELECT doc_id,
+       |          $duckMins
+       |        FROM hh GROUP BY doc_id)""".stripMargin
+
   /** [[minhashSig]] as a parquet artifact, built once per corpus CONTENT
     * (the winnowFpIndexPath / k-means-model discipline: a signature table
     * is an INDEX, not per-query cost). Every consumer — band expansion,
@@ -268,11 +307,8 @@ object Dedup {
     * capped band buckets, deduped across bands. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSigStored(s, d)
-    val bandKeys = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-      expr(s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))")
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    val bands = sig.select(col("doc_id"),
+      explode(array(bandKeyCols(NumBands, RowsPerBand): _*)).as("bk"))
     bucketedIdPairs(bands, col("bk")).distinct()
   }
 
@@ -404,7 +440,17 @@ object Dedup {
     * store, survives executor loss — required for the iterative loop on a
     * real cluster, where one lost executor would otherwise invalidate an
     * unrecoverable lineage chain); without one it falls back to
-    * executor-local blocks, the right trade in local mode. */
+    * executor-local blocks, the right trade in local mode.
+    *
+    * Lifecycle: each round REASSIGNS `labels`, dropping the only reference
+    * to the previous round's checkpoint, so intermediate rounds don't pin
+    * storage for the life of the session — local blocks are unpersisted by
+    * the ContextCleaner on GC, and reliable checkpoint FILES are deleted
+    * the same way because graft.Sessions sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (without it,
+    * a 10-round CC would strand ~12 pair-graph-sized snapshots per
+    * invocation on the cluster store). Only the returned labels frame's
+    * checkpoint outlives the loop. */
   private def ckpt(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
@@ -568,32 +614,19 @@ object Dedup {
       QueryDef(
       "dd_minhash_lsh",
       (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
-      Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i").mkString(",\n|          ")
-        val bks = (0 until NumBands).map { b =>
-          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-          s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))"
-        }.mkString(",\n|            ")
+      Some(
         s"""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
            |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
            |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
            |shq AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
-           |hs AS (SELECT doc_id, md5(sng) AS m FROM shq),
-           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
-           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
-           |       FROM hs),
-           |sig AS (SELECT doc_id,
-           |          $mins
-           |        FROM hh GROUP BY doc_id),
+           |${duckSigChain("shq")},
            |bands AS (SELECT doc_id, unnest([
-           |            $bks]) AS bk FROM sig),
+           |            ${duckBandList(NumBands, RowsPerBand)}]) AS bk FROM sig),
            |keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $MaxBucket)
            |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
            |FROM bands a JOIN keep k ON a.bk = k.bk
            |     JOIN bands c ON c.bk = a.bk AND a.doc_id < c.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     /** Exact n-gram Jaccard over the inverted shingle index; permille via
       * integer division; threshold 200‰. */
@@ -1291,38 +1324,17 @@ object Dedup {
           .orderBy("doc_a", "doc_b")
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i").mkString(",\n|          ")
-        val bks = (0 until NumBands).map { b =>
-          val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-          s"md5(concat_ws('|', $b, ${cols.mkString(", ")}))"
-        }.mkString(",\n|            ")
         val nm = (0 until NumHashes)
           .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
           .mkString(" +\n|             ")
-        s"""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-           |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-           |shq AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
-           |hs AS (SELECT doc_id, md5(sng) AS m FROM shq),
-           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
-           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
-           |       FROM hs),
-           |sig AS (SELECT doc_id,
-           |          $mins
-           |        FROM hh GROUP BY doc_id),
+        s"""WITH $duckInterChain,
+           |${duckSigChain("ex")},
            |bands AS (SELECT doc_id, unnest([
-           |            $bks]) AS bk FROM sig),
+           |            ${duckBandList(NumBands, RowsPerBand)}]) AS bk FROM sig),
            |keepb AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= $MaxBucket),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
            |         FROM bands a JOIN keepb k ON a.bk = k.bk
            |              JOIN bands c ON c.bk = a.bk AND a.doc_id < c.doc_id),
-           |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
-           |keeps AS (SELECT sng FROM shq GROUP BY sng HAVING COUNT(*) <= $MaxBucket),
-           |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
-           |          FROM shq a JOIN keeps k ON a.sng = k.sng
-           |               JOIN shq c ON a.sng = c.sng AND a.doc_id < c.doc_id
-           |          GROUP BY 1, 2),
            |est AS (SELECT cand.doc_a, cand.doc_b,
            |          ($nm) AS nm
            |        FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
@@ -1419,12 +1431,9 @@ object Dedup {
         val jac = jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b"))
         val tot = jac.agg(count(lit(1)).as("n_true_total"))
         Seq((8, 8), (16, 4), (32, 2)).map { case (b, r) =>
-          val bandKeys = (0 until b).map { bi =>
-            val cols = (0 until r).map(j => s"mh${bi * r + j}")
-            expr(s"md5(concat_ws('|', $bi, ${cols.mkString(", ")}))")
-          }
           val cands = bucketedIdPairs(
-            sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk")),
+            sig.select(col("doc_id"),
+              explode(array(bandKeyCols(b, r): _*)).as("bk")),
             col("bk")).distinct()
           cands.agg(count(lit(1)).as("n_cands"))
             .crossJoin(cands.join(jac, Seq("doc_a", "doc_b"), "left_semi")
@@ -1439,9 +1448,6 @@ object Dedup {
         }.reduce(_.unionAll(_)).orderBy("bands")
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"MIN((h1 + $i * h2m) % 2147483647) AS mh$i")
-          .mkString(",\n|          ")
         val bandArms = Seq((8, 8), (16, 4), (32, 2)).flatMap { case (b, r) =>
           (0 until b).map { bi =>
             val cols = (0 until r).map(j => s"mh${bi * r + j}").mkString(", ")
@@ -1450,13 +1456,7 @@ object Dedup {
           }
         }.mkString("\n|  UNION ALL ")
         s"""WITH ${duckJaccard(500)},
-           |hs AS (SELECT doc_id, md5(sng) AS m FROM ex),
-           |hh AS (SELECT doc_id, CAST(('0x' || substr(m, 1, 15)) AS BIGINT) AS h1,
-           |              CAST(('0x' || substr(m, 17, 15)) AS BIGINT) % 2147483647 AS h2m
-           |       FROM hs),
-           |sig AS (SELECT doc_id,
-           |          $mins
-           |        FROM hh GROUP BY doc_id),
+           |${duckSigChain("ex")},
            |bands AS (
            |  $bandArms),
            |bkeep AS (SELECT bands, bk FROM bands GROUP BY bands, bk
