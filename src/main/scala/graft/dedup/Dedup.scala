@@ -525,8 +525,18 @@ object Dedup {
     * the cap is dormant and both engines agree by construction (the
     * oracles state the same HAVING cap). Vectors ride the bucket rows as
     * struct elements, so cosine verification needs no join back to the
-    * embedding table. */
-  private def cellCosPairs(s: SparkSession, d: String): DataFrame = {
+    * embedding table.
+    *
+    * Persisted as a content-keyed parquet artifact (the jac_pairs /
+    * simhash_pairs discipline): the pair graph is built once per corpus
+    * CONTENT and both consumers probe the stored graph — unthresholded
+    * (all same-cell pairs with their cos6), so a threshold change is a
+    * stored-column filter, not a rebuild. */
+  private def cellCosPairs(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.indexParquet(s, "cell_cos_pairs", d, "embeddings")(
+      cellCosPairsUncached(s, d))
+
+  private def cellCosPairsUncached(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -16,6 +16,20 @@ object Analytics {
 
   private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
 
+  /** The reproducible md5 hash-bucket bits every deterministic assignment
+    * query derives from — an_hash_sample / an_train_split /
+    * an_experiment_srm share the 15-hex (60-bit) form and an_fixed_sample
+    * the 12-hex (48-bit) form. ONE definition per
+    * engine ([[duckHashBits]] is the oracle twin) so the cross-query
+    * "same bucket bits" reproducibility contract is enforced by
+    * construction, not by keeping 5 hand-copied expressions in sync. */
+  private def hashBits(idCol: String, hexDigits: Int): String =
+    s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, $hexDigits), 16, 10) AS BIGINT)"
+
+  /** [[hashBits]]'s DuckDB twin. */
+  private def duckHashBits(idCol: String, hexDigits: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, $hexDigits)) AS BIGINT)"
+
   /** The production one-pass HLL++ sketch path for distinct counting —
     * mergeable per-partition sketches, one shuffle of sketch state (not
     * rows). Formerly registered as `an_approx_distinct`; the raw estimate is
@@ -369,7 +383,6 @@ object Analytics {
     QueryDef(
       "an_approx_percentile_bound",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val c = Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents("l_extendedprice").as("cts"))
         val byFlag = Window.partitionBy(col("l_returnflag"))
@@ -448,7 +461,7 @@ object Analytics {
       "an_hash_sample",
       (s, d) => Tables.documents(s, d)
         .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+          expr(s"${hashBits("doc_id", 15)} % 100"))
         .filter(expr(
           "(source = 'src0' AND bucket < 25) OR " +
             "(source = 'src1' AND bucket < 75) OR " +
@@ -456,8 +469,8 @@ object Analytics {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("source"),
-      Some("""WITH b AS (SELECT *,
-             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      Some(s"""WITH b AS (SELECT *,
+             |  ${duckHashBits("doc_id", 15)} % 100 AS bucket
              |  FROM documents)
              |SELECT source, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
              |FROM b
@@ -477,14 +490,14 @@ object Analytics {
       "an_train_split",
       (s, d) => Tables.documents(s, d)
         .withColumn("bucket",
-          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+          expr(s"${hashBits("doc_id", 15)} % 100"))
         .withColumn("split",
           expr("CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("source", "split"),
-      Some("""WITH b AS (SELECT *,
-             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      Some(s"""WITH b AS (SELECT *,
+             |  ${duckHashBits("doc_id", 15)} % 100 AS bucket
              |  FROM documents),
              |sp AS (SELECT source, n_chars,
              |         CASE WHEN bucket < 80 THEN 'train'
@@ -560,7 +573,7 @@ object Analytics {
     QueryDef(
       "an_balanced_sample",
       (s, d) => {
-        val wGlobal = org.apache.spark.sql.expressions.Window
+        val wGlobal = Window
           .partitionBy(col("lang")).orderBy(col("hkey").asc, col("doc_id").asc)
         balancedSamplePhase1(
           Tables.documents(s, d).select(col("lang"), col("doc_id")), 30)
@@ -588,7 +601,7 @@ object Analytics {
         val counts = Tables.events(s, d)
           .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
         val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("n_total"))
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .orderBy(col("n_rows").desc, col("user_id").asc)
         counts.orderBy(col("n_rows").desc, col("user_id").asc).limit(5)
           .withColumn("rank", row_number().over(w).cast("int"))
@@ -649,7 +662,7 @@ object Analytics {
     QueryDef(
       "an_sessionize",
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("user_id")).orderBy(col("ms"))
         Tables.events(s, d)
           .select(col("user_id"), expr("ts div 1000000").as("ms"))
@@ -657,8 +670,8 @@ object Analytics {
             when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
               .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1L).otherwise(0L)))
           .withColumn("session_seq", sum(col("new_sess")).over(
-            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-              org.apache.spark.sql.expressions.Window.currentRow)))
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
           .groupBy(col("user_id"), col("session_seq"))
           .agg(count(lit(1)).as("n_events"),
             min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"))
@@ -702,7 +715,7 @@ object Analytics {
     QueryDef(
       "an_attribution",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
+        val W = Window
         val wu = W.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
         val ws = W.partitionBy(col("user_id"), col("session_seq"))
           .orderBy(col("ms"), col("event_id"))
@@ -809,7 +822,13 @@ object Analytics {
             sum(when(expr("ntok BETWEEN 10 AND 1000 AND (100 * nstop) div ntok < 40"),
               1L).otherwise(0L)).as("n_quality_pass"),
             max(col("total_docs")).as("total_docs"))
-          .withColumn("avg_tokens_micro", expr("(1000000 * n_tokens) div n_docs"))
+          // 128-bit product (an_volume_anomaly's DECIMAL(38,0) ≙ HUGEINT
+          // discipline): 1e6 * n_tokens wraps a BIGINT once a language
+          // holds > 9.2e12 tokens (~37 TB of text — inside this query's
+          // stated regime); the QUOTIENT is per-doc micro-tokens, safely
+          // back in 64 bits.
+          .withColumn("avg_tokens_micro",
+            expr("CAST((1000000 * CAST(n_tokens AS DECIMAL(38,0))) div n_docs AS BIGINT)"))
           .withColumn("docs_share_permille", expr("(1000 * n_docs) div total_docs"))
           .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_dup"),
             col("n_quality_pass"), col("avg_tokens_micro"), col("docs_share_permille"))
@@ -830,7 +849,8 @@ object Analytics {
              |       CAST(SUM(CASE WHEN ntok BETWEEN 10 AND 1000
              |                      AND (100 * nstop) // ntok < 40
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
-             |       (1000000 * CAST(SUM(ntok) AS BIGINT)) // COUNT(*) AS avg_tokens_micro,
+             |       CAST((1000000 * CAST(SUM(ntok) AS HUGEINT)) // COUNT(*) AS BIGINT)
+             |         AS avg_tokens_micro,
              |       (1000 * COUNT(*)) // total_docs AS docs_share_permille
              |FROM docs JOIN dupfp USING (fp), tot
              |GROUP BY lang, total_docs ORDER BY lang""".stripMargin)),
@@ -1068,14 +1088,19 @@ object Analytics {
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
         .withColumn("verdict",
           when(col("n_users") >= 5, "ok").otherwise("suppress"))
-        .orderBy("event_type", "hour_of_day", "value_decade"),
+        // value_decade is NULLABLE (a NULL event value survives the floor);
+        // null direction pinned on BOTH sides because the engines' defaults
+        // diverge — Spark ASC is NULLS FIRST, DuckDB NULLS LAST (the
+        // an_union_by_name discipline).
+        .orderBy(col("event_type"), col("hour_of_day"),
+          col("value_decade").asc_nulls_first),
       Some("""SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
              |       CAST(floor(value / 10) AS BIGINT) AS value_decade,
              |       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
              |       CASE WHEN COUNT(DISTINCT user_id) >= 5 THEN 'ok'
              |            ELSE 'suppress' END AS verdict
              |FROM events GROUP BY 1, 2, 3
-             |ORDER BY event_type, hour_of_day, value_decade""".stripMargin)),
+             |ORDER BY event_type, hour_of_day, value_decade NULLS FIRST""".stripMargin)),
 
     /** AUDIENCE-OVERLAP MATRIX — |users(a) ∩ users(b)| and Jaccard for every
       * unordered pair of event types: the cross-feature co-engagement grid
@@ -1218,8 +1243,7 @@ object Analytics {
         import s.implicits._
         val scored = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
-            expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)")
-              .as("h48"))
+            expr(hashBits("doc_id", 12)).as("h48"))
           .as[(String, Long, Long)]
         scored.groupByKey(_._1)
           .mapValues(t => graft.functions.TopK.Scored(t._2, -t._3.toDouble))
@@ -1233,13 +1257,11 @@ object Analytics {
           .withColumn("sample_rank", col("sample_rank").cast("int"))
           .orderBy("source", "sample_rank")
       },
-      Some("""SELECT source, doc_id, h48, CAST(rank AS INTEGER) AS sample_rank FROM (
+      Some(s"""SELECT source, doc_id, h48, CAST(rank AS INTEGER) AS sample_rank FROM (
              |  SELECT source, doc_id,
-             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-             |           AS h48,
+             |         ${duckHashBits("doc_id", 12)} AS h48,
              |         row_number() OVER (PARTITION BY source
-             |           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-             |                         AS BIGINT) ASC, doc_id ASC) AS rank
+             |           ORDER BY ${duckHashBits("doc_id", 12)} ASC, doc_id ASC) AS rank
              |  FROM documents)
              |WHERE rank <= 10 ORDER BY source, sample_rank""".stripMargin)),
 
@@ -1262,8 +1284,7 @@ object Analytics {
       (s, d) => Tables.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
         .withColumn("arm", expr(
-          "CASE WHEN CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
-            "AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END"))
+          s"CASE WHEN ${hashBits("user_id", 15)} % 100 < 50 THEN 'A' ELSE 'B' END"))
         .groupBy(col("event_type"))
         .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_users_a"),
           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_users_b"))
@@ -1275,10 +1296,10 @@ object Analytics {
             "3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT) " +
             "THEN 'srm' ELSE 'ok' END").as("verdict"))
         .orderBy("event_type"),
-      Some("""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      Some(s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
              |a AS (SELECT event_type,
-             |        CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-             |                       AS BIGINT) % 100 < 50 THEN 'A' ELSE 'B' END AS arm
+             |        CASE WHEN ${duckHashBits("user_id", 15)} % 100 < 50
+             |             THEN 'A' ELSE 'B' END AS arm
              |      FROM ut),
              |g AS (SELECT event_type,
              |        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_users_a,
@@ -1307,7 +1328,7 @@ object Analytics {
   private[ops] def balancedSamplePhase1(
       docs: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val wLocal = org.apache.spark.sql.expressions.Window
+    val wLocal = Window
       .partitionBy(col("lang"), col("pid"))
       .orderBy(col("hkey").asc, col("doc_id").asc)
     docs
