@@ -1516,7 +1516,9 @@ object Dedup {
       (s, d) => {
         val base = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            // NULL-total (TextStats.nTokensAs): non-ANSI size(NULL) is -1,
+            // which would leak into the tok_raw sums the oracle leaves NULL.
+            expr(graft.text.TextStats.nTokensAs("BIGINT")).as("n_tokens"),
             expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))")
               .as("n_stop"),
             md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))

@@ -31,6 +31,56 @@ object TextStats extends TextDp with TextBpe {
     * identically or the gate drifts from the batch oracle. */
   private[graft] val toks = "split(trim(text), ' +')"
 
+  /** NULL-total token count. With `spark.sql.ansi.enabled=false` (the
+    * session default), `size(split(NULL))` is -1 in Spark while every
+    * DuckDB oracle's `len(NULL)` is NULL — a -1 entering the packing
+    * cumulative sum would silently shift every later doc's window index
+    * in that source, and a -1 n_tokens would flip quality arithmetic the
+    * oracle leaves NULL. NULL text never occurs in the fixtures; this
+    * guards external/staged corpora where the column is nullable. */
+  private[graft] def nTokensAs(sqlType: String): String =
+    s"CAST(CASE WHEN text IS NULL THEN NULL ELSE size($toks) END AS $sqlType)"
+
+  /** Packing window size (tokens per training window) — ONE constant for
+    * the pack family (tx_pack_sequences / _sharded / tx_pack_efficiency)
+    * and their oracles, which previously each restated the literal. */
+  private[graft] val PackWin = 256
+
+  /** The split-doc predicate over a per-source cumulative token sum
+    * (`cum`, `n_tokens` in scope). */
+  private val isSplitExpr =
+    s"(cum - n_tokens) div $PackWin <> (cum - 1) div $PackWin"
+
+  /** The window-index projection the pack family derives from `cum` —
+    * stated once so tx_pack_sequences_sharded's claim of reproducing
+    * tx_pack_sequences EXACTLY rests on a shared definition, not on three
+    * hand-copied expression lists staying in sync. */
+  private def windowIndexCols: Seq[org.apache.spark.sql.Column] = Seq(
+    expr(s"(cum - n_tokens) div $PackWin").as("win_first"),
+    expr(s"(cum - 1) div $PackWin").as("win_last"),
+    expr(s"(cum - n_tokens) % $PackWin").as("offset_in_win"),
+    expr(isSplitExpr).as("is_split"))
+
+  /** Per-doc unigram familiarity `(doc_id, n_tokens, <famCol>)` — the
+    * integer-micro corpus-frequency score SHARED by tx_unigram_lm (which
+    * reports it) and tx_quality_buckets (which derives its cutoffs from
+    * it); one definition so the bucket boundaries are provably computed
+    * from the same score the LM query reports. Shape: one token shuffle
+    * (map-side combined), vocab join NOT broadcast (billions of entries at
+    * 100 TB), corpus total as a broadcast 1-row scalar. */
+  private def familiarity(s: org.apache.spark.sql.SparkSession, d: String,
+      famCol: String): org.apache.spark.sql.DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toks)).as("tok"))
+    val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = tk.agg(count(lit(1)).as("tot"))
+    tk.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("(1000000 * cnt) div tot")).as(famCol))
+  }
+
   /** Shared with graft.streaming.DocsStream's landing-zone quality gate —
     * the gate's verdict must be the same expression batch and stream. */
   private[graft] val stopList = "('the', 'a', 'of', 'and', 'to')"
@@ -102,8 +152,11 @@ object TextStats extends TextDp with TextBpe {
       (s, d) => Tables.documents(s, d)
         .select(
           col("doc_id"),
-          expr(s"size($toks)").as("n_tokens"),
-          expr(s"size(filter($toks, t -> t IN $stopList))").as("n_stop"))
+          expr(nTokensAs("INT")).as("n_tokens"),
+          // NULL-total like n_tokens: the oracle's len(list_filter(NULL))
+          // is NULL while non-ANSI size() would return -1.
+          expr(s"CAST(CASE WHEN text IS NULL THEN NULL ELSE " +
+            s"size(filter($toks, t -> t IN $stopList)) END AS INT)").as("n_stop"))
         .withColumn("pct_stop", expr("(100 * n_stop) div n_tokens"))
         .withColumn("quality_ok",
           expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
@@ -164,7 +217,7 @@ object TextStats extends TextDp with TextBpe {
           .orderBy(col("n").desc, col("bigram").asc)
         Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            posexplode(expr("split(trim(text), ' +')")).as(Seq("pos", "w0")))
+            posexplode(expr(toks)).as(Seq("pos", "w0")))
           .withColumn("w1", lead(col("w0"), 1).over(byDoc))
           .filter(col("w1").isNotNull)
           .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
@@ -289,18 +342,7 @@ object TextStats extends TextDp with TextBpe {
       * 1-row scalar. */
     QueryDef(
       "tx_unigram_lm",
-      (s, d) => {
-        val tk = Tables.documents(s, d)
-          .select(col("doc_id"), explode(expr(toks)).as("tok"))
-        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        val tot = tk.agg(count(lit(1)).as("tot"))
-        tk.join(freq, "tok")
-          .crossJoin(broadcast(tot))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(expr("(1000000 * cnt) div tot")).as("familiarity_micro"))
-          .orderBy("doc_id")
-      },
+      (s, d) => familiarity(s, d, "familiarity_micro").orderBy("doc_id"),
       Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
              |            FROM documents),
              |freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
@@ -383,16 +425,13 @@ object TextStats extends TextDp with TextBpe {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+            expr(nTokensAs("BIGINT")).as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
-          .select(col("source"), col("doc_id"), col("n_tokens"),
-            expr("(cum - n_tokens) div 256").as("win_first"),
-            expr("(cum - 1) div 256").as("win_last"),
-            expr("(cum - n_tokens) % 256").as("offset_in_win"),
-            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256").as("is_split"))
+          .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
+            ++ windowIndexCols: _*)
           .orderBy("source", "doc_id")
       },
-      Some("""WITH t AS (SELECT source, doc_id,
+      Some(s"""WITH t AS (SELECT source, doc_id,
              |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
              |           FROM documents),
              |c AS (SELECT source, doc_id, n_tokens,
@@ -400,10 +439,10 @@ object TextStats extends TextDp with TextBpe {
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
              |      FROM t)
              |SELECT source, doc_id, n_tokens,
-             |       (cum - n_tokens) // 256 AS win_first,
-             |       (cum - 1) // 256 AS win_last,
-             |       (cum - n_tokens) % 256 AS offset_in_win,
-             |       (cum - n_tokens) // 256 <> (cum - 1) // 256 AS is_split
+             |       (cum - n_tokens) // $PackWin AS win_first,
+             |       (cum - 1) // $PackWin AS win_last,
+             |       (cum - n_tokens) % $PackWin AS offset_in_win,
+             |       (cum - n_tokens) // $PackWin <> (cum - 1) // $PackWin AS is_split
              |FROM c ORDER BY source, doc_id""".stripMargin)),
 
     /** SHARDED SEQUENCE PACKING — the 100 TB shape of tx_pack_sequences.
@@ -427,7 +466,7 @@ object TextStats extends TextDp with TextBpe {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            expr(nTokensAs("BIGINT")).as("n_tokens"),
             expr("doc_id div 64").as("shard"))
         val wShard = Window.partitionBy(col("source"), col("shard"))
           .orderBy(col("doc_id"))
@@ -445,14 +484,11 @@ object TextStats extends TextDp with TextBpe {
           .select(col("source"), col("shard"), col("carry_in"))
         inShard.join(broadcast(carries), Seq("source", "shard"))
           .withColumn("cum", col("carry_in") + col("cum_in_shard"))
-          .select(col("source"), col("doc_id"), col("n_tokens"),
-            expr("(cum - n_tokens) div 256").as("win_first"),
-            expr("(cum - 1) div 256").as("win_last"),
-            expr("(cum - n_tokens) % 256").as("offset_in_win"),
-            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256").as("is_split"))
+          .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
+            ++ windowIndexCols: _*)
           .orderBy("source", "doc_id")
       },
-      Some("""WITH t AS (SELECT source, doc_id,
+      Some(s"""WITH t AS (SELECT source, doc_id,
              |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
              |                  doc_id // 64 AS shard
              |           FROM documents),
@@ -465,11 +501,11 @@ object TextStats extends TextDp with TextBpe {
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS carry_in
              |      FROM t GROUP BY source, shard)
              |SELECT s.source, s.doc_id, s.n_tokens,
-             |       (carry_in + cum_in_shard - n_tokens) // 256 AS win_first,
-             |       (carry_in + cum_in_shard - 1) // 256 AS win_last,
-             |       (carry_in + cum_in_shard - n_tokens) % 256 AS offset_in_win,
-             |       (carry_in + cum_in_shard - n_tokens) // 256
-             |         <> (carry_in + cum_in_shard - 1) // 256 AS is_split
+             |       (carry_in + cum_in_shard - n_tokens) // $PackWin AS win_first,
+             |       (carry_in + cum_in_shard - 1) // $PackWin AS win_last,
+             |       (carry_in + cum_in_shard - n_tokens) % $PackWin AS offset_in_win,
+             |       (carry_in + cum_in_shard - n_tokens) // $PackWin
+             |         <> (carry_in + cum_in_shard - 1) // $PackWin AS is_split
              |FROM s JOIN c USING (source, shard) ORDER BY source, doc_id""".stripMargin)),
 
     /** SPAN CORRUPTION (the T5/span-denoising objective prep): mask every
@@ -692,15 +728,7 @@ object TextStats extends TextDp with TextBpe {
     QueryDef(
       "tx_quality_buckets",
       (s, d) => {
-        val tk = Tables.documents(s, d)
-          .select(col("doc_id"), explode(expr(toks)).as("tok"))
-        val freq = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        val tot = tk.agg(count(lit(1)).as("tot"))
-        val fam = tk.join(freq, "tok")
-          .crossJoin(broadcast(tot))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(expr("(1000000 * cnt) div tot")).as("fam_micro"))
+        val fam = familiarity(s, d, "fam_micro")
         val cut = fam.agg(expr("sum(fam_micro) div count(1)").as("mean_micro"))
         fam.crossJoin(broadcast(cut))
           .withColumn("bucket", expr(
@@ -1050,23 +1078,24 @@ object TextStats extends TextDp with TextBpe {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+            expr(nTokensAs("BIGINT")).as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
-          .withColumn("is_split",
-            expr("(cum - n_tokens) div 256 <> (cum - 1) div 256"))
+          .withColumn("is_split", expr(isSplitExpr))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
             sum(when(col("is_split"), 1L).otherwise(0L)).as("n_split_docs"))
           .select(col("source"), col("n_docs"), col("total_tokens"),
-            expr("(total_tokens + 255) div 256").as("n_windows"),
-            expr("((total_tokens + 255) div 256) * 256 - total_tokens").as("waste_tokens"),
-            expr("(1000 * total_tokens) div (((total_tokens + 255) div 256) * 256)")
+            expr(s"(total_tokens + ${PackWin - 1}) div $PackWin").as("n_windows"),
+            expr(s"((total_tokens + ${PackWin - 1}) div $PackWin) * $PackWin" +
+              " - total_tokens").as("waste_tokens"),
+            expr(s"(1000 * total_tokens) div " +
+              s"(((total_tokens + ${PackWin - 1}) div $PackWin) * $PackWin)")
               .as("fill_permille"),
             col("n_split_docs"))
           .orderBy("source")
       },
-      Some("""WITH t AS (SELECT source, doc_id,
+      Some(s"""WITH t AS (SELECT source, doc_id,
              |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
              |       FROM documents),
              |c AS (SELECT source, doc_id, n_tokens,
@@ -1075,13 +1104,13 @@ object TextStats extends TextDp with TextBpe {
              |      FROM t),
              |g AS (SELECT source, COUNT(*) AS n_docs,
              |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-             |        CAST(SUM(CASE WHEN (cum - n_tokens) // 256 <> (cum - 1) // 256
+             |        CAST(SUM(CASE WHEN (cum - n_tokens) // $PackWin <> (cum - 1) // $PackWin
              |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
              |      FROM c GROUP BY source)
              |SELECT source, n_docs, total_tokens,
-             |       (total_tokens + 255) // 256 AS n_windows,
-             |       ((total_tokens + 255) // 256) * 256 - total_tokens AS waste_tokens,
-             |       (1000 * total_tokens) // (((total_tokens + 255) // 256) * 256)
+             |       (total_tokens + ${PackWin - 1}) // $PackWin AS n_windows,
+             |       ((total_tokens + ${PackWin - 1}) // $PackWin) * $PackWin - total_tokens AS waste_tokens,
+             |       (1000 * total_tokens) // (((total_tokens + ${PackWin - 1}) // $PackWin) * $PackWin)
              |         AS fill_permille,
              |       n_split_docs
              |FROM g ORDER BY source""".stripMargin)),

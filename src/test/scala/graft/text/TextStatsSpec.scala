@@ -685,4 +685,22 @@ class TextStatsSpec extends AnyFunSuite {
     // verdict restates the threshold on the emitted score
     got.foreach { case (_, _, tv, ok) => assert(ok == (tv < 100000L)) }
   }
+
+  test("nTokensAs is NULL-total: NULL text yields NULL, not non-ANSI -1") {
+    val s = spark; import s.implicits._
+    // The session runs ansi off, where size(split(NULL)) = -1 — a value
+    // that would corrupt the packing cumsum and quality sums while every
+    // DuckDB oracle yields NULL. The shared count must propagate NULL.
+    val df = Seq((1L, "a b  c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(
+        org.apache.spark.sql.functions.expr(TextStats.nTokensAs("BIGINT")).as("n"))
+      .collect()
+    assert(out(0).getLong(0) == 3L)
+    assert(out(1).isNullAt(0), "NULL text must stay NULL (not -1)")
+    // and the raw non-total form really does differ (the bug being guarded)
+    val raw = df.select(org.apache.spark.sql.functions
+        .expr("size(split(trim(text), ' +'))").as("n")).collect()
+    assert(raw(1).getInt(0) == -1, "non-ANSI size(NULL) contract changed?")
+  }
 }
