@@ -18,6 +18,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** The integer cents-conversion contract — HALF_UP round of a money
+    * DOUBLE × 100 into BIGINT, after which all aggregation is exact
+    * integer math (never raw double accumulation in a compared column).
+    * Stated ONCE here for every Spark-side money consumer (ops.Relational,
+    * ops.Analytics, streaming.EventsStream previously each restated it);
+    * the DuckDB oracles mirror the identical SQL text, where `round` is
+    * also half-away-from-zero. */
+  def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -205,18 +205,24 @@ object Dedup {
     * the Zipf head (stop-shingles / degenerate bands) — the same size
     * class as dd_decontaminate's broadcast dictionary. The size filter in
     * [[cappedElementPairs]] stays as a defensive second statement of the
-    * cap (it also covers null keys, which an anti-join can't match).
-    * `keys` must be NAMED columns (`col("bk")` / `expr(..).as("bv")`) —
-    * the anti-join joins by those names. */
+    * cap. NULL-keyed postings are DROPPED: a null blocking key carries no
+    * co-occurrence signal, every oracle's equi-join keep-CTE drops them
+    * anyway (NULL = NULL is UNKNOWN in SQL), and without the filter Spark
+    * would pair the null bucket the oracle never sees (latent today —
+    * derived keys are md5/xxhash of non-null input — but a nullable key
+    * like jn_fuzzy's p_brand makes it real). `keys` must be NAMED columns
+    * (`col("bk")` / `expr(..).as("bv")`) — the anti-join joins by those
+    * names. */
   def bucketedPairs(postings: DataFrame, elem: Column, keys: Column*): DataFrame = {
     val p = postings.select((keys :+ elem.as("__e")): _*)
     val keyNames = p.columns.dropRight(1).toSeq
-    val hot = p.groupBy(keyNames.map(col): _*)
+    val nonNull = p.filter(keyNames.map(col(_).isNotNull).reduce(_ && _))
+    val hot = nonNull.groupBy(keyNames.map(col): _*)
       .agg(count(col("__e")).as("__n"))
       .filter(col("__n") > MaxBucket)
       .select(keyNames.map(col): _*)
     cappedElementPairs(
-      p.join(broadcast(hot), keyNames, "left_anti")
+      nonNull.join(broadcast(hot), keyNames, "left_anti")
         .groupBy(keyNames.map(col): _*)
         .agg(sort_array(collect_list(col("__e"))).as("ds")))
   }

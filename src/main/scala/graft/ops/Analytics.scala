@@ -14,7 +14,7 @@ import graft.{QueryDef, Tables}
   */
 object Analytics {
 
-  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+  private def cents(c: String) = expr(graft.Tables.centsSql(c))
 
   /** The reproducible md5 hash-bucket bits every deterministic assignment
     * query derives from — an_hash_sample / an_train_split /

@@ -25,7 +25,7 @@ import graft.{QueryDef, Tables}
 object Relational {
   private val Dec9 = DecimalType(9, 0)
 
-  private def cents(c: String) = expr(s"CAST(round($c * 100) AS BIGINT)")
+  private def cents(c: String) = expr(graft.Tables.centsSql(c))
 
   /** Candidate pairs for the multi-pass fuzzy join (see `jn_fuzzy_multiblock`
     * below for the recall contract). Factored out so RelationalSpec can drive
@@ -43,6 +43,38 @@ object Relational {
     val byPrefixSize = graft.dedup.Dedup
       .bucketedPairs(p, doc, substring(col("p_name"), 1, 12).as("pfx"), col("p_size"))
     named(byKey).union(named(byPrefixSize)).distinct()
+  }
+
+  /** The shared as-of composition for `jn_asof` / `jn_asof_tolerance`
+    * (previously two verbatim ~20-line copies): order and event sides
+    * unioned into one per-key timeline, with the last-seen orderkey AND
+    * its timestamp carried forward by one window over ONE (k)-partitioned
+    * shuffle. Equal-timestamp order sides are pre-deduped to the max
+    * orderkey, and the `is_order desc` leg of the sort makes a same-tick
+    * order visible to its event (DuckDB ASOF `>=` semantics). Both
+    * consumers filter/project from this one frame, so the tie-break and
+    * the o_orderdate cast cannot drift between them. */
+  private def asofComposed(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val orders = Tables.orders(s, d)
+      // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC so the cast
+      // matches DuckDB's epoch_ms on the naive value
+      .groupBy(col("o_custkey").as("k"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("k"), col("t"), lit(1).as("is_order"),
+        col("o_orderkey"), lit(null).cast("long").as("event_id"))
+    val events = Tables.events(s, d)
+      .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
+        lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
+        col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_order").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionAll(events)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_t",
+        last(when(col("is_order") === 1, col("t")), ignoreNulls = true).over(w))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -197,29 +229,10 @@ object Relational {
       * max orderkey so both engines are deterministic. */
     QueryDef(
       "jn_asof",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val orders = Tables.orders(s, d)
-          // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC so the cast
-          // matches DuckDB's epoch_ms on the naive value
-          .groupBy(col("o_custkey").as("k"),
-            unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
-          .agg(max(col("o_orderkey")).as("o_orderkey"))
-          .select(col("k"), col("t"), lit(1).as("is_order"),
-            col("o_orderkey"), lit(null).cast("long").as("event_id"))
-        val events = Tables.events(s, d)
-          .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
-            lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
-            col("event_id"))
-        val w = Window.partitionBy(col("k"))
-          .orderBy(col("t").asc, col("is_order").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        orders.unionAll(events)
-          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-          .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull)
-          .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
-          .orderBy("event_id")
-      },
+      (s, d) => asofComposed(s, d)
+        .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull)
+        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+        .orderBy("event_id"),
       Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
              |                  MAX(o_orderkey) AS o_orderkey
              |           FROM orders GROUP BY 1, 2),
@@ -239,25 +252,8 @@ object Relational {
     QueryDef(
       "jn_asof_tolerance",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val TolMs = 730000000000L
-        val orders = Tables.orders(s, d)
-          .groupBy(col("o_custkey").as("k"),
-            unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
-          .agg(max(col("o_orderkey")).as("o_orderkey"))
-          .select(col("k"), col("t"), lit(1).as("is_order"),
-            col("o_orderkey"), lit(null).cast("long").as("event_id"))
-        val events = Tables.events(s, d)
-          .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
-            lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
-            col("event_id"))
-        val w = Window.partitionBy(col("k"))
-          .orderBy(col("t").asc, col("is_order").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        orders.unionAll(events)
-          .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-          .withColumn("asof_t",
-            last(when(col("is_order") === 1, col("t")), ignoreNulls = true).over(w))
+        asofComposed(s, d)
           .filter(col("is_order") === 0 && col("asof_orderkey").isNotNull &&
             col("t") - col("asof_t") <= TolMs)
           .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
@@ -403,17 +399,25 @@ object Relational {
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          expr("CAST(sum(l_quantity) AS BIGINT)").as("sum_qty"),
+          // per-value DECIMAL cast BEFORE the sum (the sum_base discipline):
+          // a raw double accumulation is order-dependent, and its final
+          // CAST AS BIGINT truncates in Spark but rounds in DuckDB — exact
+          // only while every l_quantity is integer-valued. The explicit
+          // scale-0 re-round makes the fractional case identical too.
+          expr("CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) " +
+            "AS DECIMAL(18,0)) AS BIGINT)").as("sum_qty"),
           expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
             .as("sum_base"),
           count(lit(1)).as("n"))
         .withColumn("avg_qty_micro", expr("(sum_qty * 1000000) div n"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |            AS BIGINT) AS sum_qty,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
              |       COUNT(*) AS n,
-             |       (CAST(SUM(l_quantity) AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
+             |       (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |             AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     QueryDef(
@@ -439,16 +443,25 @@ object Relational {
       "agg_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
+        // grouping()-labeled subtotals: a plain coalesce-to-'_all_' would
+        // conflate a genuine NULL data group with the subtotal row, tying
+        // the sort keys and making the ordered compare nondeterministic.
         .agg(count(lit(1)).as("n"),
           expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
-            .as("sum_base"))
+            .as("sum_base"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
         .select(
-          coalesce(col("l_returnflag"), lit("_all_")).as("rf"),
-          coalesce(col("l_linestatus"), lit("_all_")).as("ls"),
+          when(col("g_rf") === 1, "_all_")
+            .otherwise(coalesce(col("l_returnflag"), lit("_null_"))).as("rf"),
+          when(col("g_ls") === 1, "_all_")
+            .otherwise(coalesce(col("l_linestatus"), lit("_null_"))).as("ls"),
           col("n"), col("sum_base"))
         .orderBy("rf", "ls"),
-      Some("""SELECT COALESCE(l_returnflag, '_all_') AS rf,
-             |       COALESCE(l_linestatus, '_all_') AS ls,
+      Some("""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '_all_'
+             |            ELSE COALESCE(l_returnflag, '_null_') END AS rf,
+             |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '_all_'
+             |            ELSE COALESCE(l_linestatus, '_null_') END AS ls,
              |       COUNT(*) AS n,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -457,14 +470,22 @@ object Relational {
       "agg_cube",
       (s, d) => Tables.orders(s, d)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"))
+        // grouping()-labeled subtotals — the agg_rollup tie-safety rule.
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).as("g_st"),
+          grouping(col("o_orderpriority")).as("g_pri"))
         .select(
-          coalesce(col("o_orderstatus"), lit("_all_")).as("st"),
-          coalesce(col("o_orderpriority"), lit("_all_")).as("pri"),
+          when(col("g_st") === 1, "_all_")
+            .otherwise(coalesce(col("o_orderstatus"), lit("_null_"))).as("st"),
+          when(col("g_pri") === 1, "_all_")
+            .otherwise(coalesce(col("o_orderpriority"), lit("_null_"))).as("pri"),
           col("n"))
         .orderBy("st", "pri"),
-      Some("""SELECT COALESCE(o_orderstatus, '_all_') AS st,
-             |       COALESCE(o_orderpriority, '_all_') AS pri, COUNT(*) AS n
+      Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '_all_'
+             |            ELSE COALESCE(o_orderstatus, '_null_') END AS st,
+             |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN '_all_'
+             |            ELSE COALESCE(o_orderpriority, '_null_') END AS pri,
+             |       COUNT(*) AS n
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY st, pri""".stripMargin)),
 
@@ -588,8 +609,11 @@ object Relational {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"))
         .orderBy("event_id"),
+      // TRY_CAST (the dd_exact_priority discipline): Spark's .cast yields
+      // NULL on a non-numeric k while a plain DuckDB CAST would abort the
+      // whole oracle instead of producing the comparable NULL.
       Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
-             |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+             |       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- Subqueries ------------------------------------------------------

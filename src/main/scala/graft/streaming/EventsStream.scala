@@ -92,7 +92,7 @@ object EventsStream extends Serializable {
   private def hourly(events: DataFrame): DataFrame =
     events
       .withColumn("start_time", timestamp_seconds(expr("(ts div 1000000) div 1000")))
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cents", expr(graft.Tables.centsSql("value")))
       .groupBy(
         date_trunc("hour", col("start_time")).as("hour_ts"),
         col("event_type"))
@@ -134,7 +134,7 @@ object EventsStream extends Serializable {
     events
       .filter(col("event_type") === "purchase")
       .withColumn("start_time", timestamp_seconds(expr("(ts div 1000000) div 1000")))
-      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cents", expr(graft.Tables.centsSql("value")))
       .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
         col("user_id") === col("c_custkey"))
       .groupBy(
@@ -178,7 +178,7 @@ object EventsStream extends Serializable {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        expr(graft.Tables.centsSql("value")).as("cents"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
       .withColumn("brk",
         when(col("prev_ms").isNull || col("ms") - col("prev_ms") > SessionGapMs, 1)
@@ -252,7 +252,7 @@ object EventsStream extends Serializable {
     import spark.implicits._
     val events = readEventsStream(spark, eventsDir, maxFilesPerTrigger)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        expr(graft.Tables.centsSql("value")).as("cents"))
       .withColumn("et", expr("timestamp_millis(ms)"))
       .withWatermark("et", watermarkDelay)
       .as[Ev]
@@ -582,7 +582,7 @@ object EventsStream extends Serializable {
         when(col("cell_ok").isNotNull, "forward").otherwise("suppress"))
       .groupBy(col("event_type"), col("verdict"))
       .agg(count(lit(1)).as("n_events"),
-        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+        sum(expr(graft.Tables.centsSql("value"))).as("sum_cents"))
 
   /** Batch registration of [[kanonGate]] (stream≡batch spec in
     * EventsStreamSpec). */
