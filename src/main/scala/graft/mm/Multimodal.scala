@@ -32,21 +32,25 @@ object Multimodal {
   }
 
   /** Partition-local batched decode over a binary column — the Scala analog
-    * of a pandas-batch UDF: one iterator pass per partition, no shuffle. */
+    * of a pandas-batch UDF: one iterator pass per partition, no shuffle.
+    * NULL-total at the typed seam: a NULL payload (NULL source text) emits
+    * NULL width/height — matching the oracle's ascii(NULL)/octet_length
+    * (NULL) — instead of an NPE aborting the whole job where DuckDB
+    * answers. */
   def decodePartitions(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val idx = df.schema.fieldIndex(binCol)
-    val decoded = df.select(col("doc_id"), col(binCol)).as[(Long, Array[Byte])]
+    df.select(col("doc_id"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val m = fakeDecode(payload)
-          (id, m.width, m.height, m.format)
+          if (payload == null) (id, None: Option[Int], None: Option[Int], "fake/rgb8")
+          else {
+            val m = fakeDecode(payload)
+            (id, Some(m.width), Some(m.height), m.format)
+          }
         }
       }
       .toDF("doc_id", "width", "height", "format")
-    val _ = idx // schema validated above
-    decoded
   }
 
   /** STUB luma plane: `samples` BYTE-indexed stride samples of the payload
@@ -57,9 +61,11 @@ object Multimodal {
     * is defined in the BYTE domain, so Spark (array indexing here) and the
     * oracle (hex-string slicing of the blob) see identical values for ANY
     * payload — multibyte text included, closing the round-9 char-vs-byte
-    * unit mismatch. Payloads shorter than `samples` bytes have no plane. */
+    * unit mismatch. Payloads shorter than `samples` bytes — and NULL
+    * payloads (the oracle's len IS NULL fails its WHERE the same way) —
+    * have no plane. */
   def fakeLuma(payload: Array[Byte], samples: Int = 60): Option[Array[Int]] =
-    if (payload.length < samples) None
+    if (payload == null || payload.length < samples) None
     else {
       val stride = payload.length / samples
       Some(Array.tabulate(samples)(i => payload(i * stride) & 0xff))
@@ -125,9 +131,12 @@ object Multimodal {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     /** Decode-stub over the binary payload via the BATCHED per-partition
-      * path ([[decodePartitions]] — the pattern a real codec plugs into);
-      * the oracle mirrors the stub's arithmetic (first byte = ascii of the
-      * first char for this utf8 payload). */
+      * path ([[decodePartitions]] — the pattern a real codec plugs into).
+      * The oracle derives width from the first BYTE via a hex slice of the
+      * encoded blob (the fakeLuma byte-domain rule) — the earlier
+      * ascii-of-first-CHAR form read up to 4 UTF-8 bytes as one code point
+      * and diverged on any non-ASCII head; TRY_CAST keeps the empty
+      * payload at byte 0 and a NULL payload at NULL, mirroring the stub. */
     QueryDef(
       "mm_decode_stub",
       (s, d) => decodePartitions(
@@ -136,7 +145,9 @@ object Multimodal {
           "payload")
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |       CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+             |       CAST(CASE WHEN text IS NULL THEN NULL
+             |            ELSE 64 + COALESCE(TRY_CAST('0x' || substr(hex(encode(text)), 1, 2)
+             |                               AS BIGINT), 0) % 64 END AS INTEGER) AS width,
              |       CAST(64 + octet_length(encode(text)) % 64 AS INTEGER) AS height,
              |       'fake/rgb8' AS format
              |FROM documents ORDER BY doc_id""".stripMargin)),
@@ -149,7 +160,9 @@ object Multimodal {
       * batched decoder above. Narrow: explode multiplies rows by nframes/4
       * but nothing shuffles until the final sort. (Oracle note: the fixture
       * text is pure ASCII, so DuckDB's string substr sees the same bytes the
-      * Spark side slices from the utf8 payload.) */
+      * Spark side slices from the utf8 payload — ENFORCED by
+      * MultimodalSpec's fixture-contract tripwire, since DuckDB 1.0 cannot
+      * md5 a blob slice.) */
     QueryDef(
       "mm_frame_sample",
       (s, d) => Tables.documents(s, d)
@@ -269,21 +282,18 @@ object Multimodal {
       * artifact every consumer probes. (Oracle note: fixture payloads are
       * pure ASCII, so DuckDB's string substr sees the same bytes Spark
       * slices from the utf8 payload — mm_frame_sample's documented
-      * equivalence.) */
+      * equivalence, enforced by MultimodalSpec's fixture tripwire.) */
     QueryDef(
       "mm_video_dedup",
       (s, d) => graft.Artifacts.indexParquet(s, "video_pairs", d, "documents") {
-        val fr = Tables.documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .withColumn("nf", expr("(length(payload) + 31) div 32"))
-          .filter(col("nf") >= 1)
-          .select(col("doc_id"), col("payload"),
-            explode(expr("sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT))"))
-              .as("frame_idx"))
-          .select(col("doc_id"),
-            expr("md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
-              .as("fh"))
-          .distinct()
+        // The frame contract (32-byte frames, every 4th, md5, per-doc
+        // distinct) is [[withFrameFps]] — ONE statement shared with the
+        // streaming media screen, so the stride/width can't silently
+        // desynchronize batch pair graph from stream gate. Exploding the
+        // per-doc array_distinct array IS distinct (doc_id, fh).
+        val fr = withFrameFps(Tables.documents(s, d)
+            .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), explode(col("fps")).as("fh"))
         val n = fr.groupBy(col("doc_id")).agg(count(lit(1)).as("nfr"))
         graft.dedup.Dedup.bucketedIdPairs(fr, col("fh"))
           .groupBy(col("doc_a"), col("doc_b"))
@@ -345,7 +355,12 @@ object Multimodal {
         per.crossJoin(broadcast(total))
           .select(col("modality"), col("n_items"), col("sum_bytes"),
             expr("sum_bytes div n_items").as("avg_bytes"),
-            expr("(sum_bytes * 1000000) div total_bytes").as("share_micro"))
+            // 128-bit product (the an_volume_anomaly DECIMAL(38,0) ≙
+            // HUGEINT discipline — the oracle's SUM is already HUGEINT):
+            // sum_bytes * 1e6 wraps a BIGINT once a modality holds >9.2 TB
+            // of payload, i.e. inside the 100 TB design point.
+            expr("CAST((CAST(sum_bytes AS DECIMAL(38,0)) * 1000000) " +
+              "div total_bytes AS BIGINT)").as("share_micro"))
           .orderBy("modality")
       },
       Some("""WITH m AS (SELECT CASE WHEN doc_id % 10 < 6 THEN 'text'

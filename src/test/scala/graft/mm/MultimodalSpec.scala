@@ -159,4 +159,19 @@ class MultimodalSpec extends AnyFunSuite {
     val byMod = rows.map(r => r._1 -> r._2).toMap
     assert(byMod("text") > byMod("image") && byMod("image") > byMod("audio"))
   }
+
+  test("fixture contract: documents.text is pure ASCII (frame oracles slice CHARS)") {
+    // The mm_frame_sample / mm_video_dedup / st_media_dedup oracles hash
+    // 32-CHARACTER string slices while the engine hashes 32-BYTE binary
+    // slices; DuckDB 1.0 cannot md5 a blob slice, so the equivalence rests
+    // on the corpus being pure ASCII (char ≡ byte). This tripwire turns a
+    // fixture regeneration that breaks the constraint into a named failure
+    // here instead of an opaque hash mismatch in three queries.
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .filter(expr("text IS NOT NULL AND text RLIKE '[^\\\\x00-\\\\x7F]'"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii docs carry non-ASCII text — the frame-slice char≡byte " +
+        "equivalence the mm oracles rely on no longer holds")
+  }
 }
