@@ -224,10 +224,10 @@ object Bench {
     val envCpuS = if (envCpu0 < 0) -1.0 else (processCpuNanos - envCpu0) / 1e9
     val envJson = {
       val cpuWall = if (envCpuS < 0 || envWallS <= 0) -1.0 else envCpuS / envWallS
-      f""""env":{"wall_s":$envWallS%.1f,"cpu_s":$envCpuS%.1f,"cpu_wall":$cpuWall%.2f,""" +
-        f""""gc_s":${(gcMillis - envGc0) / 1000.0}%.1f,"jit_s":${(jitMillis - envJit0) / 1000.0}%.1f,""" +
-        f""""canary_s":$canary%.2f,""" +
-        f""""load1_before":$envLoad0%.2f,"load1_after":$loadAvg%.2f,"cpus":${Runtime.getRuntime.availableProcessors}}"""
+      s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +
+        s""""gc_s":${Jnum.f((gcMillis - envGc0) / 1000.0, 1)},"jit_s":${Jnum.f((jitMillis - envJit0) / 1000.0, 1)},""" +
+        s""""canary_s":${Jnum.f(canary, 2)},""" +
+        s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(loadAvg, 2)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
     }
     val results = samples.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
@@ -254,7 +254,7 @@ object Bench {
     // — the compact form keeps the one-line contract parseable at any suite
     // size, and the total/failed fields lead so a truncated tail still
     // carries the headline.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + Jnum.f(v, 3) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.values.filter(_ >= 0).sum
@@ -262,7 +262,7 @@ object Bench {
     // surface an explicit failure count and a nonzero exit code.
     val totalP50 = p50s.values.filter(_ >= 0).sum
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"total_p50":${f"$totalP50%.3f"},$envJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"total_p50":${Jnum.f(totalP50, 3)},$envJson,"sf":"$sfDir","queries":$qs}"""
     println(jsonLine)
     // The driver's log capture truncates long tails (BENCH_r04 lost the total
     // and 25 per-query entries); the file copy is the durable artifact. It
@@ -271,12 +271,12 @@ object Bench {
     // hides which round grew) and the per-round code-cache occupancy.
     try {
       val samplesJson = samples.map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+        "\"" + k + "\":[" + ts.map(t => Jnum.f(t, 3)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val ccJson = codeCacheByRound.map(c => f"$c%.1f").mkString("[", ",", "]")
-      val warmJson = warmup.map { case (k, t) => "\"" + k + "\":" + f"$t%.3f" }
+      val ccJson = codeCacheByRound.map(c => Jnum.f(c, 1)).mkString("[", ",", "]")
+      val warmJson = warmup.map { case (k, t) => "\"" + k + "\":" + Jnum.f(t, 3) }
         .mkString("{", ",", "}")
-      val p50Json = p50s.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      val p50Json = p50s.map { case (k, v) => "\"" + k + "\":" + Jnum.f(v, 3) }
         .mkString("{", ",", "}")
       val fileLine = jsonLine.dropRight(1) +
         s""","p50":$p50Json,"samples":$samplesJson,"warmup":$warmJson,"code_cache_mb":$ccJson}"""
@@ -296,8 +296,8 @@ object Bench {
     // captures one complete parseable record. The full per-query record stays
     // in the long line + target/bench_last.json.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${f"$total%.3f"},"unit":"sec","failed":${failed.size},"n":${results.size},"total_p50":${f"$totalP50%.3f"},$envJson,"sf":"$sfDir","slowest":$slowest}""")
+      .map { case (k, v) => "\"" + k + "\":" + Jnum.f(v, 3) }.mkString("{", ",", "}")
+    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"n":${results.size},"total_p50":${Jnum.f(totalP50, 3)},$envJson,"sf":"$sfDir","slowest":$slowest}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

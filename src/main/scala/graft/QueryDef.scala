@@ -19,3 +19,14 @@ object QueryDef {
   def oracleMap(defs: Seq[QueryDef]): Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }
+
+/** Locale-fixed numeric formatting for MACHINE-PARSED output lines (the
+  * GRAFT_BENCH / GRAFT_PIPELINE / bpe-envelope JSON records): Scala's f""
+  * interpolator formats through the JVM default locale, so a comma-decimal
+  * host (LANG=de_DE and friends) would emit `"value":76,206` — invalid
+  * JSON that silently drops the record from tools/scaling.py's parse.
+  * Human-facing stderr lines keep the plain interpolator. */
+object Jnum {
+  def f(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
+}

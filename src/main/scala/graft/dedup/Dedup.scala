@@ -45,10 +45,19 @@ object Dedup {
     * array_distinct) is interpreted and measured ~1.7 ms/doc — it dominated
     * the dedup queries. The window shuffle partitions by doc_id, which is
     * exactly how it distributes at scale. */
-  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame =
+    shingleRowsOf(Tables.documents(s, d))
+
+  /** [[shingleRows]] over an arbitrary (doc_id, text) frame — the
+    * frame-parameterized form for callers that shingle a SUBSET (the
+    * corpus pipeline's eval dictionary shingles only the eval source;
+    * the monolithic form forced a full-corpus shingle pass that a
+    * doc_id join then threw away, since Catalyst can't push the join
+    * below the per-doc window + distinct). */
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
       .withColumn("w1", lead(col("w0"), 1).over(w))
       .withColumn("w2", lead(col("w0"), 2).over(w))

@@ -121,12 +121,17 @@ object RunCorpusPipeline {
     // 2. decontaminate vs the eval source: eval shingle dictionary is
     // bounded by the eval vocabulary and BROADCAST (capping it would cost
     // recall = eval leakage); one count per corpus doc, filter, done. The
-    // eval source's own docs are excluded from the corpus output.
-    val src = docs.select(col("doc_id"), col("source"))
-    val sh = graft.dedup.Dedup.shingleRows(spark, sfDir)
-    val evalDict = sh.join(src.filter(col("source") === EvalSource), "doc_id")
+    // eval source's own docs are excluded from the corpus output. Each
+    // side shingles ONLY its own slice (Dedup.shingleRowsOf): the earlier
+    // monolithic form shingled the full corpus twice — once to keep the
+    // eval 1/n_sources for the dictionary, once to probe — doubling the
+    // stage's most expensive scan at the 100 TB point.
+    val evalDict = graft.dedup.Dedup
+      .shingleRowsOf(docs.filter(col("source") === EvalSource))
       .select(col("sng")).distinct()
-    val contaminated = sh.join(broadcast(evalDict), "sng")
+    val contaminated = graft.dedup.Dedup
+      .shingleRowsOf(docs.filter(col("source") =!= EvalSource))
+      .join(broadcast(evalDict), "sng")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= decontamMinShingles)
       .select(col("doc_id"))
@@ -154,19 +159,19 @@ object RunCorpusPipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     stageDone("sample_split")
 
-    // 5. pack coordinates per (split, source) — tx_pack_sequences' shape;
-    // window partitions = (split, source) shards, never a global cumsum.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = shards
-      .select(col("split"), col("source"), col("doc_id"),
-        expr(s"CAST(size(${graft.text.TextStats.toks}) AS BIGINT)").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("split"), col("source"), col("doc_id"), col("n_tokens"),
-        expr("(cum - n_tokens) div 256").as("win_first"),
-        expr("(cum - 1) div 256").as("win_last"),
-        expr("(cum - n_tokens) % 256").as("offset_in_win"))
+    // 5. pack coordinates per (split, source) — the SHARDED two-level
+    // prefix scan (TextStats.shardedCum, tx_pack_sequences_sharded's
+    // shape): the unsharded per-(split, source) window would put a
+    // dominant source's whole train split in ONE task at scale. The
+    // window-index projection and NULL-total token count are the shared
+    // definitions the pack oracles verify (windowIndexCols / nTokensAs /
+    // PackWin — a window-size retune moves the pipeline with the queries).
+    val packed = graft.text.TextStats.shardedCum(
+        shards.select(col("split"), col("source"), col("doc_id"),
+          expr(graft.text.TextStats.nTokensAs("BIGINT")).as("n_tokens")),
+        Seq("split", "source"))
+      .select(Seq(col("split"), col("source"), col("doc_id"), col("n_tokens"))
+        ++ graft.text.TextStats.windowIndexCols: _*)
     packed.write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/packed.parquet")
     val nPacked = spark.read.schema(packed.schema).parquet(s"$outDir/packed.parquet").count()
@@ -259,7 +264,7 @@ object RunCorpusPipeline {
       // so the end-to-end decade section reads stage factors AND count
       // conservation from one record. Timings are NOT in manifest.json —
       // that artifact stays a deterministic function of the corpus.
-      val stagesJson = stageSecs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      val stagesJson = stageSecs.map { case (k, v) => "\"" + k + "\":" + graft.Jnum.f(v, 2) }
         .mkString("{", ",", "}")
       val splitsJson = c.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

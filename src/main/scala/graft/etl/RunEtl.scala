@@ -51,8 +51,14 @@ object RunEtl {
     val spark = Sessions.local(cpus)
     Sessions.applyCloudFs(spark, cfg)
     try {
-      // create_tables.py analog: reset the catalog before loading
-      StarCatalog.reset(spark)
+      // create_tables.py analog, minus the dead churn: the reference's
+      // drop→create happens before load because its INSERTs need the
+      // tables to exist; the Spark writes never touch the catalog, and
+      // register() drops + re-creates EXTERNAL tables itself — a full
+      // reset here created five managed warehouse tables only for
+      // register to delete them moments later. Drop-only preserves the
+      // clean-slate sequencing.
+      StarCatalog.drop(spark)
       val results = StarPipeline.run(spark, sfDir, outDir)
       StarCatalog.register(spark, outDir)
       results.foreach(r => println(s"[etl] ${r.name}: ${r.rows} rows -> ${r.path}"))

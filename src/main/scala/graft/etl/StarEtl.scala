@@ -72,7 +72,17 @@ object StarEtl {
     * The dim side is broadcast: at 100 TB the fact side streams through a
     * broadcast hash join with zero fact-side shuffle; the only exchange is
     * the final DISTINCT's hash aggregation. */
-  def songplays(spark: SparkSession, sfDir: String): DataFrame = {
+  def songplays(spark: SparkSession, sfDir: String): DataFrame =
+    songplaysUnsorted(spark, sfDir)
+      .orderBy("start_time", "user_id", "song_id", "session_id", "user_agent")
+
+  /** [[songplays]] WITHOUT the presentation sort — the lineage
+    * [[StarPipeline]] writes: the global orderBy exists only for the
+    * oracle's ordered compare, and Layout.writeParquet immediately
+    * repartitions by the distkey and re-sorts within partitions, so the
+    * ordered form paid a full range exchange + global sort per ELT run
+    * just to discard it. Same rule for the four dims below. */
+  def songplaysUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val se  = stagingEvents(spark, sfDir).filter(col("event_type") === "view")
     val dim = songDim(spark, sfDir)
     se.join(
@@ -87,7 +97,6 @@ object StarEtl {
         se("event_id").cast(StringType).as("session_id"),
         se("props").as("user_agent"))
       .distinct()
-      .orderBy("start_time", "user_id", "song_id", "session_id", "user_agent")
   }
 
   /** users dim (sql_queries.py:170-183) — faithful, including the quirk:
@@ -95,13 +104,16 @@ object StarEtl {
     * level changed appears once per level. `level` here is the `$.k` field of
     * the event props JSON (P2 filter applied as in the reference). */
   def users(spark: SparkSession, sfDir: String): DataFrame =
+    usersUnsorted(spark, sfDir).orderBy("user_id", "level")
+
+  /** [[users]] without the presentation sort (the songplaysUnsorted rule). */
+  def usersUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .filter(col("event_type") === "view")
       .select(
         col("user_id"),
         get_json_object(col("props"), "$.k").as("level"))
       .distinct()
-      .orderBy("user_id", "level")
 
   /** users dim, fixed variant (SURVEY.md §2.4 A2): latest level per user via
     * a window dedup — `row_number() over (partition by user order by ts desc)`. */
@@ -122,6 +134,10 @@ object StarEtl {
   /** songs dim (sql_queries.py:186-195): distinct projection of the part
     * metadata with the DECIMAL(9,0) load-rounding on the price/duration. */
   def songs(spark: SparkSession, sfDir: String): DataFrame =
+    songsUnsorted(spark, sfDir).orderBy("song_id")
+
+  /** [[songs]] without the presentation sort (the songplaysUnsorted rule). */
+  def songsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)
       .select(
         col("p_partkey").as("song_id"),
@@ -132,11 +148,14 @@ object StarEtl {
         // BIGINT so the output bytes are representation-independent.
         col("p_retailprice").cast(Dec9).cast(LongType).as("duration"))
       .distinct()
-      .orderBy("song_id")
 
   /** artists dim (sql_queries.py:197-206): distinct projection, NULL-tolerant
     * (P4), DECIMAL(9,0) rounding on the numeric attribute. */
   def artists(spark: SparkSession, sfDir: String): DataFrame =
+    artistsUnsorted(spark, sfDir).orderBy("artist_id")
+
+  /** [[artists]] without the presentation sort (the songplaysUnsorted rule). */
+  def artistsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.supplier(spark, sfDir)
       .select(
         col("s_suppkey").as("artist_id"),
@@ -144,12 +163,15 @@ object StarEtl {
         col("s_nationkey").as("location"),
         col("s_acctbal").cast(Dec9).cast(LongType).as("latitude"))
       .distinct()
-      .orderBy("artist_id")
 
   /** time dim (sql_queries.py:208-220): E1 timestamp build then the
     * EXTRACT family E2-E7 — including the E7 bug-as-spec: `weekday` holds
     * the ISO week number (EXTRACT(week) twice, sql_queries.py:214 vs 217). */
   def time(spark: SparkSession, sfDir: String): DataFrame =
+    timeUnsorted(spark, sfDir).orderBy("start_time")
+
+  /** [[time]] without the presentation sort (the songplaysUnsorted rule). */
+  def timeUnsorted(spark: SparkSession, sfDir: String): DataFrame =
     stagingEvents(spark, sfDir)
       .filter(col("event_type") === "view")
       .select(startTime)
@@ -162,7 +184,6 @@ object StarEtl {
         year(col("start_time")).as("year"),
         weekofyear(col("start_time")).as("weekday"))
       .distinct()
-      .orderBy("start_time")
 
   /** time dim, fixed variant: `weekday` is a real day-of-week
     * (0=Monday … 6=Sunday, Spark `weekday`). */

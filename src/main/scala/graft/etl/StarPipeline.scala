@@ -25,11 +25,14 @@ object StarPipeline {
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[TableResult] = {
     val tables = Seq(
       // (name, df, distKey, sortKey) — insert order = sql_queries.py:227
-      ("songplays", StarEtl.songplays(spark, sfDir), Some("song_id"), Some("start_time")),
-      ("users",     StarEtl.users(spark, sfDir),     None,            Some("user_id")),
-      ("songs",     StarEtl.songs(spark, sfDir),     Some("song_id"), Some("song_id")),
-      ("artists",   StarEtl.artists(spark, sfDir),   None,            Some("artist_id")),
-      ("time",      StarEtl.time(spark, sfDir),      None,            Some("start_time")))
+      // Unsorted lineages on purpose: Layout.writeParquet repartitions by
+      // the distkey and sortWithinPartitions anyway, so the oracle-facing
+      // builders' global orderBy would be a discarded range exchange + sort.
+      ("songplays", StarEtl.songplaysUnsorted(spark, sfDir), Some("song_id"), Some("start_time")),
+      ("users",     StarEtl.usersUnsorted(spark, sfDir),     None,            Some("user_id")),
+      ("songs",     StarEtl.songsUnsorted(spark, sfDir),     Some("song_id"), Some("song_id")),
+      ("artists",   StarEtl.artistsUnsorted(spark, sfDir),   None,            Some("artist_id")),
+      ("time",      StarEtl.timeUnsorted(spark, sfDir),      None,            Some("start_time")))
     tables.map { case (name, df, dist, sort) =>
       val path = s"$outDir/$name"
       Layout.writeParquet(df, path, dist, sort)

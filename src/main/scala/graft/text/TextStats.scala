@@ -55,11 +55,40 @@ object TextStats extends TextDp with TextBpe {
     * stated once so tx_pack_sequences_sharded's claim of reproducing
     * tx_pack_sequences EXACTLY rests on a shared definition, not on three
     * hand-copied expression lists staying in sync. */
-  private def windowIndexCols: Seq[org.apache.spark.sql.Column] = Seq(
+  private[graft] def windowIndexCols: Seq[org.apache.spark.sql.Column] = Seq(
     expr(s"(cum - n_tokens) div $PackWin").as("win_first"),
     expr(s"(cum - 1) div $PackWin").as("win_last"),
     expr(s"(cum - n_tokens) % $PackWin").as("offset_in_win"),
     expr(isSplitExpr).as("is_split"))
+
+  /** Two-level sharded prefix sum — the 100 TB shape of the packing
+    * cumsum, stated ONCE for [[defs tx_pack_sequences_sharded]] and the
+    * corpus pipeline's pack stage: an unsharded per-partition window puts
+    * an entire partition key (a dominant source — terabytes at scale) in
+    * ONE task. shard = doc_id div 64 bounds every window partition by the
+    * shard width; per-shard totals get an exclusive running sum per
+    * `partCols` (shard-count-sized — model state) broadcast back as each
+    * shard's carry-in. cum = carry_in + cum_in_shard reproduces the
+    * unsharded cumulative sum EXACTLY because shard order is doc_id
+    * order. Expects `doc_id`, `n_tokens`, and `partCols`; adds `cum`. */
+  private[graft] def shardedCum(docs: org.apache.spark.sql.DataFrame,
+      partCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = partCols.map(col)
+    val withShard = docs.withColumn("shard", expr("doc_id div 64"))
+    val wShard = Window.partitionBy(pc :+ col("shard"): _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = withShard.withColumn("cum_in_shard", sum(col("n_tokens")).over(wShard))
+    val wCarry = Window.partitionBy(pc: _*).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = withShard.groupBy(pc :+ col("shard"): _*)
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("carry_in", coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)))
+      .select(pc :+ col("shard") :+ col("carry_in"): _*)
+    inShard.join(broadcast(carries), partCols :+ "shard")
+      .withColumn("cum", col("carry_in") + col("cum_in_shard"))
+      .drop("shard", "cum_in_shard", "carry_in")
+  }
 
   /** Per-doc unigram familiarity `(doc_id, n_tokens, <famCol>)` — the
     * integer-micro corpus-frequency score SHARED by tx_unigram_lm (which
@@ -462,32 +491,14 @@ object TextStats extends TextDp with TextBpe {
       * prefix scan expressed in pure DataFrame ops. */
     QueryDef(
       "tx_pack_sequences_sharded",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            expr(nTokensAs("BIGINT")).as("n_tokens"),
-            expr("doc_id div 64").as("shard"))
-        val wShard = Window.partitionBy(col("source"), col("shard"))
-          .orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val inShard = docs.withColumn("cum_in_shard", sum(col("n_tokens")).over(wShard))
-        // Exclusive running sum over shard totals = carry-in; the frame is
-        // shard-count-sized (model state, not data scale) so the per-source
-        // single-partition window here is over ~N/64 rows, and the join back
-        // to the corpus rides a broadcast.
-        val wCarry = Window.partitionBy(col("source")).orderBy(col("shard"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carries = docs.groupBy(col("source"), col("shard"))
-          .agg(sum(col("n_tokens")).as("shard_tokens"))
-          .withColumn("carry_in", coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)))
-          .select(col("source"), col("shard"), col("carry_in"))
-        inShard.join(broadcast(carries), Seq("source", "shard"))
-          .withColumn("cum", col("carry_in") + col("cum_in_shard"))
-          .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
-            ++ windowIndexCols: _*)
-          .orderBy("source", "doc_id")
-      },
+      (s, d) => shardedCum(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              expr(nTokensAs("BIGINT")).as("n_tokens")),
+          Seq("source"))
+        .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
+          ++ windowIndexCols: _*)
+        .orderBy("source", "doc_id"),
       Some(s"""WITH t AS (SELECT source, doc_id,
              |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
              |                  doc_id // 64 AS shard

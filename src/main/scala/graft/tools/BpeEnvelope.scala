@@ -69,8 +69,8 @@ object BpeEnvelope {
     def dictBytes(ws: Seq[(String, Long)]): Long =
       ws.map(_._1.getBytes("UTF-8").length.toLong + 16L).sum
     val dictF2 = graft.text.TextStats.wordFreqDict(graft.Tables.documents(s, d), 2L)
-    val timesJson = ok.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val octJson = octile.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val timesJson = ok.map(t => graft.Jnum.f(t, 3)).mkString("[", ",", "]")
+    val octJson = octile.map(t => graft.Jnum.f(t, 3)).mkString("[", ",", "]")
     println(s"""GRAFT_BPE_ENVELOPE {"sf":"$d","rounds":${ok.length},"merges":${merges.length},""" +
       f""""total":${ok.sum}%.2f,"octile_means":$octJson,"flatness_last_over_first":$flat%.2f,""" +
       f""""driver_heap_total":$localSec%.3f,"driver_heap_equal":$equal,""" +
