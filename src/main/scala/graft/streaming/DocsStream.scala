@@ -338,7 +338,7 @@ object DocsStream {
       .filter(col("word") =!= "")
       .join(dict, Seq("word"), "left_outer")
       .withColumn("n_sub_eff", coalesce(col("n_sub"),
-        expr("CAST(size(filter(split(word, ''), x -> x <> '')) AS BIGINT)")))
+        expr(s"CAST(size(${graft.text.TextStats.charsExpr}) AS BIGINT)")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub_eff")).as("n_subwords"))
       .withColumn("fertility_permille", expr("(1000 * n_subwords) div n_words"))

@@ -25,6 +25,15 @@ private[text] trait TextBpe { this: TextStats.type =>
     * uninitialized 0 even without the inlining.) */
   final val BpeRounds = 8
 
+  /** Character splitter over a `word` column — the symbol alphabet both
+    * trainers, the apply dictionary, and the streaming fertility fallback
+    * derive pairs from, stated ONCE (the `toks` discipline; four sites
+    * previously restated it). filter(x <> ''): Java-regex split("") can
+    * emit a trailing empty token the DuckDB splitter doesn't — strip it so
+    * both engines pair the same symbols. The JVM-side twin is
+    * [[codePointSyms]] (code points, never UTF-16 units). */
+  private[graft] val charsExpr = "filter(split(word, ''), x -> x <> '')"
+
   // In-JVM fast path over the PERSISTED merge-table artifact (below) —
   // private[text] so the rebuild-on-rewrite spec can clear it and prove a
   // fresh JVM reads the published artifact instead of retraining.
@@ -110,17 +119,46 @@ private[text] trait TextBpe { this: TextStats.type =>
     * affected word: subtract its old adjacent pairs, apply the
     * leftmost-greedy merge, re-add the new ones — O(word length), exactly
     * the FastBPE update rule. Selection order matches the relational path:
-    * count desc, then (lhs, rhs) ascending; String.compareTo here vs
-    * Spark's binary UTF-8 comparison agree on ASCII (the tokenizer's
-    * domain) — a non-ASCII corpus would need a codepoint-order comparator.
-    * Equality with [[bpeMergesUncached]] is spec-pinned on the fixture and
-    * on seeded adversarial corpora. */
+    * count desc, then (lhs, rhs) ascending in CODE-POINT order
+    * ([[cpCompare]] — identical to Spark's and DuckDB's binary UTF-8
+    * string order; plain String.compareTo is UTF-16 order, which sorts a
+    * supplementary character BELOW U+E000..U+FFFF by its surrogate halves
+    * and would silently pick a different merge on real web text).
+    * Equality with [[bpeMergesUncached]] is spec-pinned on the fixture, on
+    * seeded adversarial corpora, and on a supplementary-vs-BMP tie. */
+  /** Code-point symbols — the JVM twin of [[charsExpr]]. NOT
+    * `String.split("")`: that splits between UTF-16 units, halving a
+    * supplementary character (𝛼, emoji — ordinary web text) into two
+    * lone-surrogate "symbols" that Spark's and DuckDB's splitters never
+    * produce, so the driver-heap trainer would learn merges over a
+    * different alphabet than the oracle-replayable path (caught by the
+    * TextStatsSpec supplementary-tie pin). */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Code-point (= binary UTF-8) string order — the tie-break order the
+    * relational trainer inherits from Spark's UTF8String comparison and
+    * the oracle from DuckDB's VARCHAR order. UTF-8 byte order equals
+    * code-point order by construction, so comparing code points avoids
+    * the per-comparison byte-array allocation. */
+  private def cpCompare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
+
   private[graft] def bpeMergesDriverHeap(wordFreqs: Seq[(String, Long)],
       rounds: Int): Seq[(Long, String, String, String, Long)] = {
     import scala.collection.mutable
     val freqs = wordFreqs.map(_._2).toArray
     val syms = wordFreqs
-      .map(w => mutable.ArrayBuffer.from(w._1.split("").filter(_.nonEmpty))).toArray
+      .map(w => mutable.ArrayBuffer.from(codePointSyms(w._1))).toArray
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
     val heap = mutable.PriorityQueue.empty[(Long, String, String)](
@@ -129,8 +167,8 @@ private[text] trait TextBpe { this: TextStats.type =>
           val c = java.lang.Long.compare(x._1, y._1)
           if (c != 0) c // larger count = higher priority
           else {
-            val ca = y._2.compareTo(x._2) // smaller lhs = higher priority
-            if (ca != 0) ca else y._3.compareTo(x._3)
+            val ca = cpCompare(y._2, x._2) // smaller lhs = higher priority
+            if (ca != 0) ca else cpCompare(y._3, x._3)
           }
         }
       })
@@ -252,9 +290,7 @@ private[text] trait TextBpe { this: TextStats.type =>
       onRound: (Int, Double) => Unit = (_, _) => ()): Seq[(Long, String, String, String, Long)] = {
     import org.apache.spark.sql.expressions.Window
     val wPos = Window.partitionBy(col("word")).orderBy(col("pos"))
-    // filter(x <> ''): Java-regex split("") can emit a trailing empty token
-    // the DuckDB splitter doesn't — strip it so both engines pair the same
-    // symbols. localCheckpoint (not persist): each round's frame references
+    // localCheckpoint (not persist): each round's frame references
     // the previous round's plan several times, and Catalyst copies shared
     // subtrees during optimization — 8 rounds of persist-only lineage grew
     // the logical plan exponentially (observed as analyzer OOM); truncating
@@ -264,11 +300,18 @@ private[text] trait TextBpe { this: TextStats.type =>
       .select(explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+      .withColumn("syms", expr(charsExpr))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    // Exhaustion BREAKS the loop (the driver-heap twin's `exhausted` rule):
+    // once the argmax comes back empty `words` can never change, so each
+    // remaining round would re-submit an identical guaranteed-empty job —
+    // ~0.2 s of pure submission latency per dead round on a small corpus
+    // driven to a deep round count.
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val rt0 = System.nanoTime()
       val ex = words
         .select(col("word"), col("freq"), posexplode(col("syms")).as(Seq("pos", "sym")))
@@ -278,7 +321,8 @@ private[text] trait TextBpe { this: TextStats.type =>
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
-      if (bestRows.nonEmpty) {
+      if (bestRows.isEmpty) exhausted = true
+      else {
         val (a, b, cnt) =
           (bestRows(0).getString(0), bestRows(0).getString(1), bestRows(0).getLong(2))
         out += ((r.toLong, a, b, a + b, cnt))
@@ -304,28 +348,35 @@ private[text] trait TextBpe { this: TextStats.type =>
         // 4 s → 18 s → 116 s → 639 s). Window/project/filter estimators
         // scale stats linearly, so per-round cost stays flat at any merge
         // depth — see graft.tools.BpeEnvelope for the measured curve.
-        val cumFrame = wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val marked = ex
-          .withColumn("m",
-            when(col("sym") === a && col("nxt") === b, 1L).otherwise(0L))
-          .withColumn("cum", sum(col("m")).over(cumFrame))
-          .withColumn("rr", sum(col("m")).over(
-            Window.partitionBy(col("word"), col("pos") - col("cum"))
-              .orderBy(col("pos"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("is_k", col("m") === 1L && col("rr") % 2 === 1)
-          .withColumn("is_d", coalesce(lag(col("is_k"), 1).over(wPos), lit(false)))
-        val next = marked
-          .filter(!col("is_d")) // the absorbed right half of each merge
-          .withColumn("ns",
-            when(col("is_k"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
-          .groupBy(col("word"), col("freq"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, ns))), p -> p.ns)")
-            .as("syms"))
-          .localCheckpoint(true) // materializes eagerly; truncates lineage
-        words = next
+        // The rewrite feeds only the NEXT round's argmax: on the final
+        // round it would be one full eagerly-checkpointed job whose output
+        // nobody reads — ~1/rounds of total training cost, billed by
+        // BpeEnvelope into the last round's figure for nothing.
+        if (r < rounds) {
+          val cumFrame = wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val marked = ex
+            .withColumn("m",
+              when(col("sym") === a && col("nxt") === b, 1L).otherwise(0L))
+            .withColumn("cum", sum(col("m")).over(cumFrame))
+            .withColumn("rr", sum(col("m")).over(
+              Window.partitionBy(col("word"), col("pos") - col("cum"))
+                .orderBy(col("pos"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("is_k", col("m") === 1L && col("rr") % 2 === 1)
+            .withColumn("is_d", coalesce(lag(col("is_k"), 1).over(wPos), lit(false)))
+          val next = marked
+            .filter(!col("is_d")) // the absorbed right half of each merge
+            .withColumn("ns",
+              when(col("is_k"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+            .groupBy(col("word"), col("freq"))
+            .agg(expr("transform(sort_array(collect_list(struct(pos, ns))), p -> p.ns)")
+              .as("syms"))
+            .localCheckpoint(true) // materializes eagerly; truncates lineage
+          words = next
+        }
       }
       onRound(r, (System.nanoTime() - rt0) / 1e9)
+      r += 1
     }
     out.toSeq
   }
@@ -380,22 +431,6 @@ private[text] trait TextBpe { this: TextStats.type =>
     sb.toString
   }
 
-  /** BPE APPLICATION — tokenize the corpus with the merges [[bpeMerges]]
-    * learned: per document, whitespace words and the subword count after
-    * applying the 8 learned merges in rank order. Application is ONE
-    * codegen projection over the DISTINCT-WORD dictionary: each merge is a
-    * left fold over the symbol array (`aggregate`) that replaces a trailing
-    * `lhs` with `merged` when `rhs` arrives — equivalent to leftmost-greedy
-    * non-overlapping application because the merged symbol is strictly
-    * longer than `lhs`, so a just-merged slot can never re-match as the
-    * left half of the same pair ("aaa" + (a,a) → [aa, a], by fold and by
-    * greedy alike). The merges arrive as LITERALS from the memoized model
-    * (serving never retrains), folds nest 8 deep in one whole-stage-codegen
-    * expression — no windows, no shuffle on the apply side. The doc rollup
-    * joins tokens to the segmented dictionary WITHOUT a broadcast hint (the
-    * vocab-join convention: unbounded domain at 100 TB, AQE decides). The
-    * oracle reuses the training replay verbatim — its final w8 CTE IS the
-    * segmented dictionary. */
   /** Subword-count dictionary under the learned merges: (word, n_sub) for
     * every distinct corpus word — the serving table the fertility monitor
     * and the apply rollup share. Merges arrive as literals from the
@@ -425,11 +460,27 @@ private[text] trait TextBpe { this: TextStats.type =>
       .select(explode(expr(toks)).as("word"))
       .filter(col("word") =!= "")
       .distinct()
-      .withColumn("syms", expr("filter(split(word, ''), x -> x <> '')"))
+      .withColumn("syms", expr(charsExpr))
       .withColumn("n_sub", size(applied).cast("long"))
       .select(col("word"), col("n_sub"))
   }
 
+  /** BPE APPLICATION — tokenize the corpus with the merges [[bpeMerges]]
+    * learned: per document, whitespace words and the subword count after
+    * applying the 8 learned merges in rank order. Application is ONE
+    * codegen projection over the DISTINCT-WORD dictionary: each merge is a
+    * left fold over the symbol array (`aggregate`) that replaces a trailing
+    * `lhs` with `merged` when `rhs` arrives — equivalent to leftmost-greedy
+    * non-overlapping application because the merged symbol is strictly
+    * longer than `lhs`, so a just-merged slot can never re-match as the
+    * left half of the same pair ("aaa" + (a,a) → [aa, a], by fold and by
+    * greedy alike). The merges arrive as LITERALS from the memoized model
+    * (serving never retrains), folds nest 8 deep in one whole-stage-codegen
+    * expression — no windows, no shuffle on the apply side. The doc rollup
+    * joins tokens to the segmented dictionary WITHOUT a broadcast hint (the
+    * vocab-join convention: unbounded domain at 100 TB, AQE decides). The
+    * oracle reuses the training replay verbatim — its final w8 CTE IS the
+    * segmented dictionary. */
   def bpeApplyDf(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val dict = bpeSubwordDict(s, d)

@@ -387,6 +387,20 @@ class TextStatsSpec extends AnyFunSuite {
     val shallow = TextStats.bpeMerges(spark, TestSpark.sf)
     assert(deep.take(shallow.length) == shallow)
     assert(deep.length > shallow.length)
+    // non-ASCII tie-break: a supplementary char (U+1D6FC, a surrogate pair)
+    // vs a BMP char (U+FF71) with tied pair counts — UTF-16 compareTo would
+    // order the surrogate pair FIRST (0xD835 < 0xFF71) while Spark/DuckDB
+    // binary UTF-8 order (= code-point order) puts U+FF71 first. Both
+    // trainers must agree on the code-point order.
+    val supp = new String(Character.toChars(0x1D6FC)) // 𝛼
+    val bmp = "ｱ"                                // ｱ
+    val tieDocs = Seq((1L, s"${supp}a ${bmp}a", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val heapGot = TextStats.bpeMergesDriverHeap(TextStats.wordFreqDict(tieDocs), 1)
+    val relGot = TextStats.bpeMergesUncached(tieDocs, 1)
+    assert(heapGot == relGot, s"tie-break divergence: heap=$heapGot rel=$relGot")
+    assert(heapGot.head._2 == bmp,
+      s"code-point order must pick U+FF71 over U+1D6FC, got lhs=${heapGot.head._2}")
   }
 
   test("wordFreqDict minCount floor: bounds the collect; merges exact per the stated contract") {
