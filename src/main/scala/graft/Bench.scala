@@ -133,7 +133,12 @@ object Bench {
     // doesn't absorb session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      // Logged, not swallowed: a session that died in warm-up otherwise
+      // surfaces as 100+ opaque per-query failures with the one root-cause
+      // exception discarded. Fatal errors propagate.
+      System.err.println(s"[bench] entry warm-up failed: $e")
+    }
     // Stable base order (name sort) so runs are reproducible, then a SEEDED
     // per-round permutation. Round 4's fixed name order made every round run
     // the identical sequence, so a heavy neighbor's deferred cost (GC debt,

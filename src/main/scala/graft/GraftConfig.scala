@@ -70,6 +70,15 @@ object GraftConfig {
           section = Some(s)
           if (!out.contains(s)) out(s) = Map.empty
         } else line.indexOf('=') match {
+          case -1 if line.startsWith("[") =>
+            // A header typo ('[AWS' with no ']') must be LOUD: treated as a
+            // junk line it would silently mis-scope every following key
+            // into the previous section — e.g. AWS credentials landing in
+            // [S3], read as absent, and the run failing with an anonymous
+            // 403 at read time (the exact silent fallback the Sessions
+            // partial-credentials guard exists to prevent).
+            throw new IllegalArgumentException(
+              s"line ${ln + 1}: malformed section header (missing ']'): '$line'")
           case -1 => // configparser would raise; a config loader skips junk lines
           case i =>
             val s = section.getOrElse(throw new IllegalArgumentException(

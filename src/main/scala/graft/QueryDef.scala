@@ -12,9 +12,16 @@ final case class QueryDef(
     oracle: Option[String] = None)
 
 object QueryDef {
-  /** Aggregate a module list into the SparkEntry maps. */
-  def queryMap(defs: Seq[QueryDef]): Map[String, (SparkSession, String) => DataFrame] =
+  /** Aggregate a module list into the SparkEntry maps. A duplicate name
+    * across modules must be LOUD: toMap's last-wins would silently drop
+    * the earlier query from BOTH the bench and the correctness matrix —
+    * the silently-shrinking-matrix failure mode the r10 Verify hardening
+    * (errors.json) exists to prevent. */
+  def queryMap(defs: Seq[QueryDef]): Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names across modules: ${dups.mkString(", ")}")
     defs.map(d => d.name -> d.fn).toMap
+  }
 
   def oracleMap(defs: Seq[QueryDef]): Map[String, String] =
     defs.flatMap(d => d.oracle.map(d.name -> _)).toMap

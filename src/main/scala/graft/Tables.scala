@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.LongType
   * here so every consumer benefits from the same scan hygiene: columnar
   * parquet scans with Catalyst pushing filters/column pruning into the file
   * scan. At cluster scale these would be catalog tables (ideally bucketed /
-  * sorted per [[graft.etl.Layout]]); `spark.read.parquet` keeps the harness
+  * sorted per [[graft.sources.Layout]]); `spark.read.parquet` keeps the harness
   * self-contained.
   */
 object Tables {

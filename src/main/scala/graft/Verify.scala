@@ -23,7 +23,10 @@ object Verify {
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        // NonFatal only: an OOM/StackOverflow wrecks the session, and
+        // continuing would attribute dozens of cascading bogus failures to
+        // healthy queries — the run must abort at the root cause.
+        catch { case scala.util.control.NonFatal(e) =>
           val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
           errors(name) = msg
           System.err.println(s"[verify] $name failed: $msg")

@@ -50,6 +50,9 @@ object Skew {
       saltSource: String, buckets: Int = 32): DataFrame = {
     require(!fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
       s"input already has a $SaltCol column")
+    // buckets <= 0 would be SILENTLY empty, not an error: pmod(x, 0) is
+    // NULL under the session's ANSI-off config and NULL never equi-joins.
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val salted = fact.withColumn(SaltCol, saltFrom(col(saltSource), buckets))
     val replicated = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<long>")))

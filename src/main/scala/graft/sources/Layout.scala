@@ -61,6 +61,11 @@ object Layout {
     * shift/mask sum, codegen'd, and exactly restatable in any engine. */
   def zorderValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
+    // bits = 32 would place b's top bit at position 63 (the BIGINT sign
+    // bit, inverting the sort for half the domain) and bits > 32 wraps
+    // shift amounts mod 64 into collisions — both silent corruptions of
+    // the clustering this function promises.
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
     val (al, bl) = (a.cast("bigint"), b.cast("bigint"))
     (0 until bits).flatMap { j =>
