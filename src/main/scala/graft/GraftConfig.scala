@@ -65,20 +65,21 @@ object GraftConfig {
     text.linesIterator.zipWithIndex.foreach { case (raw, ln) =>
       val line = raw.trim
       if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
-        if (line.startsWith("[") && line.endsWith("]")) {
+        if (line.startsWith("[")) {
+          // ANY '['-prefixed line that is not a well-formed header must be
+          // LOUD — '[AWS' (no bracket) or '[AWS]KEY=k' (header glued to a
+          // key) treated as junk/key lines would silently mis-scope every
+          // following key into the previous section: AWS credentials
+          // landing in [S3], read as absent, and the run failing with an
+          // anonymous 403 at read time (the exact silent fallback the
+          // Sessions partial-credentials guard exists to prevent).
+          if (!line.endsWith("]"))
+            throw new IllegalArgumentException(
+              s"line ${ln + 1}: malformed section header: '$line'")
           val s = line.substring(1, line.length - 1).trim
           section = Some(s)
           if (!out.contains(s)) out(s) = Map.empty
         } else line.indexOf('=') match {
-          case -1 if line.startsWith("[") =>
-            // A header typo ('[AWS' with no ']') must be LOUD: treated as a
-            // junk line it would silently mis-scope every following key
-            // into the previous section — e.g. AWS credentials landing in
-            // [S3], read as absent, and the run failing with an anonymous
-            // 403 at read time (the exact silent fallback the Sessions
-            // partial-credentials guard exists to prevent).
-            throw new IllegalArgumentException(
-              s"line ${ln + 1}: malformed section header (missing ']'): '$line'")
           case -1 => // configparser would raise; a config loader skips junk lines
           case i =>
             val s = section.getOrElse(throw new IllegalArgumentException(

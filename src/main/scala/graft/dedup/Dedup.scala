@@ -186,7 +186,11 @@ object Dedup {
           "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS x, y AS y))))")))
       .drop("ds")
 
-  /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b). */
+  /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b).
+    * No production caller remains since jaccardPairs moved onto
+    * [[bucketedIdPairs]] (the full skeleton with the pre-collect hot-key
+    * anti-join); retained for DedupSpec's direct cap property over a
+    * hand-built bucket frame. */
   private[graft] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     cappedElementPairs(buckets, cap)
       .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
@@ -426,12 +430,12 @@ object Dedup {
     * re-scans. */
   /** DuckDB CTE chain mirroring [[jaccardPairs]], ending in `jac(doc_a,
     * doc_b, jaccard_permille)`. The `keep` CTE states the [[MaxBucket]] cap
-    * the Spark side applies in [[bucketPairs]]: hot shingles are dropped
-    * from candidate generation in BOTH engines (per-doc counts `n` stay
-    * uncapped, matching the Spark side where `n` derives from the bucket
-    * postings before the cap filter). Fixture shingle buckets stay far under
-    * the cap today, but the semantics must agree by construction, not by
-    * fixture luck. */
+    * the Spark side applies in [[bucketedPairs]]' hot-key anti-join: hot
+    * shingles are dropped from candidate generation in BOTH engines
+    * (per-doc counts `n` stay uncapped on both sides — dropping a hot
+    * shingle bounds pair mass, never a doc's denominator). Fixture shingle
+    * buckets stay far under the cap today, but the semantics must agree by
+    * construction, not by fixture luck. */
   private val duckInterChain: String =
     s"""toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->

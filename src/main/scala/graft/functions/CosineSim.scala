@@ -185,18 +185,25 @@ private object GraftFunctionTable {
 
 /** Session registration for graft's native expressions (idempotent) — the
   * temp-function path for sessions not built with [[GraftExtensions]].
-  * Skips names already present so the many per-producer register() calls
-  * (every native-function producer registers defensively — the foreign-
-  * session rule) neither re-shadow an extension-injected function nor spam
-  * a replaced-function WARN per query build. */
+  * The FIRST register() on a session always createOrReplaces, so graft's
+  * implementations are guaranteed even when a foreign function already
+  * squats on one of the six names (a skip-if-exists would silently let a
+  * user's own `cosine_sim` win in every dedup/similarity query — wrong
+  * values, no error); later calls on the same session are no-ops via a
+  * weak per-session memo, keeping the many defensive per-producer
+  * register() calls from spamming a replaced-function WARN per query
+  * build. Extension-built sessions get the SAME builders shadowed from
+  * the same table — semantically identical. */
 object GraftFunctions {
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   def register(spark: SparkSession): Unit =
-    GraftFunctionTable.entries.foreach { case (name, _, builder) =>
-      if (!spark.sessionState.functionRegistry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null)
+      GraftFunctionTable.entries.foreach { case (name, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           name, builder, "built-in")
-    }
+      }
 }
 
 /** Production wiring: register graft's native expressions through

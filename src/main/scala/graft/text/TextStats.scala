@@ -83,10 +83,21 @@ object TextStats extends TextDp with TextBpe {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = withShard.groupBy(pc :+ col("shard"): _*)
       .agg(sum(col("n_tokens")).as("shard_tokens"))
-      .withColumn("carry_in", coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)))
+      // carry_in stays NULLABLE (no coalesce): the unsharded cumsum is
+      // NULL exactly while a partition's prefix holds no non-NULL count,
+      // and a plain `carry_in + cum_in_shard` would also go NULL whenever
+      // a NULL-count doc OPENS a shard (NULL + numeric) — both breaking
+      // the stated exact equivalence on nullable-text corpora. The CASE
+      // below restates the window-sum rule: NULL iff BOTH sides are
+      // (no non-NULL seen), else the sum of whichever sides exist.
+      .withColumn("carry_in", sum(col("shard_tokens")).over(wCarry))
       .select(pc :+ col("shard") :+ col("carry_in"): _*)
     inShard.join(broadcast(carries), partCols :+ "shard")
-      .withColumn("cum", col("carry_in") + col("cum_in_shard"))
+      .withColumn("cum",
+        when(col("carry_in").isNull && col("cum_in_shard").isNull,
+          lit(null).cast("long"))
+          .otherwise(coalesce(col("carry_in"), lit(0L)) +
+            coalesce(col("cum_in_shard"), lit(0L))))
       .drop("shard", "cum_in_shard", "carry_in")
   }
 

@@ -700,6 +700,31 @@ class TextStatsSpec extends AnyFunSuite {
     got.foreach { case (_, _, tv, ok) => assert(ok == (tv < 100000L)) }
   }
 
+  test("shardedCum: exact equivalence with the unsharded cumsum, NULL counts included") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The two adversarial spots: a NULL count OPENING a partition (the
+    // unsharded sum is NULL until the first non-NULL) and a NULL count
+    // OPENING a shard mid-partition (a naive carry_in + cum_in_shard goes
+    // NULL where the unsharded sum carries the prior total forward).
+    val rows = (0L to 130L).map { i =>
+      val n: java.lang.Long =
+        if (i == 0L || i == 64L) null else java.lang.Long.valueOf(10 + i % 7)
+      ("src" + (i % 2), i, n)
+    }
+    val df = rows.toDF("source", "doc_id", "n_tokens")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val unsharded = df.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select("source", "doc_id", "n_tokens", "cum")
+      .orderBy("source", "doc_id").collect().toSeq
+    val sharded = TextStats.shardedCum(df, Seq("source"))
+      .select("source", "doc_id", "n_tokens", "cum")
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(sharded == unsharded)
+  }
+
   test("nTokensAs is NULL-total: NULL text yields NULL, not non-ANSI -1") {
     val s = spark; import s.implicits._
     // The session runs ansi off, where size(split(NULL)) = -1 — a value
