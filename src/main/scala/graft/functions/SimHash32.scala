@@ -58,6 +58,21 @@ object SimHashImpl {
     out >>> 4
   }
 
+  /** True iff the array holds at least one NON-NULL token — the "any
+    * vote at all" guard both simhash expressions share: null elements are
+    * skipped by the vote loop, so an all-null array would tie every bit
+    * at 0 exactly like the empty array and take the all-ones code. O(1)
+    * amortized (the first element is almost always non-null). */
+  def hasToken(tokens: ArrayData): Boolean = {
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** SimHash over a token array: per-bit majority vote (+1/-1) of the
     * token hash bits, ties (`>= 0`) resolve to 1. Callers pass distinct
     * tokens when set semantics are wanted. */
@@ -132,19 +147,22 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     SimHashImpl.requireStringArray(prettyName, child.dataType)
 
-  // EMPTY token array → null, not the all-ones code: with zero tokens
-  // every bit vote ties at 0 and the >= 0 rule would set all bits,
-  // clustering every token-less doc into one LSH bucket — and diverging
-  // from the exploded/oracle formulation, which produces NO row for a doc
-  // with no tokens. Null is the scalar analog of that absent row.
+  // ZERO USABLE tokens → null, not the all-ones code: with no non-null
+  // token every bit vote ties at 0 and the >= 0 rule would set all bits,
+  // clustering every such doc into one LSH bucket — and diverging from
+  // the exploded/oracle formulation, which produces NO vote row for a doc
+  // without tokens. Null is the scalar analog of that absent row. The
+  // guard covers BOTH the empty array and the all-null-elements array
+  // (null elements are skipped by the vote loop, so the two are the same
+  // degenerate case).
   override def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else SimHashImpl.compute(arr)
+    if (!SimHashImpl.hasToken(arr)) null else SimHashImpl.compute(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-       |if ($c.numElements() == 0) {
+       |if (!graft.functions.SimHashImpl.hasToken($c)) {
        |  ${ev.isNull} = true;
        |} else {
        |  ${ev.value} = graft.functions.SimHashImpl.compute($c);
@@ -200,7 +218,8 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash60"
 
-  // See SimHash32: empty array → null, so nullable regardless of child.
+  // See SimHash32: zero usable tokens → null, so nullable regardless of
+  // child.
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -208,12 +227,12 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(tokens: Any): Any = {
     val arr = tokens.asInstanceOf[ArrayData]
-    if (arr.numElements() == 0) null else SimHashImpl.compute60(arr)
+    if (!SimHashImpl.hasToken(arr)) null else SimHashImpl.compute60(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-       |if ($c.numElements() == 0) {
+       |if (!graft.functions.SimHashImpl.hasToken($c)) {
        |  ${ev.isNull} = true;
        |} else {
        |  ${ev.value} = graft.functions.SimHashImpl.compute60($c);

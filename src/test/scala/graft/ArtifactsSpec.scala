@@ -138,7 +138,12 @@ class ArtifactsSpec extends AnyFunSuite {
     val liveInner = new java.io.File(live, "_temporary/part-0")
     liveInner.getParentFile.mkdirs()
     java.nio.file.Files.write(liveInner.toPath, "x".getBytes)
+    // Age BOTH directory levels: only the inner part FILE stays fresh, so
+    // this pins the newest-inner-FILE rule itself — a newestMtime that
+    // stopped recursing into files would see only old dir mtimes here and
+    // wrongly sweep the live build.
     assert(live.setLastModified(old))
+    assert(liveInner.getParentFile.setLastModified(old))
     // crashed leftover: everything inside idle for a full horizon
     val dead = new java.io.File(isoRoot, "graft_dead_0123456789ab_w89abcdef")
     val deadInner = new java.io.File(dead, "part-0")

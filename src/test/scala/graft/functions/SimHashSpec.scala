@@ -64,6 +64,23 @@ class SimHashSpec extends AnyFunSuite {
     assert(r.exists(row => !row.isNullAt(0) && !row.isNullAt(1)))
   }
 
+  test("all-NULL token array hashes to NULL too — the same degenerate case") {
+    // Null elements are skipped by the vote loop, so array(NULL) would tie
+    // every bit at 0 exactly like the empty array and take the all-ones
+    // code — one quadratic LSH bucket for every doc whose extraction chain
+    // nulled its tokens rather than removing them.
+    import spark.implicits._
+    val r = Seq(1).toDF("id")
+      .select(expr("simhash32(array(CAST(NULL AS STRING)))").as("h32"),
+        expr("simhash60(array(CAST(NULL AS STRING), CAST(NULL AS STRING)))").as("h60"),
+        // a null element ALONGSIDE real tokens is simply ignored
+        expr("simhash32(array('a', CAST(NULL AS STRING), 'b'))").as("mixed"),
+        expr("simhash32(array('a', 'b'))").as("plain"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1), "zero usable tokens must be NULL")
+    assert(r.getLong(2) == r.getLong(3), "null elements must be vote-neutral")
+  }
+
   test("wrong input types and wrong arity fail at analysis, not mid-execution") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L), "s")).toDF("nums", "s")

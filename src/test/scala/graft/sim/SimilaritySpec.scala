@@ -9,8 +9,7 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = TestSpark.sf
 
-  private def run(name: String) =
-    Similarity.defs.find(_.name == name).get.fn(spark, sf)
+  private def run(name: String) = run2(name, sf)
 
   test("brute-force top-k: 5 neighbors per query, self excluded, cos in [-1,1]") {
     val t = run("sim_topk_brute")
@@ -411,6 +410,7 @@ class SimilaritySpec extends AnyFunSuite {
       s"max scale $m micro breaches the q8 BIGINT envelope (worst=$worst)")
   }
 
+  /** [[run]] against an arbitrary fixture dir (the one defs lookup). */
   private def run2(name: String, dir: String) =
     Similarity.defs.find(_.name == name).get.fn(spark, dir)
 }
