@@ -1452,7 +1452,25 @@ object Dedup {
       * notebook). Ground truth is the persisted ≥0.5 Jaccard pair graph;
       * candidates come from the persisted signature table — three band
       * expansions, zero new corpus passes, every bucket through the shared
-      * cap. */
+      * cap.
+      *
+      * Shape note (round 15, measured): the per-arm loop LOOKS like it
+      * executes the pair skeleton six times (three arms, `cands` consumed
+      * by two aggregations each), but Spark's exchange reuse shares the
+      * skeleton's shuffles between the two consumers, so only the cheap
+      * post-exchange stages repeat. The "obvious" rewrite — one
+      * (bands, rws, bk)-keyed postings frame through ONE skeleton pass +
+      * one left-join aggregation, the oracle's UNION ALL shape — was
+      * built and benched at sf0.1: 2.8s vs 1.5s here at equal total CPU
+      * (~54 cpu-s both; the unified form's single wide aggregation loses
+      * the smaller per-arm sort runs and reuses nothing). Keep the loop.
+      *
+      * The one real divergence the analysis found IS fixed: a layout
+      * whose every bucket is over-cap yields zero candidates, where the
+      * arm-wise `agg` emitted a (b, r, 0, 0, 0, 0) row but the oracle's
+      * GROUP BY omits the arm — the n_cands > 0 filter states the
+      * oracle's omission explicitly (never fires on the fixtures; all
+      * three arms have candidates). */
     QueryDef(
       "dd_band_tuning",
       (s, d) => {
@@ -1474,7 +1492,9 @@ object Dedup {
                 "ELSE (1000 * n_true_cands) div n_true_total END").as("recall_permille"),
               expr("CASE WHEN n_cands = 0 THEN 0 " +
                 "ELSE (1000 * n_true_cands) div n_cands END").as("precision_permille"))
-        }.reduce(_.unionAll(_)).orderBy("bands")
+        }.reduce(_.unionAll(_))
+          .filter(col("n_cands") > 0)
+          .orderBy("bands")
       },
       Some {
         val bandArms = Seq((8, 8), (16, 4), (32, 2)).flatMap { case (b, r) =>
