@@ -881,7 +881,14 @@ object Similarity {
       * pass runs ONCE on the 8-query sample; each sweep point reuses the
       * persisted index, so the sweep is 3 candidate joins, not 3 index
       * builds. Monotonicity (more probes ⇒ recall can only rise) is
-      * spec-asserted. */
+      * spec-asserted.
+      *
+      * Empty-sample contract (the dd_band_tuning omission rule): with an
+      * empty query sample the arm-wise agg would emit (np, 0, 0, NULL)
+      * rows where the oracle's GROUP BY emits none — the n_queries > 0
+      * filter states the oracle's omission explicitly (applied BEFORE the
+      * recall projection so the div-by-zero NULL is never even formed;
+      * never fires on the fixtures). */
     QueryDef(
       "sim_nprobe_sweep",
       (s, d) => {
@@ -892,6 +899,7 @@ object Similarity {
           brute.join(ivf, Seq("q_id", "cand_id"), "left_outer")
             .agg(countDistinct(col("q_id")).as("n_queries"),
               count(col("hit")).as("n_hits"))
+            .filter(col("n_queries") > 0)
             .select(lit(np).as("nprobe"), col("n_queries"), col("n_hits"),
               expr("(1000 * n_hits) div (3 * n_queries)").as("recall_permille"))
         }.reduce(_.unionAll(_)).orderBy("nprobe")
