@@ -469,4 +469,19 @@ class DedupSpec extends AnyFunSuite {
     assert(totalPairs == graphPairs,
       s"every >=0.5 pair must be audited exactly once: $totalPairs vs $graphPairs")
   }
+
+  test("dd_band_tuning: empty corpus emits NO arm rows (oracle's GROUP BY omission)") {
+    import spark.implicits._
+    // The round-15 omission rule: a layout with zero candidates is ABSENT
+    // from the tuning table (the oracle's GROUP BY shape), not a
+    // (b, r, 0, 0, 0, 0) row. An empty corpus is the degenerate case where
+    // all three arms are empty — and it additionally proves the whole
+    // signature/pair-graph artifact chain builds cleanly over zero docs.
+    val dir = java.nio.file.Files.createTempDirectory("band_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(run2("dd_band_tuning", dir).count() == 0,
+      "empty corpus must omit all three arms, not emit zero rows")
+  }
 }

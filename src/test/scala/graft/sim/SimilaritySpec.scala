@@ -156,6 +156,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.last._4 >= 900, "nprobe=4 of K=5 cells must be near-exhaustive")
   }
 
+  test("sim_nprobe_sweep: empty query sample emits NO arm rows (oracle's GROUP BY omission)") {
+    import spark.implicits._
+    // The round-15 omission rule (shared with dd_band_tuning): a sweep arm
+    // with zero scored queries is ABSENT from the table, not an
+    // (np, 0, 0, NULL) row. The query sample is vec_id < 8, so a corpus
+    // whose ids all sit above 8 trains the index normally (K=5 centroids
+    // from 20 vectors) but scores nothing.
+    val dir = java.nio.file.Files.createTempDirectory("sweep_nosample").toString
+    graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100L).as("vec_id"), col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(run2("sim_nprobe_sweep", dir).count() == 0,
+      "an unsampled corpus must omit all three sweep arms")
+  }
+
   test("sim_knn_graph: dense per-src ranks, descending cosine, bounded by brute force") {
     val g = run("sim_knn_graph").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
