@@ -188,9 +188,9 @@ object Dedup {
 
   /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b).
     * No production caller remains since jaccardPairs moved onto
-    * [[bucketedIdPairs]] (the full skeleton with the pre-collect hot-key
-    * anti-join); retained for DedupSpec's direct cap property over a
-    * hand-built bucket frame. */
+    * [[bucketedIdPairs]] (the full skeleton, whose capped collect bounds
+    * buckets before any list exists); retained for DedupSpec's direct cap
+    * property over a hand-built bucket frame. */
   private[graft] def bucketPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     cappedElementPairs(buckets, cap)
       .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
@@ -205,39 +205,41 @@ object Dedup {
     * so the verify step needs no join back); result is the key columns plus
     * `p.x` / `p.y` of the element type.
     *
-    * Hot keys are removed BEFORE the bucket collect, not just before the
-    * expansion: a counting pass (map-side-combined, so a degenerate key
-    * costs one partial per task) derives the over-cap key set, which is
-    * BROADCAST as a left-anti filter onto the postings — hot postings are
-    * dropped at the map side and never shuffle, and no collect_list buffer
-    * ever holds an over-cap bucket. Without this, a stop-shingle shared by
-    * ~100M docs would materialize one ~GB array row just to be discarded
-    * by the size filter — the 100 TB OOM the cap exists to prevent. The
-    * broadcast is safe by construction: |hot keys| ≤ |postings| / cap
-    * (every hot key has > cap postings), and in practice the hot set is
-    * the Zipf head (stop-shingles / degenerate bands) — the same size
-    * class as dd_decontaminate's broadcast dictionary. The size filter in
-    * [[cappedElementPairs]] stays as a defensive second statement of the
-    * cap. NULL-keyed postings are DROPPED: a null blocking key carries no
-    * co-occurrence signal, every oracle's equi-join keep-CTE drops them
-    * anyway (NULL = NULL is UNKNOWN in SQL), and without the filter Spark
-    * would pair the null bucket the oracle never sees (latent today —
-    * derived keys are md5/xxhash of non-null input — but a nullable key
-    * like jn_fuzzy's p_brand makes it real). `keys` must be NAMED columns
-    * (`col("bk")` / `expr(..).as("bv")`) — the anti-join joins by those
+    * The cap is enforced INSIDE the collect, in one pass: the native
+    * [[graft.functions.CollectSortedCapped collect_sorted_capped]]
+    * aggregate keeps at most cap+1 elements per partial buffer and
+    * replaces an over-cap bucket's list with a sticky overflow flag (the
+    * bucket evals to NULL, filtered here), so no buffer anywhere ever
+    * holds an over-cap bucket. Without the bound, a stop-shingle shared
+    * by ~100M docs would materialize one ~GB array row just to be
+    * discarded by the size filter — the 100 TB OOM the cap exists to
+    * prevent. This replaced the round-14/15 two-pass form (map-combined
+    * counting pass → broadcast hot-key left-anti → collect_list), which
+    * had the same memory bound but computed the postings subplan twice
+    * and probed an anti-join per row — measured at sf0.1 over the
+    * six-query pair family: 6.9s two-pass vs 5.7s one-pass
+    * (dd_winnow_pairs −35%), identical oracle results by construction
+    * (a bucket is dropped iff its true non-null element count exceeds
+    * the cap — CollectCappedSpec pins equivalence bucket-by-bucket).
+    * The size filter in [[cappedElementPairs]] stays as a defensive
+    * second statement of the cap. NULL-keyed postings are DROPPED: a
+    * null blocking key carries no co-occurrence signal, every oracle's
+    * equi-join keep-CTE drops them anyway (NULL = NULL is UNKNOWN in
+    * SQL), and without the filter Spark would pair the null bucket the
+    * oracle never sees (latent today — derived keys are md5/xxhash of
+    * non-null input — but a nullable key like jn_fuzzy's p_brand makes
+    * it real). `keys` must be NAMED columns (`col("bk")` /
+    * `expr(..).as("bv")`) — the groupBy and null filter use those
     * names. */
   def bucketedPairs(postings: DataFrame, elem: Column, keys: Column*): DataFrame = {
+    graft.functions.GraftFunctions.register(postings.sparkSession)
     val p = postings.select((keys :+ elem.as("__e")): _*)
     val keyNames = p.columns.dropRight(1).toSeq
     val nonNull = p.filter(keyNames.map(col(_).isNotNull).reduce(_ && _))
-    val hot = nonNull.groupBy(keyNames.map(col): _*)
-      .agg(count(col("__e")).as("__n"))
-      .filter(col("__n") > MaxBucket)
-      .select(keyNames.map(col): _*)
     cappedElementPairs(
-      nonNull.join(broadcast(hot), keyNames, "left_anti")
-        .groupBy(keyNames.map(col): _*)
-        .agg(sort_array(collect_list(col("__e"))).as("ds")))
+      nonNull.groupBy(keyNames.map(col): _*)
+        .agg(expr(s"collect_sorted_capped(__e, $MaxBucket)").as("ds"))
+        .filter(col("ds").isNotNull))
   }
 
   /** [[bucketedPairs]] for plain doc_id elements: (doc_a, doc_b) with
@@ -419,18 +421,17 @@ object Dedup {
 
   /** Inverted-index Jaccard pairs ≥ `permille`: candidate intersections
     * come from [[bucketedIdPairs]] over xxhash64(shingle) postings (the
-    * audited invert → hot-key anti-join → cap → expand skeleton), and the
+    * audited invert → capped-collect → expand skeleton), and the
     * per-doc distinct-shingle counts `n` are a direct aggregation of the
     * SAME postings — uncapped on purpose: dropping hot shingles bounds
     * pair generation but must not shrink a doc's denominator. The
     * expensive scan → posexplode → window → distinct shingle subtree is
-    * identical under all three consumers (n, the hot-key count, the bucket
-    * build), so Catalyst's ReuseExchange computes the distinct exchange
-    * once and the extra passes are shuffle re-reads, not corpus
-    * re-scans. */
+    * identical under both consumers (n and the capped bucket build), so
+    * Catalyst's ReuseExchange computes the distinct exchange once and the
+    * second pass is a shuffle re-read, not a corpus re-scan. */
   /** DuckDB CTE chain mirroring [[jaccardPairs]], ending in `jac(doc_a,
     * doc_b, jaccard_permille)`. The `keep` CTE states the [[MaxBucket]] cap
-    * the Spark side applies in [[bucketedPairs]]' hot-key anti-join: hot
+    * the Spark side applies in [[bucketedPairs]]' capped collect: hot
     * shingles are dropped from candidate generation in BOTH engines
     * (per-doc counts `n` stay uncapped on both sides — dropping a hot
     * shingle bounds pair mass, never a doc's denominator). Fixture shingle
@@ -568,7 +569,7 @@ object Dedup {
   }
 
   /** The [[MaxBucket]] cap over trained cells as a DuckDB CTE — the oracle
-    * mirror of [[cellCosPairs]]'s hot-bucket anti-join (assumes `ev`
+    * mirror of [[cellCosPairs]]'s hot-bucket drop (assumes `ev`
     * (vec_id, v, cell) in scope). */
   private def duckCellKeep: String =
     s"keepc AS (SELECT cell FROM ev GROUP BY cell HAVING COUNT(*) <= $MaxBucket)"
@@ -826,7 +827,7 @@ object Dedup {
     /** SimHash near-dup candidates: multi-band LSH over the 60-bit code —
       * 4 bands × 15 bits (32768 buckets per band, the key space an 8-bit
       * single band lacked), candidates unioned across bands, Hamming ≤ 10
-      * verify. Buckets are built with groupBy + collect_list (not a
+      * verify. Buckets are built with the capped-collect skeleton (not a
       * self-join, which would recompute the simhash scan on both sides) and
       * carry (doc_id, simhash) structs so the Hamming verify happens inside
       * the pair expansion with no join back. The query probes the persisted

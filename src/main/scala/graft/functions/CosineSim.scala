@@ -180,6 +180,9 @@ private object GraftFunctionTable {
       arity1("rp_band_codes", RpBandCodes)),
     ("md5_prefix48", classOf[Md5Prefix48].getName,
       arity1("md5_prefix48", Md5Prefix48)),
+    ("collect_sorted_capped", classOf[CollectSortedCapped].getName,
+      arity2("collect_sorted_capped",
+        (e, c) => CollectSortedCapped(e, c).toAggregateExpression())),
   )
 }
 

@@ -92,12 +92,25 @@ class PlanShapeSpec extends AnyFunSuite {
   test("bucketedPairs family: pair expansion is explode-from-buckets, never a self-join") {
     // the consolidated skeleton (Dedup.bucketedPairs) expands pairs from
     // collected bucket lists — a refactor that reintroduces the sk=sk
-    // self-join form would put a sort-merge or cartesian here
+    // self-join form would put a sort-merge or cartesian here. Since the
+    // round-15 one-pass form, the bucket build must be the CAPPED native
+    // aggregate (memory bound lives inside the collect): a fallback to
+    // plain collect_list would reopen the unbounded hot-bucket buffer.
     Seq("dd_minhash_lsh", "dd_winnow_pairs", "jn_fuzzy_name", "sim_rp_pairs",
         "mm_video_dedup", "dd_simhash_pairs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SortMergeJoin"), s"$q: sort-merge join crept in:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product crept in:\n$p")
+      // mm_video_dedup / dd_simhash_pairs serve from persisted pair-graph
+      // artifacts — their skeleton runs at artifact-BUILD time, so the
+      // (store-warm) serving plan is a FileScan with no aggregate to pin
+      // (DedupSpec pins the skeleton itself directly, deterministically).
+      if (q != "mm_video_dedup" && q != "dd_simhash_pairs") {
+        assert(p.contains("collect_sorted_capped"),
+          s"$q: bucket build must use the capped collect aggregate:\n$p")
+        assert(!p.contains("collect_list"),
+          s"$q: unbounded collect_list crept into the pair path:\n$p")
+      }
     }
   }
 

@@ -120,11 +120,14 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 19900 + 1)
   }
 
-  test("bucketedPairs: hot keys are anti-joined out BEFORE the bucket collect") {
+  test("bucketedPairs: the cap is enforced INSIDE the one-pass capped collect") {
     import spark.implicits._
-    // A key with MaxBucket+1 postings must never reach collect_list: the
-    // counting pass + broadcast anti-join drops its postings map-side (the
-    // 100 TB stop-shingle OOM guard), and only the cold bucket expands.
+    // A key with MaxBucket+1 postings must never materialize its list:
+    // collect_sorted_capped collapses the bucket to an overflow flag the
+    // moment it passes the cap (the 100 TB stop-shingle OOM guard), and
+    // only the cold bucket expands. One aggregation, NO second pass — a
+    // regression to the two-pass counting+anti-join form (or to unbounded
+    // collect_list) shows up as a join or the wrong aggregate below.
     val hot = (0L to Dedup.MaxBucket.toLong).map(id => ("hot", id))
     val cold = Seq(("cold", 1L), ("cold", 2L))
     val pairs = Dedup.bucketedIdPairs(
@@ -132,12 +135,12 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.collect().toSeq ==
       Seq(org.apache.spark.sql.Row(1L, 2L)))
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"),
-      s"hot-key removal must be a pre-collect anti-join:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"the hot-key set must broadcast (it is |postings|/cap at most):\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"no shuffle join in the skeleton:\n$plan")
+    assert(plan.contains("collect_sorted_capped"),
+      s"bucket build must be the capped native aggregate:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect_list must never build pair buckets:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the one-pass skeleton needs no hot-key join:\n$plan")
   }
 
   test("simhash_pairs: multi-band candidates verified by Hamming threshold") {

@@ -272,6 +272,10 @@ def main() -> None:
         "cell-pair rewrite of the embedding near-dup family (dd_embed_cosine",
         "1.06->0.13s, dd_semantic_dedup 0.75->0.25s) and an_percentile",
         "(1.61->1.23s). No unexplained per-query regression remains.",
+        "Later the same round the two-pass cost was recovered outright:",
+        "the cap moved inside the collect (native collect_sorted_capped,",
+        "one pass, same memory bound) — pair family 6.9s -> 5.7s at sf0.1,",
+        "dd_winnow_pairs -35%.",
     ]
     if flagged:
         lines.append("")
