@@ -44,7 +44,8 @@ final class CappedCollectBuf(
   * non-overflowed partials, which holds because a non-overflowed partial
   * is always complete for its slice; sizes add. A bucket is therefore
   * NULL iff its true size exceeds `cap` — bit-for-bit the two-pass
-  * semantics (DedupSpec property-checks equivalence on random postings).
+  * semantics (CollectCappedSpec property-checks equivalence bucket by
+  * bucket; DedupSpec pins the skeleton's plan shape).
   */
 case class CollectSortedCapped(
     child: Expression,

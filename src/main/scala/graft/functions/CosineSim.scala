@@ -190,7 +190,7 @@ private object GraftFunctionTable {
   * temp-function path for sessions not built with [[GraftExtensions]].
   * The FIRST register() on a session always createOrReplaces, so graft's
   * implementations are guaranteed even when a foreign function already
-  * squats on one of the six names (a skip-if-exists would silently let a
+  * squats on one of the table's names (a skip-if-exists would silently let a
   * user's own `cosine_sim` win in every dedup/similarity query — wrong
   * values, no error); later calls on the same session are no-ops via a
   * weak per-session memo, keeping the many defensive per-producer

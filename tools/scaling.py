@@ -266,7 +266,8 @@ def main() -> None:
         "wash made of two deliberate, identified swaps: the pair-family",
         "hot-key pre-filter added in r14/15 (an extra map-combined counting",
         "pass + broadcast anti-join per bucketed candidate generator — the",
-        "price of never materializing an over-cap bucket) costs ~0.5-0.8s",
+        "price of never materializing an over-cap bucket) costs ~0.2-0.8s",
+        "per query (~1.5s summed)",
         "spread over dd_band_tuning (0.89->1.69s), dd_winnow_pairs",
         "(0.94->1.46s) and dd_minhash_lsh (0.41->0.64s), offset by the",
         "cell-pair rewrite of the embedding near-dup family (dd_embed_cosine",
