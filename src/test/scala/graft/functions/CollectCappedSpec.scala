@@ -64,6 +64,31 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(got("over").isEmpty, s"cap+1 bucket must be NULL: $got")
   }
 
+  test("sort-based fallback regime (>128 keys): equivalence holds past the hash-map threshold") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation once the
+    // in-memory map passes spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold (default 128 keys) — the regime every real shingle/
+    // band postings frame runs in. The fallback path drives update() on
+    // key-sorted runs instead of map probes; the capped aggregate must not
+    // care. 997 keys forces the fallback on every partition.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val p = (0 until 60000).map { i =>
+      val k = if (i % 40 == 0) "hot" else s"k${i % 997}"
+      (k, (i % 7).toLong)
+    }.toDF("bk", "doc_id")
+    val cap = 45
+    val one = p.groupBy("bk")
+      .agg(expr(s"collect_sorted_capped(doc_id, $cap)").as("ds"))
+      .filter(col("ds").isNotNull)
+    val two = p.groupBy("bk")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= cap)
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "fallback-regime bucket lists must agree exactly")
+    assert(one.filter(col("bk") === "hot").count() == 0, "hot key dropped")
+  }
+
   test("arity and cap validation are loud") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
