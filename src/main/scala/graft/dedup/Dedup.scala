@@ -574,7 +574,7 @@ object Dedup {
   private def duckCellKeep: String =
     s"keepc AS (SELECT cell FROM ev GROUP BY cell HAVING COUNT(*) <= $MaxBucket)"
 
-  private def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
+  private[dedup] def jaccardPairsUncached(s: SparkSession, d: String): DataFrame = {
     val postings = shingleRows(s, d)
       // xxhash64(shingle): an 8-byte shuffle key instead of a ~20-byte
       // string (collisions ~2^-64 per pair, perturbing one count at most)

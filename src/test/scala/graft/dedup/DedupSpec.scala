@@ -473,6 +473,20 @@ class DedupSpec extends AnyFunSuite {
       s"every >=0.5 pair must be audited exactly once: $totalPairs vs $graphPairs")
   }
 
+  test("jaccard build: the distinct-shingle exchange is REUSED across the count and bucket branches") {
+    // The survey's cost claim for the pair-graph build: the expensive
+    // scan -> posexplode -> window -> distinct shingle subtree feeds BOTH
+    // the per-doc denominator aggregation and the capped bucket build, and
+    // Catalyst/AQE must compute its exchange once (a regression here makes
+    // the 100 TB corpus scan run twice per build). Reuse is a runtime AQE
+    // decision, so execute and inspect the FINAL adaptive plan.
+    val df = Dedup.jaccardPairsUncached(spark, sf)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"distinct-shingle exchange must be shared, not recomputed:\n$plan")
+  }
+
   test("dd_band_tuning: empty corpus emits NO arm rows (oracle's GROUP BY omission)") {
     import spark.implicits._
     // The round-15 omission rule: a layout with zero candidates is ABSENT
