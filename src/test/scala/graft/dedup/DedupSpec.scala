@@ -120,6 +120,42 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 19900 + 1)
   }
 
+  test("bucketedIdPairs == the oracle's join form on seeded random postings (cap + order)") {
+    import spark.implicits._
+    // End-to-end randomized property over the WHOLE skeleton (invert ->
+    // capped collect -> expand), not just the bucket lists: the emitted
+    // pair SET must equal the SQL self-join form every oracle states
+    // (keep keys with <= cap postings, pair a.doc_id < b.doc_id), and
+    // doc_a < doc_b must hold row-wise (the sorted-bucket order the
+    // downstream joins key on). Seeded so a failure reproduces.
+    val rnd = new scala.util.Random(4242L)
+    val rows = Seq.fill(4000)((s"k${rnd.nextInt(300)}", rnd.nextInt(900).toLong))
+      .distinct  // postings are (key, doc) sets in every caller
+    val cap = 25
+    val postings = rows.toDF("bk", "doc_id")
+    val got = Dedup.bucketedPairs(postings, col("doc_id"), col("bk"))
+      .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
+    assert(got.filter(col("doc_a") >= col("doc_b")).count() == 0,
+      "pairs must come out doc_a < doc_b")
+    // reference: plain capped self-join semantics (default MaxBucket never
+    // fires on 300 keys x ~13 postings, so also check an explicit low cap)
+    def reference(capN: Int) = {
+      val byKey = rows.groupBy(_._1).filter(_._2.size <= capN)
+      byKey.values.flatMap { ps =>
+        val ds = ps.map(_._2).sorted
+        for (i <- ds.indices; j <- (i + 1) until ds.size) yield (ds(i), ds(j))
+      }.toSet
+    }
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == reference(Dedup.MaxBucket), "default-cap pair set mismatch")
+    val gotCapped = graft.dedup.Dedup.cappedElementPairs(
+      postings.groupBy("bk").agg(
+        org.apache.spark.sql.functions.expr(s"collect_sorted_capped(doc_id, $cap)").as("ds"))
+        .filter(col("ds").isNotNull), cap)
+      .collect().map(r => (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toSet
+    assert(gotCapped == reference(cap), "low-cap pair set mismatch")
+  }
+
   test("bucketedPairs: the cap is enforced INSIDE the one-pass capped collect") {
     import spark.implicits._
     // A key with MaxBucket+1 postings must never materialize its list:
