@@ -77,10 +77,15 @@ case class CollectSortedCapped(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  // NULL marks an over-cap bucket; a bucket with no non-null input also
-  // yields NULL (collect_list would emit an empty list there, but the
-  // skeleton never aggregates an elementless bucket — groups exist only
-  // under a posting row — and NULL keeps nullable honest either way).
+  // NULL marks an over-cap bucket and NOTHING else: a non-overflowed
+  // bucket whose inputs were all NULL returns the EMPTY array, exactly
+  // what sort_array(collect_list(e)) returns there — the function is
+  // registered session-wide for general SQL use, so the equivalence
+  // "result IS NULL iff true bucket size > cap" must hold without
+  // exceptions, not just on the skeleton's postings frames (where an
+  // elementless group cannot occur — groups exist only under a posting
+  // row). Round 16, from the round-15 advice: eval previously returned
+  // NULL here too, a contract divergence no spec exercised.
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
@@ -112,7 +117,7 @@ case class CollectSortedCapped(
   }
 
   override def eval(buf: CappedCollectBuf): Any =
-    if (buf.overflowed || buf.items.isEmpty) null
+    if (buf.overflowed) null
     else new GenericArrayData(buf.items.sorted(ordering).toArray)
 
   // Partial-to-final wire format: one unsafe row (overflowed BOOLEAN,

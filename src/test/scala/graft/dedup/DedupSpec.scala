@@ -175,8 +175,13 @@ class DedupSpec extends AnyFunSuite {
       s"bucket build must be the capped native aggregate:\n$plan")
     assert(!plan.contains("collect_list"),
       s"unbounded collect_list must never build pair buckets:\n$plan")
-    assert(!plan.contains("Join"),
-      s"the one-pass skeleton needs no hot-key join:\n$plan")
+    // Name the join NODES rather than grepping the bare substring "Join":
+    // any future Spark/AQE plan annotation containing "Join" (a hint, a
+    // stats line) would false-fail the broader match (round-15 advice).
+    for (node <- Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!plan.contains(node),
+        s"the one-pass skeleton needs no hot-key join ($node found):\n$plan")
   }
 
   test("simhash_pairs: multi-band candidates verified by Hamming threshold") {

