@@ -266,8 +266,16 @@ object Bench {
     // A regressed-to-throwing query must not read as an improved total:
     // surface an explicit failure count and a nonzero exit code.
     val totalP50 = p50s.values.filter(_ >= 0).sum
+    // RECORDED BENCH CONVENTION since round 16 (BASELINE.md "normalized
+    // envelope"): totals are compared across rounds as total / canary_s —
+    // the fixed-work single-thread canary divides out per-core machine-
+    // generation drift (three rounds of raw-total incomparability, r13-r15,
+    // adjudicated in SCALING.md's platform note). The ratio is judged on
+    // idle-machine runs (load1_before < ~1): the canary is single-threaded,
+    // so co-tenant load inflates the 32-thread suite without moving it.
+    val totalPerCanary = if (canary > 0) total / canary else -1.0
     val jsonLine =
-      s"""{"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"total_p50":${Jnum.f(totalP50, 3)},$envJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"total_p50":${Jnum.f(totalP50, 3)},"total_per_canary":${Jnum.f(totalPerCanary, 1)},$envJson,"sf":"$sfDir","queries":$qs}"""
     println(jsonLine)
     // The driver's log capture truncates long tails (BENCH_r04 lost the total
     // and 25 per-query entries); the file copy is the durable artifact. It
@@ -302,7 +310,7 @@ object Bench {
     // in the long line + target/bench_last.json.
     val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + Jnum.f(v, 3) }.mkString("{", ",", "}")
-    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"n":${results.size},"total_p50":${Jnum.f(totalP50, 3)},$envJson,"sf":"$sfDir","slowest":$slowest}""")
+    println(s"""GRAFT_BENCH_SUMMARY {"metric":"total","value":${Jnum.f(total, 3)},"unit":"sec","failed":${failed.size},"n":${results.size},"total_p50":${Jnum.f(totalP50, 3)},"total_per_canary":${Jnum.f(totalPerCanary, 1)},$envJson,"sf":"$sfDir","slowest":$slowest}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }
