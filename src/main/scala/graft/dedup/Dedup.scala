@@ -130,14 +130,31 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * the result is `p.x` / `p.y` of the element type, with the bucket
     * frame's OTHER columns (e.g. the bucket key) carried through so a
     * consumer that needs them (dd_embed_cosine's `cell`) doesn't join
-    * back. */
+    * back.
+    *
+    * TWO-LEVEL explode, deliberately (round 16, found by the 100×-replica
+    * probe): the earlier one-shot
+    * `explode(flatten(transform(ds, … slice …)))` materialized the ENTIRE
+    * per-bucket pair array — O(cap²·payload) in one Generate input — so a
+    * near-cap bucket of (vec_id, 64-double) structs built a ~half-GB array
+    * per bucket row and 32 concurrent tasks OOMed an 8 GB executor heap at
+    * the 500k-doc point, with the CAP ITSELF holding (the cap bounds pair
+    * COUNT, it never bounded the expansion's transient). Exploding the
+    * element first (posexplode) and then only that element's remaining
+    * slice keeps the per-row transient at O(cap·payload) — a cap-factor
+    * (1000×) reduction — while the pair STREAM is unchanged and stays
+    * pipelined in the same codegen stage: downstream filters (Hamming,
+    * cosine threshold) still consume pairs one at a time, nothing
+    * pair-mass-sized is ever held. Output, ordering, and the plan's
+    * no-join shape are identical (DedupSpec/PlanShapeSpec pins). */
   def cappedElementPairs(buckets: DataFrame, cap: Int = MaxBucket): DataFrame =
     buckets
       .filter(size(col("ds")) <= cap)
+      .select(col("*"), posexplode(col("ds")).as(Seq("__i", "__x")))
       .withColumn("p", explode(expr(
-        "flatten(transform(ds, (x, i) -> " +
-          "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS x, y AS y))))")))
-      .drop("ds")
+        "transform(slice(ds, __i + 2, size(ds) - __i - 1), " +
+          "y -> struct(__x AS x, y AS y))")))
+      .drop("ds", "__i", "__x")
 
   /** Scalar-id convenience over [[cappedElementPairs]]: (doc_a, doc_b).
     * No production caller remains since jaccardPairs moved onto
@@ -331,18 +348,51 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
   private[dedup] def simhash60Stored(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.indexParquet(s, "simhash60", d, "documents")(simhash60(s, d))
 
+  /** CORPUS-ADAPTIVE simhash band width (round 16 — the 100×-replica probe
+    * finding, same mechanism as Similarity.RpShape): fixed 15-bit bands
+    * give a fixed 4 × 2¹⁵ ≈ 131k-bucket code space, so bucket sizes grow
+    * linearly with the corpus and the candidate pair mass quadratically
+    * (measured at the 500k-doc point: 117k buckets occupied, kept pair
+    * mass 170M). The SAME 60-bit code regroups into wider, fewer bands as
+    * N grows — thresholds keep expected bucket load ≤ ~0.5·N/2^bits small;
+    * every fixture scale keeps today's 4×15 shape so established oracles
+    * are untouched. Recall trade (documented, not hidden): a Hamming-h
+    * pair matches a b-bit band with probability ≈ C(60-h, b)/C(60, b), so
+    * at h = 3 recall across bands is ~96% at 4×15, ~90% at 3×20, ~73% at
+    * 2×30; distant pairs (h ≈ 10) fall off faster — the ladder trades
+    * far-pair recall for linear pair mass, and the winnow/jaccard families
+    * (unbounded md5 key spaces — no saturation) remain the high-recall
+    * lexical screens at scale. Both engines derive bits from the same
+    * COUNT(*) over documents. */
+  private[dedup] val SimShape: Seq[(Long, Int)] = Seq(16384L -> SimBandBits, 2097152L -> 20)
+  private[dedup] val SimBitsMax = 30
+
+  def simBitsFor(n: Long): Int =
+    SimShape.collectFirst { case (t, b) if n <= t => b }.getOrElse(SimBitsMax)
+
+  /** The ladder as SQL over `COUNT(*) FROM documents` — generated from
+    * [[SimShape]] so the engines cannot drift. */
+  private[dedup] def simShapeSql: String =
+    "SELECT CASE " +
+      SimShape.map { case (t, b) => s"WHEN COUNT(*) <= $t THEN $b" }.mkString(" ") +
+      s" ELSE $SimBitsMax END AS bits FROM documents"
+
   /** The SimHash near-dup pair graph (banded candidates, Hamming ≤ 10) as a
     * parquet artifact built FROM the stored code table — the [[jaccardPairs]]
     * discipline applied to the Hamming family: the expansion's pair mass is
     * the expensive part (sum of kept-bucket sizes squared), it is a pure
     * function of the corpus snapshot, and every consumer should probe the
-    * materialized graph rather than re-expand buckets per query. */
+    * materialized graph rather than re-expand buckets per query. Band
+    * width from [[simBitsFor]] — the count runs once per artifact BUILD
+    * (the probe path never reaches this block), and the shape is a pure
+    * function of the same corpus content the artifact is keyed by. */
   private[dedup] def simhashPairGraph(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.indexParquet(s, "simhash_pairs", d, "documents") {
       val sh = simhash60Stored(s, d)
-      val bandKeys = (0 until SimBands).map(b =>
+      val bits = simBitsFor(Tables.documents(s, d).count())
+      val bandKeys = (0 until 60 / bits).map(b =>
         struct(lit(b).as("bi"),
-          expr(s"shiftright(simhash, ${b * SimBandBits}) & $SimBandMask").as("bv")))
+          expr(s"shiftright(simhash, ${b * bits}) & ${(1L << bits) - 1}").as("bv")))
       val bands = sh
         .select(col("doc_id"), col("simhash"), explode(array(bandKeys: _*)).as("bk"))
       bucketedPairs(bands, struct(col("doc_id"), col("simhash")), col("bk"))
@@ -353,9 +403,8 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     }
 
   /** Multi-band LSH shape over the 60-bit code: 4 bands x 15 bits. */
-  val SimBands = 4
-  val SimBandBits = 15
-  private[dedup] val SimBandMask = (1 << SimBandBits) - 1
+  final val SimBands = 4
+  final val SimBandBits = 15
 
   private[dedup] val duckSimhash60 =
     """sims AS (

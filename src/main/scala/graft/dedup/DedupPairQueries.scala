@@ -225,9 +225,12 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
         // at sf0.1: one band bucket holds 1371 docs), so both engines drop
         // the same hot buckets before pair expansion
         s"""WITH $duckSimhash60,
+           |shape AS ($simShapeSql),
            |bands AS (SELECT doc_id, simhash, b.b AS bi,
-           |                 (simhash >> ($SimBandBits * b.b)) & $SimBandMask AS bv
-           |          FROM sims, (SELECT unnest(range(0, $SimBands)) AS b) b),
+           |                 (simhash >> (sh.bits * b.b)) & ((CAST(1 AS BIGINT) << sh.bits) - 1)
+           |                   AS bv
+           |          FROM sims, shape sh, (SELECT unnest(range(0, 4)) AS b) b
+           |          WHERE b.b < 60 // sh.bits),
            |keep AS (SELECT bi, bv FROM bands GROUP BY bi, bv
            |         HAVING COUNT(*) <= $MaxBucket)
            |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -443,6 +443,62 @@ object Similarity {
     * an integer SUM: exact, order-independent, no float-parity games. */
   private val RpPlanes = RpBands * RpBandBits
 
+  /** CORPUS-ADAPTIVE band width (round 16 — found by the 100×-replica
+    * probe, the sqrtK discipline applied to LSH): a FIXED band width has a
+    * fixed code space (16 bands × 2⁸ values = 4096 buckets), so bucket
+    * sizes grow linearly with the corpus and candidate-pair mass grows
+    * QUADRATICALLY — measured at the 200k-vector point: every one of the
+    * 4096 buckets held >100 vectors, 950 were over the MaxBucket cap, and
+    * the kept pair mass was 699M pairs (DiagBuckets; the cap bounds
+    * per-bucket memory, never total mass, and once every bucket overflows
+    * the cap recall collapses to zero). The SAME 128 hyperplanes therefore
+    * REGROUP into wider bands as N grows — thresholds keep the expected
+    * bucket load ≤ 64 at each regime boundary (N ≤ 64·2^bits), so pair
+    * mass stays ~linear in N. Both engines derive bits from the same
+    * COUNT(*) (the sim_ann_ivf_sqrtn precedent), and at every fixture
+    * scale the ladder yields today's 16×8 shape, so established oracles
+    * and plans are untouched.
+    *
+    * The recall trade is real and documented: wider bands are more
+    * selective, so per-band match probability p^bits falls. For true
+    * near-duplicates (cos ≥ 0.95, p ≈ 0.936/bit) recall is ~99.9% at 8-bit
+    * bands, ~97% at 16-bit (8 bands), ~40% at 32-bit (4 bands) — past the
+    * 16-bit regime (N > 4M vectors) the TRAINED √N-cell IVF path
+    * (dd_embed_cosine / dd_semantic_dedup) is the production near-dup
+    * screen; RP-LSH remains the training-free screen for append-heavy
+    * corpora below that. Widths stay multiples of the kernel's 8-bit
+    * codes so regrouping is pure bit-packing over the unchanged plane
+    * set. */
+  private val RpShape: Seq[(Long, Int)] = Seq(16384L -> 8, 4194304L -> 16)
+  private val RpBitsMax = 32
+
+  def rpBitsFor(n: Long): Int =
+    RpShape.collectFirst { case (t, b) if n <= t => b }.getOrElse(RpBitsMax)
+
+  /** The same ladder as SQL over `COUNT(*)` — generated from [[RpShape]]
+    * so the two engines cannot drift. */
+  private def rpShapeSql(from: String): String =
+    "SELECT CASE " +
+      RpShape.map { case (t, b) => s"WHEN COUNT(*) <= $t THEN $b" }.mkString(" ") +
+      s" ELSE $RpBitsMax END AS bits FROM $from"
+
+  /** Regroup the kernel's 16 8-bit band codes (a `codes` column) into
+    * `128/bits` bands of `bits` sign bits — pure bit-packing over the
+    * unchanged plane set: grouped band gi's bit (j·8 + k) is code
+    * gi·g+j's bit k, exactly the oracle's `p // bits` / `1 << (p % bits)`
+    * grouping of plane p. Identity at `bits = 8` (the fixture regime) so
+    * the established plan is byte-for-byte untouched there. Shared with
+    * SimilaritySpec's regroup-equivalence property. */
+  private[graft] def rpBandedCodes(bits: Int): Column = {
+    val g = bits / RpBandBits
+    require(g >= 1 && RpBands % g == 0, s"bits=$bits must be a multiple of $RpBandBits")
+    if (g == 1) col("codes")
+    else expr(s"transform(sequence(0, ${RpBands / g - 1}), gi -> " +
+      s"aggregate(sequence(0, ${g - 1}), CAST(0 AS BIGINT), " +
+      s"(acc, j) -> acc + shiftleft(element_at(codes, gi * $g + j + 1), " +
+      s"$RpBandBits * j)))")
+  }
+
   /** In-engine ±1 derivation, shared literal text shape for both dialects
     * (`cat` = the engine's string concat of 'rp:', p, ':', i). */
   private def sgnCase(cat: String): String =
@@ -732,10 +788,16 @@ object Similarity {
       "sim_rp_pairs",
       (s, d) => {
         val e = vecs(s, d).select(col("vec_id"), col("v"))
-        val postings = e
-          .select(col("vec_id"), col("v"), posexplode(
-            expr("rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT)))"))
-            .as(Seq("bi", "bv")))
+        // Corpus-adaptive band width (see RpShape): the kernel's 16 8-bit
+        // codes regroup into 128/bits bands of bits/8 codes each — pure
+        // bit-packing over the unchanged plane set, identity at fixture
+        // scale (g = 1 keeps the established plan byte-for-byte).
+        val bits = rpBitsFor(corpusSize(s, d))
+        val withCodes = e.withColumn("codes",
+          expr("rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT)))"))
+        val postings = withCodes
+          .select(col("vec_id"), col("v"),
+            posexplode(rpBandedCodes(bits)).as(Seq("bi", "bv")))
         graft.dedup.Dedup
           .bucketedPairs(postings, struct(col("vec_id"), col("v")), col("bi"), col("bv"))
           .select(col("p.x.vec_id").as("vec_a"), col("p.y.vec_id").as("vec_b"),
@@ -746,6 +808,7 @@ object Similarity {
       },
       Some(
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |shape AS (${rpShapeSql("e")}),
            |planes AS (SELECT p.p, i.i,
            |    ${sgnCase("'rp:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")} AS sgn
            |  FROM (SELECT unnest(range(0, $RpPlanes)) AS p) p,
@@ -754,10 +817,11 @@ object Similarity {
            |          FROM e, (SELECT unnest(range(0, $Dim)) AS i) i),
            |dots AS (SELECT vec_id, p, SUM(xm * sgn) AS dm
            |         FROM comps JOIN planes USING (i) GROUP BY vec_id, p),
-           |codes AS (SELECT vec_id, p // $RpBandBits AS bi,
-           |                 CAST(SUM(CASE WHEN dm >= 0 THEN (1 << (p % $RpBandBits)) ELSE 0 END)
+           |codes AS (SELECT vec_id, p // sh.bits AS bi,
+           |                 CAST(SUM(CASE WHEN dm >= 0
+           |                           THEN (CAST(1 AS BIGINT) << (p % sh.bits)) ELSE 0 END)
            |                      AS BIGINT) AS bv
-           |          FROM dots GROUP BY vec_id, p // $RpBandBits),
+           |          FROM dots, shape sh GROUP BY vec_id, p // sh.bits),
            |keep AS (SELECT bi, bv FROM codes GROUP BY bi, bv
            |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
            |ev AS (SELECT c.vec_id, c.bi, c.bv, e.v FROM codes c JOIN e USING (vec_id))

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-screen bucket-size census for the two banded candidate generators
+  * the 100×-replica probe benches (round 16): per query, the bucket-size
+  * histogram, the kept-bucket pair mass Σ C(n,2) for n ≤ MaxBucket, and
+  * the over-cap bucket count. Diagnoses a pair-mass blowup analytically
+  * (what the expansion WILL emit) without running the expansion. */
+object DiagBuckets {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/graft_sf1x100")
+    val s = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    graft.functions.GraftFunctions.register(s)
+
+    def census(label: String, buckets: org.apache.spark.sql.DataFrame): Unit = {
+      // buckets: one row per posting with bucket-key column "k"
+      val sizes = buckets.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val row = sizes.agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_n"),
+        sum(when(col("n") > graft.dedup.Dedup.MaxBucket, 1L).otherwise(0L)).as("over_cap"),
+        sum(when(col("n") <= graft.dedup.Dedup.MaxBucket, expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("kept_pair_mass"),
+        sum(when(col("n") > 100, 1L).otherwise(0L)).as("gt100"),
+        sum(when(col("n") > 500, 1L).otherwise(0L)).as("gt500")).collect()(0)
+      println(s"[diag] $label buckets=${row.getLong(0)} max=${row.getLong(1)} " +
+        s"over_cap=${row.getLong(2)} kept_pair_mass=${row.getLong(3)} " +
+        s"gt100=${row.getLong(4)} gt500=${row.getLong(5)}")
+    }
+
+    val e = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val nVec = e.count()
+    val rpBits = graft.sim.Similarity.rpBitsFor(nVec)
+    val g = rpBits / 8
+    val codes = e.selectExpr("vec_id",
+      "rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS codes")
+    val banded =
+      if (g == 1) col("codes")
+      else expr(s"transform(sequence(0, ${16 / g - 1}), gi -> " +
+        s"aggregate(sequence(0, ${g - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, j) -> acc + shiftleft(element_at(codes, gi * $g + j + 1), 8 * j)))")
+    census(s"rp(bits=$rpBits, n=$nVec)", codes
+      .select(posexplode(banded).as(Seq("bi", "bv")))
+      .select(concat_ws(":", col("bi"), col("bv")).as("k")))
+
+    val sh = graft.Tables.documents(s, d)
+      .selectExpr("doc_id", "simhash60(array_distinct(split(trim(text), ' +'))) AS simhash")
+    val nDoc = graft.Tables.documents(s, d).count()
+    val bits = graft.dedup.Dedup.simBitsFor(nDoc)
+    val bandKeys = (0 until 60 / bits).map(b =>
+      concat_ws(":", lit(b),
+        expr(s"shiftright(simhash, ${b * bits}) & ${(1L << bits) - 1}")))
+    census(s"simhash(bits=$bits, n=$nDoc)", sh.select(explode(array(bandKeys: _*)).as("k")))
+    s.stop()
+  }
+}

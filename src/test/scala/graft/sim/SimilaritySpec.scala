@@ -429,4 +429,56 @@ class SimilaritySpec extends AnyFunSuite {
   /** [[run]] against an arbitrary fixture dir (the one defs lookup). */
   private def run2(name: String, dir: String) =
     Similarity.defs.find(_.name == name).get.fn(spark, dir)
+
+  test("rpBitsFor ladder: fixture regime keeps 16x8; boundaries are exact") {
+    // Every shipped fixture (N <= 16384) must keep the established 16x8
+    // shape bit-for-bit — the oracle-parity guarantee — and the regime
+    // boundaries are the stated inclusive thresholds.
+    assert(Similarity.rpBitsFor(1L) == 8)
+    assert(Similarity.rpBitsFor(2000L) == 8)
+    assert(Similarity.rpBitsFor(16384L) == 8)
+    assert(Similarity.rpBitsFor(16385L) == 16)
+    assert(Similarity.rpBitsFor(4194304L) == 16)
+    assert(Similarity.rpBitsFor(4194305L) == 32)
+  }
+
+  test("rpBandedCodes: 16-bit regrouping equals JVM bit-packing of the 8-bit codes") {
+    // The corpus-adaptive band width regroups the kernel's 16 8-bit codes
+    // into 8 16-bit bands (bits=16 regime, N > 16384). Pin the SQL
+    // transform/aggregate regrouping against an independent JVM regroup of
+    // the SAME collected codes: band gi = code[2gi] | code[2gi+1] << 8.
+    graft.functions.GraftFunctions.register(spark)
+    val codesDf = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "rp_band_codes(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 1000000) AS BIGINT))) AS codes")
+      .orderBy("vec_id").limit(50).cache()
+    val raw = codesDf.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val grouped = codesDf
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.posexplode(Similarity.rpBandedCodes(16))
+          .as(Seq("bi", "bv")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(grouped.nonEmpty)
+    for (((vid, bi), bv) <- grouped) {
+      val ref = raw(vid)(2 * bi) | (raw(vid)(2 * bi + 1) << 8)
+      assert(bv == ref, s"vec $vid band $bi: got $bv, JVM regroup $ref")
+    }
+    // and bits=8 is the identity column over the same frame
+    val id8 = codesDf.select(Similarity.rpBandedCodes(8).as("c")).collect()
+      .map(_.getSeq[Long](0))
+    assert(id8.map(_.toList).toSeq == codesDf.collect().map(_.getSeq[Long](1).toList).toSeq)
+  }
+
+  test("simBitsFor ladder: fixture regime keeps 4x15; bands tile 60 bits") {
+    assert(graft.dedup.Dedup.simBitsFor(5000L) == 15)
+    assert(graft.dedup.Dedup.simBitsFor(16384L) == 15)
+    assert(graft.dedup.Dedup.simBitsFor(16385L) == 20)
+    assert(graft.dedup.Dedup.simBitsFor(2097152L) == 20)
+    assert(graft.dedup.Dedup.simBitsFor(2097153L) == 30)
+    for (n <- Seq(100L, 100000L, 10000000L)) {
+      val bits = graft.dedup.Dedup.simBitsFor(n)
+      assert(60 % bits == 0, s"bands must tile the 60-bit code exactly at n=$n")
+    }
+  }
 }

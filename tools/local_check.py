@@ -26,25 +26,36 @@ def norm(v):
 
 
 def main(sf_dir, out_dir):
+    import os
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single parquet FILES; Spark-staged fixtures
+        # (tools/ScaleFixture replica corpora) are part-file DIRECTORIES
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
-        try:
-            odf = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            fail += 1
-            continue
+        # Check the Spark dump FIRST: a filtered Verify run (dev loop /
+        # scaled-fixture spot checks) dumps only a few queries, and running
+        # the other ~175 oracles against a large staged corpus before
+        # discovering there is nothing to compare burned an hour of DuckDB
+        # (round 16). Missing dump = skip, counted as fail only so the full
+        # gate stays strict.
         try:
             sdf = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            fail += 1
+            continue
+        try:
+            odf = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
             fail += 1
             continue
         ocols, scols = sorted(odf.column_names), sorted(sdf.column_names)

@@ -387,10 +387,47 @@ def main() -> None:
         "dim=64 distinct values and 100 replicas would alias in 36 rotation",
         "classes, breaking the linear-output construction; the ±1 mask is",
         "orthogonal so intra-replica structure is still exactly preserved —",
-        "graft.tools.ScaleFixture). True pair output again grows exactly",
-        "10× over the 10× point, so a serve factor near 10× is linear",
-        "engine cost and anything approaching the 20× threshold is a",
-        "compounding term.",
+        "graft.tools.ScaleFixture).",
+        "",
+        "THE PROBE FOUND THE EXPONENT it was sent to find, twice, before",
+        "these numbers were measurable (the first 100× run OOMed an 8 GB",
+        "heap):",
+        "",
+        "1. FIXED LSH CODE SPACES. Both generators banded into",
+        "   corpus-independent key spaces (RP: 16 bands × 2^8 = 4,096",
+        "   buckets, already saturated at sf0.1; simhash: 4 × 2^15 ≈ 131k),",
+        "   so bucket sizes grow linearly with the corpus and candidate",
+        "   pair mass QUADRATICALLY — measured by graft.tools.DiagBuckets",
+        "   at 100×: every RP bucket held >100 vectors, 950 of 4,096 were",
+        "   over the MaxBucket cap, kept pair mass 699M pairs (the cap",
+        "   bounds per-bucket memory, never total mass; one more decade and",
+        "   every bucket overflows — recall collapses to zero). Fixed by",
+        "   CORPUS-ADAPTIVE band widths (the sqrtK discipline applied to",
+        "   LSH): the same 128 hyperplanes / 60 code bits regroup into",
+        "   wider bands as N grows (RP 8→16→32 bits, simhash 15→20→30;",
+        "   integer COUNT(*) ladders stated once and generated into both",
+        "   engines' plans — Similarity.RpShape, Dedup.SimShape). Every",
+        "   shipped fixture keeps the old shape bit-for-bit; at 100× the",
+        "   census drops to max-63-per-bucket / 4.9M kept pairs (RP) and",
+        "   82M (simhash, hot buckets still cap-bounded). Recall trades are",
+        "   computed and documented at the ladder definitions.",
+        "",
+        "2. PAIR-EXPANSION TRANSIENT. cappedElementPairs materialized each",
+        "   bucket's ENTIRE pair array in one Generate input",
+        "   (explode(flatten(transform(...))) — O(cap²·payload) per bucket",
+        "   row, ~0.5 GB for a near-cap bucket of 64-double structs; 32",
+        "   concurrent tasks OOMed the heap with the cap itself holding.",
+        "   Fixed by a two-level explode (posexplode the element, then",
+        "   explode only its remaining slice): per-row transient drops to",
+        "   O(cap·payload) — a cap-factor (1000×) reduction — same output,",
+        "   same single codegen stage, no-join plan shape unchanged.",
+        "",
+        "With both fixes, true pair output again grows exactly 10× over",
+        "the 10× point, so a serve factor near 10× is linear engine cost",
+        "and anything approaching the 20× threshold is a compounding term.",
+        "(The 10× table above is also re-measured at the NEW adaptive",
+        "shapes — its thresholds fire at 50k docs / 20k vectors — so its",
+        "factors are not comparable to pre-round-16 regenerations.)",
         "",
         "| query | serve@1x10 | serve@1x100 | serve factor | build@1x10 | build@1x100 | build factor |",
         "|---|---|---|---|---|---|---|",
@@ -415,11 +452,10 @@ def main() -> None:
                      ", ".join(f"{q} ({f:.1f}x)" for q, f in x100_flagged))
     else:
         lines.append("Both serve factors stay under the 20x threshold at "
-                     "1x100 — the cap-bounded trend holds to ~500k docs / "
-                     "200k vectors (~60M shingle postings), one decade past "
-                     "the previous audit. The 10x-table factors above were "
-                     "fixed-cost amortization plus linearly growing pair "
-                     "mass, not the onset of a quadratic.")
+                     "1x100 under the adaptive shapes — pair mass is linear "
+                     "in the corpus again, one decade past the previous "
+                     "audit, and the two findings above are closed with "
+                     "measured numbers rather than extrapolation.")
 
     # ---- non-pair steep factors at the extra decade ------------------------
     lines += [
