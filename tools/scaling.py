@@ -82,7 +82,11 @@ def purge_artifacts() -> None:
     import shutil
     names = ["mh_sig", "jac_pairs", "winnow_idx", "simhash60", "simhash_pairs",
              "phash_pairs", "video_pairs", "frame_idx", "winnow_post", "ivf_cells_k*",
-             "pq_codes", "drift", "cdc_chunks", "bpe_merges_r*"]
+             "pq_codes", "drift", "cdc_chunks", "bpe_merges_r*",
+             # round 16: the cell-blocked cosine pair graph (added r15) was
+             # missing here, so dd_embed_cosine/dd_semantic_dedup's warm-pass
+             # build figures could read artifact-warm
+             "cell_cos_pairs"]
     for n in names:
         for p in glob.glob(f"/tmp/graft_{n}_*"):
             shutil.rmtree(p, ignore_errors=True)
