@@ -114,6 +114,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pair expansion never materializes the full per-bucket pair array") {
+    // Round 16: the one-shot explode(flatten(transform(ds, ... slice ...)))
+    // built each bucket's ENTIRE pair array in one Generate input —
+    // O(cap²·payload) transient, an OOM at the 100×-replica probe with the
+    // cap itself holding. The two-level explode keeps the per-row transient
+    // at O(cap·payload); a regression to the flatten form reads as the
+    // flatten(transform call inside a Generate's arguments.
+    Seq("dd_minhash_lsh", "dd_winnow_pairs", "jn_fuzzy_name", "sim_rp_pairs")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("flatten(transform"),
+          s"$q: one-shot flatten pair expansion (O(cap^2) transient) crept back:\n$p")
+      }
+  }
+
   test("tx_pack_sequences: the packing window partitions by source, never globally") {
     val p = plan("tx_pack_sequences")
     assert(p.contains("Window"), s"packing is a per-source prefix sum window:\n$p")

@@ -542,4 +542,47 @@ class DedupSpec extends AnyFunSuite {
     assert(run2("dd_band_tuning", dir).count() == 0,
       "empty corpus must omit all three arms, not emit zero rows")
   }
+
+  test("simhashPairGraph: the 20-bit ladder regime matches a JVM reference past 16384 docs") {
+    // Round 16: band width is corpus-adaptive (Dedup.SimShape — 15 bits at
+    // fixture scale, 20 past 16,384 docs). The 10×-fixture oracle run pins
+    // the scaled shape cross-engine once per session; THIS spec pins it
+    // repeatably: a 17k-doc corpus (just past the threshold) must band at
+    // 20 bits, and the persisted graph must equal an independent JVM
+    // reference computed from the code table (group by (b, code>>20b &
+    // mask), cap at MaxBucket, expand sorted pairs, Hamming ≤ 10, dedupe
+    // across bands). A regime-selection bug (still 15 bits) or a banding
+    // arithmetic slip diverges almost surely.
+    import spark.implicits._
+    val n = 17000
+    val docs = (0L until n).map(i =>
+      (i, s"w${i % 37} x${(i * 7) % 41} y${(i * 13) % 43} z${(i * 29) % 47}",
+        s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simshape").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.simBitsFor(n.toLong) == 20, "17k docs must select the 20-bit regime")
+    val got = Dedup.simhashPairGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent reference from the (separately spec-pinned) code table
+    graft.functions.GraftFunctions.register(spark)
+    val codes = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "simhash60(array_distinct(split(trim(text), ' +'))) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    for (b <- 0 until 3) {
+      codes.groupBy { case (_, c) => (c >> (20 * b)) & ((1L << 20) - 1) }
+        .values.filter(_.length <= Dedup.MaxBucket)
+        .foreach { bucket =>
+          val sorted = bucket.sortBy(identity)
+          for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+            val h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+            if (h <= 10) ref += ((sorted(i)._1, sorted(j)._1, h))
+          }
+        }
+    }
+    assert(got.nonEmpty, "fixture must produce near-dup pairs")
+    assert(got == ref.toSet,
+      s"scaled-regime pair graph diverged: got ${got.size}, ref ${ref.size}")
+  }
 }
