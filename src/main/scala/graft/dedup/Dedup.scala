@@ -364,7 +364,12 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * (unbounded md5 key spaces — no saturation) remain the high-recall
     * lexical screens at scale. Both engines derive bits from the same
     * COUNT(*) over documents. */
-  private[dedup] val SimShape: Seq[(Long, Int)] = Seq(16384L -> SimBandBits, 2097152L -> 20)
+  // Literal 15 on purpose, NOT SimBandBits: that constant is declared
+  // later in the object body, and the forward reference only works while
+  // it stays a compile-time-inlined `final val` — a type annotation or a
+  // dropped `final` there would silently turn this rung into 0 at object
+  // init (review finding, round 16). The spec pins 15 at fixture sizes.
+  private[dedup] val SimShape: Seq[(Long, Int)] = Seq(16384L -> 15, 2097152L -> 20)
   private[dedup] val SimBitsMax = 30
 
   def simBitsFor(n: Long): Int =
@@ -402,8 +407,11 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
         .distinct()
     }
 
-  /** Multi-band LSH shape over the 60-bit code: 4 bands x 15 bits. */
-  final val SimBands = 4
+  /** The FIXTURE-SCALE simhash band width (the first [[SimShape]] rung —
+    * 4 bands × 15 bits at N ≤ 16384). Band COUNT is always derived as
+    * 60 / bits; there is deliberately no band-count constant left to wire
+    * a consumer to (a fixed count reproduces the saturation bug SimShape
+    * fixes). */
   final val SimBandBits = 15
 
   private[dedup] val duckSimhash60 =

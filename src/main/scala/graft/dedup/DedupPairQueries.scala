@@ -208,8 +208,10 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
               |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
 
     /** SimHash near-dup candidates: multi-band LSH over the 60-bit code —
-      * 4 bands × 15 bits (32768 buckets per band, the key space an 8-bit
-      * single band lacked), candidates unioned across bands, Hamming ≤ 10
+      * CORPUS-ADAPTIVE width from [[Dedup.SimShape]] (4×15 at fixture
+      * scale, widening to 3×20 / 2×30 as the corpus grows — a fixed shape
+      * saturates its code space and goes quadratic, the round-16 probe
+      * finding), candidates unioned across bands, Hamming ≤ 10
       * verify. Buckets are built with the capped-collect skeleton (not a
       * self-join, which would recompute the simhash scan on both sides) and
       * carry (doc_id, simhash) structs so the Hamming verify happens inside
@@ -229,7 +231,8 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
            |bands AS (SELECT doc_id, simhash, b.b AS bi,
            |                 (simhash >> (sh.bits * b.b)) & ((CAST(1 AS BIGINT) << sh.bits) - 1)
            |                   AS bv
-           |          FROM sims, shape sh, (SELECT unnest(range(0, 4)) AS b) b
+           |          FROM sims, shape sh,
+           |               (SELECT unnest(range(0, ${60 / (SimShape.map(_._2) :+ SimBitsMax).min})) AS b) b
            |          WHERE b.b < 60 // sh.bits),
            |keep AS (SELECT bi, bv FROM bands GROUP BY bi, bv
            |         HAVING COUNT(*) <= $MaxBucket)

@@ -33,16 +33,13 @@ object DiagBuckets {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val nVec = e.count()
     val rpBits = graft.sim.Similarity.rpBitsFor(nVec)
-    val g = rpBits / 8
+    // the SHARED regroup (Similarity.rpBandedCodes) — an inline copy here
+    // would let the census drift from the banding sim_rp_pairs actually
+    // uses, the exact blind spot this tool exists to remove
     val codes = e.selectExpr("vec_id",
       "rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS codes")
-    val banded =
-      if (g == 1) col("codes")
-      else expr(s"transform(sequence(0, ${16 / g - 1}), gi -> " +
-        s"aggregate(sequence(0, ${g - 1}), CAST(0 AS BIGINT), " +
-        s"(acc, j) -> acc + shiftleft(element_at(codes, gi * $g + j + 1), 8 * j)))")
     census(s"rp(bits=$rpBits, n=$nVec)", codes
-      .select(posexplode(banded).as(Seq("bi", "bv")))
+      .select(posexplode(graft.sim.Similarity.rpBandedCodes(rpBits)).as(Seq("bi", "bv")))
       .select(concat_ws(":", col("bi"), col("bv")).as("k")))
 
     val sh = graft.Tables.documents(s, d)

@@ -42,8 +42,10 @@ def main(sf_dir, out_dir):
         # scaled-fixture spot checks) dumps only a few queries, and running
         # the other ~175 oracles against a large staged corpus before
         # discovering there is nothing to compare burned an hour of DuckDB
-        # (round 16). Missing dump = skip, counted as fail only so the full
-        # gate stays strict.
+        # (round 16). A missing dump still COUNTS AS FAIL (the full gate
+        # stays strict; no skip semantics) — it just no longer costs an
+        # oracle replay, so dev flows `grep -v "spark output missing"` and
+        # read the filtered queries' lines.
         try:
             sdf = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"

@@ -426,9 +426,16 @@ def main() -> None:
         "   O(cap·payload) — a cap-factor (1000×) reduction — same output,",
         "   same single codegen stage, no-join plan shape unchanged.",
         "",
-        "With both fixes, true pair output again grows exactly 10× over",
-        "the 10× point, so a serve factor near 10× is linear engine cost",
-        "and anything approaching the 20× threshold is a compounding term.",
+        "With both fixes, TRUE cosine-pair output again grows exactly 10×",
+        "over the 10× point (the ±1 masks are orthogonal, so intra-replica",
+        "dot products are bit-exact). One stated approximation: a masked",
+        "replica's RP codes differ relative to the FIXED hyperplanes, so",
+        "LSH candidate recall varies slightly per replica — sim_rp_pairs'",
+        "measured output (candidates ∩ cos-verify) is therefore",
+        "approximately, not exactly, linear; a serve factor near 10× is",
+        "linear engine cost and anything approaching the 20× threshold is",
+        "a compounding term (recall variance cannot produce one — it only",
+        "moves output mass DOWN).",
         "(The 10× table above is also re-measured at the NEW adaptive",
         "shapes — its thresholds fire at 50k docs / 20k vectors — so its",
         "factors are not comparable to pre-round-16 regenerations.)",
