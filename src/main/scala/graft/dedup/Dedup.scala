@@ -369,15 +369,15 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
   // it stays a compile-time-inlined `final val` — a type annotation or a
   // dropped `final` there would silently turn this rung into 0 at object
   // init (review finding, round 16). The spec pins 15 at fixture sizes.
-  private[dedup] val SimShape: Seq[(Long, Int)] = Seq(16384L -> 15, 2097152L -> 20)
-  private[dedup] val SimBitsMax = 30
+  private[graft] val SimShape: Seq[(Long, Int)] = Seq(16384L -> 15, 2097152L -> 20)
+  private[graft] val SimBitsMax = 30
 
   def simBitsFor(n: Long): Int =
     SimShape.collectFirst { case (t, b) if n <= t => b }.getOrElse(SimBitsMax)
 
   /** The ladder as SQL over `COUNT(*) FROM documents` — generated from
     * [[SimShape]] so the engines cannot drift. */
-  private[dedup] def simShapeSql: String =
+  private[graft] def simShapeSql: String =
     "SELECT CASE " +
       SimShape.map { case (t, b) => s"WHEN COUNT(*) <= $t THEN $b" }.mkString(" ") +
       s" ELSE $SimBitsMax END AS bits FROM documents"

@@ -195,8 +195,12 @@ object Multimodal {
       * seam ([[decodeLumaPartitions]]) produces the stub luma plane (60
       * byte-indexed stride samples — a codec swap changes no plan shape),
       * then the hash thresholds each sample against the plane mean (the
-      * aHash/pHash skeleton), banded 4×15 bits for candidate generation
-      * (the simhash60 discipline: 32768 buckets per band), exact Hamming ≤ 8
+      * aHash/pHash skeleton), banded with the CORPUS-ADAPTIVE width
+      * [[graft.dedup.Dedup.SimShape]] prescribes for 60-bit codes (4×15 at
+      * fixture scale, widening past 16,384 docs — a fixed band space
+      * saturates and goes quadratic, the round-16 probe finding; the pHash
+      * is 60-bit exactly like simhash60, so the ladder and its oracle SQL
+      * are shared verbatim), exact Hamming ≤ 8
       * verify inside the capped pair expansion. 60 bits, not 64, so the
       * packed signature stays inside signed BIGINT in BOTH engines (the
       * [[graft.functions.SimHashImpl.tokenHash60]] rule). Sampling is
@@ -220,9 +224,11 @@ object Multimodal {
               "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
               "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
           .select(col("doc_id"), col("phash"))
+        val bits = graft.dedup.Dedup.simBitsFor(Tables.documents(s, d).count())
         val bands = ph.select(col("doc_id"), col("phash"),
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "concat_ws(':', b, shiftright(phash, b * 15) & 32767))")).as("bk"))
+          explode(expr(s"transform(sequence(0, ${60 / bits - 1}), b -> " +
+            s"concat_ws(':', b, shiftright(phash, b * $bits) & ${(1L << bits) - 1}))"))
+            .as("bk"))
         graft.dedup.Dedup
           .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
           .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
@@ -249,9 +255,13 @@ object Multimodal {
              |               THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
              |               ELSE 0 END)) AS BIGINT) AS phash
              |       FROM m),
+             |shape AS (${graft.dedup.Dedup.simShapeSql}),
              |bands AS (SELECT doc_id, phash,
-             |            b || ':' || ((phash >> CAST(b * 15 AS INTEGER)) & 32767) AS bk
-             |          FROM ph, unnest(range(0, 4)) u(b)),
+             |            b || ':' || ((phash >> CAST(sh.bits * b AS INTEGER)) &
+             |                         ((CAST(1 AS BIGINT) << sh.bits) - 1)) AS bk
+             |          FROM ph, shape sh,
+             |               unnest(range(0, ${60 / (graft.dedup.Dedup.SimShape.map(_._2) :+ graft.dedup.Dedup.SimBitsMax).min})) u(b)
+             |          WHERE b < 60 // sh.bits),
              |keep AS (SELECT bk FROM bands GROUP BY bk
              |         HAVING COUNT(*) <= ${graft.dedup.Dedup.MaxBucket}),
              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
