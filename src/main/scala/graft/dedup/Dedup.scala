@@ -21,7 +21,8 @@ import graft.{QueryDef, Tables}
   *    buckets above [[MaxBucket]] (stop-shingles / hot bands) are dropped
   *    from candidate generation, bounding the per-key expansion.
   *  - SimHash reduces each doc to a compact code; near-dup candidates come
-  *    from multi-band LSH (4 bands x 15 bits of a 60-bit code) plus a
+  *    from multi-band LSH over a 60-bit code (corpus-adaptive width,
+  *    [[SimShape]] — 4 bands x 15 bits at fixture scale) plus a
   *    Hamming-distance filter (`bit_count(xor)`), never all-pairs.
   *  - The MinHash function family is `md5(seed:shingle)` with *string* min:
   *    lexicographic min of a uniform hash is a valid min-wise hash and is

@@ -119,8 +119,9 @@ object SimHashImpl {
   def compute(tokens: ArrayData): Long = simhash(tokens, 32, tokenHash)
 
   /** 60-bit SimHash code — the width that supports multi-band LSH with
-    * bands wide enough to bucket at scale (4 bands x 15 bits = 32768
-    * buckets per band). */
+    * bands wide enough to bucket at scale: the corpus-adaptive ladder
+    * (graft.dedup.Dedup.SimShape) tiles the 60 bits as 4x15, 3x20, or
+    * 2x30 depending on corpus size. */
   def compute60(tokens: ArrayData): Long = simhash(tokens, 60, tokenHash60)
 }
 
@@ -208,9 +209,10 @@ case class Md5Prefix48(child: Expression) extends UnaryExpression {
   *
   * The wider code exists for banded near-dup candidate generation at scale:
   * 32 bits only supports bands too narrow to bucket well (an 8-bit band =
-  * 256 buckets = ~N/256 docs per bucket, quadratic at 100 TB), while 60 bits
-  * gives 4 bands x 15 bits = 32768 buckets per band. Same majority-vote/tie
-  * semantics as [[SimHash32]].
+  * 256 buckets = ~N/256 docs per bucket, quadratic at 100 TB), while 60
+  * bits tile into the corpus-adaptive band widths of
+  * graft.dedup.Dedup.SimShape (4x15 / 3x20 / 2x30 — up to 2^30 buckets per
+  * band). Same majority-vote/tie semantics as [[SimHash32]].
   */
 case class SimHash60(child: Expression) extends UnaryExpression {
 
