@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Per-round oracle gate for the corpus-adaptive LSH ladder queries (NOT
+shipped library code — dev/driver tooling like local_check.py).
+
+The sf0.01 correctness gate can never fire the band-width ladders: their
+first rung boundary is 16,384 docs / vectors and the shipped fixtures top
+out at 5,000 docs / 2,000 vectors (sf0.1), so a regression in the SCALED
+band shapes (the 3x20 simhash/pHash rung, the 8x16 RP rung) would hide
+behind a fully green CORRECTNESS_rNN.json. Round 16 verified the scaled
+shapes ad hoc on the 10x disjoint-replica fixture; this script makes that
+check a recorded per-round artifact (VERDICT r16 #6).
+
+What it does:
+ 1. stages the 10x disjoint-replica corpus via graft.tools.ScaleFixture
+    (idempotent marker; 50,000 docs -> SimShape 20-bit rung for simhash
+    AND pHash, 20,000 vectors -> RpShape 16-bit rung),
+ 2. dumps the ladder-affected queries with graft.Verify: the three whose
+    plan AND oracle embed a shape ladder (dd_simhash_pairs, mm_phash_dedup,
+    sim_rp_pairs) plus dd_simhash (the shared 60-bit code table both
+    banded families expand from),
+ 3. replays their DuckDB oracles via tools/local_check.py (row-for-row,
+    columns sorted — the driver's compare),
+ 4. writes CORRECTNESS_r{N}_ladder.json with per-query status + the rung
+    each ladder fired.
+
+Usage: python3 tools/ladder_gate.py <round> [fixtureDir] [outJson]
+(Don't run concurrently with another Spark job — the DuckDB replay of the
+10x pair oracles spills to /tmp.)
+"""
+import json
+import re
+import subprocess
+import sys
+import time
+
+LADDER_QUERIES = ["dd_simhash", "dd_simhash_pairs", "mm_phash_dedup", "sim_rp_pairs"]
+FILTER = "^(" + "|".join(LADDER_QUERIES) + ")$"
+
+
+def sim_bits(n):  # mirror of Dedup.SimShape (LadderBoundarySpec pins both engines)
+    return 15 if n <= 16384 else (20 if n <= 2097152 else 30)
+
+
+def rp_bits(n):  # mirror of Similarity.RpShape
+    return 8 if n <= 16384 else (16 if n <= 4194304 else 32)
+
+
+def main():
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "dev"
+    fixture = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1x"
+    out_json = sys.argv[3] if len(sys.argv) > 3 else f"CORRECTNESS_r{rnd}_ladder.json"
+    vout = "/tmp/vout_ladder"
+
+    subprocess.run(["sbt", "-batch", f"runMain graft.tools.ScaleFixture {fixture}"],
+                   check=True)
+    subprocess.run(["sbt", "-batch",
+                    f"runMain graft.Verify {fixture} {vout} {FILTER}"],
+                   check=True)
+
+    t0 = time.time()
+    chk = subprocess.run(["python3", "tools/local_check.py", fixture, vout],
+                         capture_output=True, text=True)
+    results = {}
+    for line in chk.stdout.splitlines():
+        m = re.match(r"(OK|FAIL)\s+(\S+?):\s*(.*)", line)
+        if not m or m.group(2) not in LADDER_QUERIES:
+            continue
+        status, name, detail = m.groups()
+        results[name] = {"status": status.lower(), "detail": detail.strip()}
+    for q in LADDER_QUERIES:
+        results.setdefault(q, {"status": "fail", "detail": "no compare line emitted"})
+
+    import duckdb
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{fixture}/documents.parquet/*.parquet')"
+    ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{fixture}/embeddings.parquet/*.parquet')"
+    ).fetchone()[0]
+
+    artifact = {
+        "round": rnd,
+        "fixture": fixture,
+        "n_docs": n_docs,
+        "n_vecs": n_vecs,
+        "sim_bits_fired": sim_bits(n_docs),
+        "rp_bits_fired": rp_bits(n_vecs),
+        "note": ("ladder-affected queries oracle-replayed at the 10x "
+                 "disjoint-replica corpus where the scaled band shapes fire "
+                 "(sf0.01/sf0.1 keep the fixture shapes bit-for-bit and "
+                 "cannot catch a scaled-rung regression)"),
+        "queries": results,
+        "compare_wall_s": round(time.time() - t0, 1),
+        "ok": all(v["status"] == "ok" for v in results.values()),
+    }
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[ladder_gate] wrote {out_json}: "
+          + ", ".join(f"{q}={results[q]['status']}" for q in LADDER_QUERIES))
+    sys.exit(0 if artifact["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
