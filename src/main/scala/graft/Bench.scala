@@ -240,8 +240,16 @@ object Bench {
         f"suite=$roundTotal%.1fs canary=${roundCanaries.last}%.2fs " +
         f"gc=${(gcMillis - g0) / 1000.0}%.1fs codecache=$ccUsed%.0f/$ccMax%.0fMB")
     }
-    val envWallS = (System.nanoTime() - envWall0) / 1e9
-    val envCpuS = if (envCpu0 < 0) -1.0 else (processCpuNanos - envCpu0) / 1e9
+    // The per-round canary draws (round 17) run INSIDE the env window —
+    // they must, to catch a mid-bench machine step — so their fixed
+    // single-thread work is subtracted here, preserving the round-15
+    // invariant that canary work never contaminates the cpu_wall/gc/jit
+    // drift-adjudication counters (the canary is a pure CPU loop: wall ≈
+    // cpu, zero allocation, and its one-time C2 compile was paid by the
+    // pre-window draws, so jit_s/gc_s need no correction).
+    val canaryTax = roundCanaries.sum
+    val envWallS = (System.nanoTime() - envWall0) / 1e9 - canaryTax
+    val envCpuS = if (envCpu0 < 0) -1.0 else (processCpuNanos - envCpu0) / 1e9 - canaryTax
     val envJson = {
       val cpuWall = if (envCpuS < 0 || envWallS <= 0) -1.0 else envCpuS / envWallS
       s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +

@@ -34,7 +34,8 @@ object DiagBuckets {
         sum(when(col("n") > 500, 1L).otherwise(0L)).as("gt500")).collect()(0)
       println(s"[diag] $label buckets=${row.getLong(0)} max=${row.getLong(1)} " +
         s"over_cap=${row.getLong(2)} kept_pair_mass=${row.getLong(3)} " +
-        s"gt100=${row.getLong(4)} gt500=${row.getLong(5)}")
+        s"gt100=${row.getLong(4)} gt500=${row.getLong(5)} " +
+        s"cap=${graft.dedup.Dedup.MaxBucket}")
     }
 
     if (families("rp")) {
@@ -42,6 +43,15 @@ object DiagBuckets {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val nVec = e.count()
       val rpBits = forcedBits.getOrElse(graft.sim.Similarity.rpBitsFor(nVec))
+      // forcedBits comes from the SimShape ladder's vocabulary in the doc
+      // example; only widths that regroup the 16 8-bit codes exactly are
+      // valid here — anything else would either crash after paying the
+      // count, or (bits=12 -> g=1) silently census the 8-bit geometry under
+      // a wrong label.
+      require(rpBits % graft.sim.Similarity.RpBandBits == 0 &&
+          graft.sim.Similarity.RpBands % (rpBits / graft.sim.Similarity.RpBandBits) == 0,
+        s"rp census: bits=$rpBits does not regroup 16x8 codes exactly " +
+          "(valid: 8, 16, 32, 64, 128); scope forcedBits to simhash,phash instead")
       // the SHARED regroup (Similarity.rpBandedCodes) — an inline copy here
       // would let the census drift from the banding sim_rp_pairs actually
       // uses, the exact blind spot this tool exists to remove
@@ -53,6 +63,10 @@ object DiagBuckets {
     }
 
     lazy val nDoc = graft.Tables.documents(s, d).count()
+    // a forced width that doesn't tile the 60-bit code would census a
+    // truncated band set under a wrong label
+    forcedBits.foreach(b => require(60 % b == 0 || !families("simhash") && !families("phash"),
+      s"simhash/phash census: bits=$b must tile 60"))
     if (families("simhash")) {
       val sh = graft.Tables.documents(s, d)
         .selectExpr("doc_id", "simhash60(array_distinct(split(trim(text), ' +'))) AS simhash")

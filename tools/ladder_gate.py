@@ -37,12 +37,21 @@ LADDER_QUERIES = ["dd_simhash", "dd_simhash_pairs", "mm_phash_dedup", "sim_rp_pa
 FILTER = "^(" + "|".join(LADDER_QUERIES) + ")$"
 
 
-def sim_bits(n):  # mirror of Dedup.SimShape (LadderBoundarySpec pins both engines)
-    return 15 if n <= 16384 else (20 if n <= 2097152 else 30)
-
-
-def rp_bits(n):  # mirror of Similarity.RpShape
-    return 8 if n <= 16384 else (16 if n <= 4194304 else 32)
+def fired_rungs(fixture):
+    """The rungs the engines actually fire, read from the engine itself
+    (graft.tools.LadderRungs wraps the same Scala selectors the queries
+    call) — NOT a Python mirror of the thresholds, which would be a third
+    statement of the ladder free to drift from the generated-once pair."""
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.LadderRungs {fixture}"],
+        capture_output=True, text=True)
+    m = re.search(r"\[rungs\] n_docs=(\d+) sim_bits=(\d+) n_vecs=(\d+) "
+                  r"rp_bits=(\d+) max_bucket=(\d+)", out.stdout)
+    if not m:
+        sys.exit(f"LadderRungs produced no rung line:\n{out.stdout[-2000:]}")
+    return {"n_docs": int(m.group(1)), "sim_bits_fired": int(m.group(2)),
+            "n_vecs": int(m.group(3)), "rp_bits_fired": int(m.group(4)),
+            "max_bucket": int(m.group(5))}
 
 
 def main():
@@ -62,30 +71,24 @@ def main():
                          capture_output=True, text=True)
     results = {}
     for line in chk.stdout.splitlines():
-        m = re.match(r"(OK|FAIL)\s+(\S+?):\s*(.*)", line)
+        # WARN is local_check's rows-equal-but-ORDER-differs outcome and
+        # counts as a failure there — record it with its real diagnosis
+        # instead of falling through to "no compare line emitted".
+        m = re.match(r"(OK|FAIL|WARN)\s+(\S+?):\s*(.*)", line)
         if not m or m.group(2) not in LADDER_QUERIES:
             continue
         status, name, detail = m.groups()
-        results[name] = {"status": status.lower(), "detail": detail.strip()}
+        results[name] = {"status": "ok" if status == "OK" else "fail",
+                         "detail": detail.strip() if status != "WARN"
+                         else f"ORDER differs (rows equal as multiset): {detail.strip()}"}
     for q in LADDER_QUERIES:
         results.setdefault(q, {"status": "fail", "detail": "no compare line emitted"})
 
-    import duckdb
-    con = duckdb.connect()
-    n_docs = con.execute(
-        f"SELECT COUNT(*) FROM read_parquet('{fixture}/documents.parquet/*.parquet')"
-    ).fetchone()[0]
-    n_vecs = con.execute(
-        f"SELECT COUNT(*) FROM read_parquet('{fixture}/embeddings.parquet/*.parquet')"
-    ).fetchone()[0]
-
+    rungs = fired_rungs(fixture)
     artifact = {
         "round": rnd,
         "fixture": fixture,
-        "n_docs": n_docs,
-        "n_vecs": n_vecs,
-        "sim_bits_fired": sim_bits(n_docs),
-        "rp_bits_fired": rp_bits(n_vecs),
+        **rungs,
         "note": ("ladder-affected queries oracle-replayed at the 10x "
                  "disjoint-replica corpus where the scaled band shapes fire "
                  "(sf0.01/sf0.1 keep the fixture shapes bit-for-bit and "

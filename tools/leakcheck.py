@@ -29,7 +29,7 @@ ALLOWED_IMPORT_ROOTS = (
 # Python stdlib + the driver-side oracle lib, for tools/*.py
 ALLOWED_PY_IMPORTS = {
     "datetime", "json", "math", "os", "re", "subprocess", "sys", "glob",
-    "shutil", "ast", "duckdb", "pandas", "pyarrow",
+    "shutil", "ast", "duckdb", "pandas", "pyarrow", "time",
 }
 
 PATTERNS = {

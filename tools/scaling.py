@@ -194,13 +194,14 @@ def run_diag(d: str, families: str, forced_bits: int | None = None) -> dict:
     rows = {}
     for m in re.finditer(
             r"\[diag\] (\w+)\(bits=(\d+), n=(\d+)\) buckets=(\d+) max=(\d+) "
-            r"over_cap=(\d+) kept_pair_mass=(\d+) gt100=(\d+) gt500=(\d+)",
+            r"over_cap=(\d+) kept_pair_mass=(\d+) gt100=(\d+) gt500=(\d+) cap=(\d+)",
             out.stdout):
         rows[m.group(1)] = {
             "bits": int(m.group(2)), "n": int(m.group(3)),
             "buckets": int(m.group(4)), "max": int(m.group(5)),
             "over_cap": int(m.group(6)), "kept": int(m.group(7)),
-            "gt100": int(m.group(8)), "gt500": int(m.group(9))}
+            "gt100": int(m.group(8)), "gt500": int(m.group(9)),
+            "cap": int(m.group(10))}
     if not rows:
         sys.exit(f"DiagBuckets {d} {families} produced no census lines:"
                  f"\n{out.stdout[-2000:]}")
@@ -565,7 +566,8 @@ def main() -> None:
         "Readings:",
         f"- **rp 4x32 does not saturate**: {rung_vec['rp']['buckets']:,}",
         f"  occupied buckets for {rung_vec['rp']['n']:,} vectors, max bucket",
-        f"  {rung_vec['rp']['max']} (cap {1000}), kept mass",
+        f"  {rung_vec['rp']['max']} (cap {rung_vec['rp']['cap']}, read from",
+        "  the census line — graft.dedup.Dedup.MaxBucket), kept mass",
         f"  {rung_vec['rp']['kept']:,} (~{rung_vec['rp']['kept'] / rung_vec['rp']['n']:.2f}",
         "  pairs/vector) — the rung is extremely selective, which is its",
         "  documented design point: past 4M vectors the trained IVF path is",
