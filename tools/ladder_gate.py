@@ -17,7 +17,12 @@ What it does:
  2. dumps the ladder-affected queries with graft.Verify: the three whose
     plan AND oracle embed a shape ladder (dd_simhash_pairs, mm_phash_dedup,
     sim_rp_pairs) plus dd_simhash (the shared 60-bit code table both
-    banded families expand from),
+    banded families expand from). This set is complete BY CONSTRUCTION:
+    the only consumers of simBitsFor/rpBitsFor/simShapeSql/rpShapeSql/
+    rpBandedCodes/simhashBandedPairs/phashBandedPairs outside tools/ are
+    those three query bodies (grep re-checked round 17 — the other
+    simhash60Stored consumer, dd_purge_manifest, aggregates the CODE
+    table, whose content is band-width-independent),
  3. replays their DuckDB oracles via tools/local_check.py (row-for-row,
     columns sorted — the driver's compare),
  4. writes CORRECTNESS_r{N}_ladder.json with per-query status + the rung
