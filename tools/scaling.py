@@ -70,7 +70,13 @@ SF1X_DIR = "/tmp/graft_sf1x"
 # to confirm the cap-bounded sub-quadratic trend or expose a compounding
 # term. Only the two tables these queries read are staged at 100x.
 X100_DIR = "/tmp/graft_sf1x100"
-X100_QUERIES = ["dd_simhash_pairs", "sim_rp_pairs"]
+X100_QUERIES = ["dd_simhash_pairs", "sim_rp_pairs",
+                # round 17: the audit extends to EVERY pair family of the
+                # 10x table - the r16 probe pushed only the two steepest,
+                # leaving the md5-keyed families (winnow/frame) and the
+                # blocked fuzzy joins unmeasured one decade further
+                "dd_winnow_pairs", "jn_fuzzy_name", "jn_fuzzy_multiblock",
+                "mm_video_dedup"]
 # Round 17 (VERDICT r16 #1): the TOP ladder rungs (SimShape 30-bit past
 # 2,097,152 docs; RpShape 32-bit past 4,194,304 vectors) were dead code at
 # every tested scale. Rung-sized single-table fixtures make their band
@@ -102,10 +108,13 @@ def purge_artifacts() -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
-def run_bench(sf_dir: str, label: str, name_filter: str | None = None) -> dict:
+def run_bench(sf_dir: str, label: str, name_filter: str | None = None,
+              driver_mem: str | None = None) -> dict:
     print(f"[scaling] benching {label} ...", flush=True)
     env = {"SPARK_GRAFT_SF_DIR": sf_dir, "SPARK_GRAFT_CPUS": "32",
            "SPARK_GRAFT_BENCH_RUNS": "3"}
+    if driver_mem:
+        env["SPARK_DRIVER_MEM"] = driver_mem
     child_env = {**__import__("os").environ, **env}
     # The artifact must reflect the intended query set at the pinned run
     # count — a stray dev-loop filter or run-count override inherited from
@@ -148,17 +157,21 @@ def bench_extra_decade() -> dict:
 
 
 def bench_extra_decade_100x() -> dict:
-    """Stage the 100x disjoint-replica corpus (documents + embeddings only —
-    the tables X100_QUERIES read) and bench those two queries on it."""
+    """Stage the 100x disjoint-replica corpus (documents + embeddings +
+    part — the tables X100_QUERIES read) and bench those queries on it."""
     out = subprocess.run(
         ["sbt", "-batch",
          f"runMain graft.tools.ScaleFixture {X100_DIR} /root/testdata/sf0.1 "
-         "100 documents,embeddings"],
+         "100 documents,embeddings,part"],
         capture_output=True, text=True)
     if "[scalefixture]" not in out.stdout:
         sys.exit(f"ScaleFixture 100x failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
     pattern = "^(" + "|".join(X100_QUERIES) + ")$"
-    return run_bench(X100_DIR, "sf0.1x100 (second extra decade)", pattern)
+    # 16g driver heap: the round-17 extension adds the winnow/fuzzy
+    # families at 100x (2M parts / 500k docs) whose warm-pass index builds
+    # want headroom beyond the 8g default the fixture-scale benches use.
+    return run_bench(X100_DIR, "sf0.1x100 (second extra decade)", pattern,
+                     driver_mem="16g")
 
 
 # Decontamination threshold for the pipeline scale probe. The registered
@@ -441,8 +454,11 @@ def main() -> None:
         "",
         "## Pair-family second extra decade (10× → 100× disjoint replicas)",
         "",
-        "Round 16 (VERDICT r15 #2): the two HIGHEST serve factors of the 10×",
-        "table above, pushed one more decade on a 100×-replicated sf0.1",
+        "Round 16 (VERDICT r15 #2) pushed the two HIGHEST serve factors of",
+        "the 10× table one more decade; round 17 extends the same probe to",
+        "EVERY pair family of that table (winnow, both fuzzy joins, video",
+        "frames — part is now staged at 100× too: 2M parts with",
+        "replica-disjoint p_size blocks), on a 100×-replicated sf0.1",
         "corpus (500k documents / 200k vectors; replicas content-disjoint by",
         "per-replica token prefixes and, past replica 9, rotation PLUS a",
         "per-replica diagonal ±1 sign mask — rotation alone has only",
@@ -520,11 +536,13 @@ def main() -> None:
                      "~500k docs): " +
                      ", ".join(f"{q} ({f:.1f}x)" for q, f in x100_flagged))
     else:
-        lines.append("Both serve factors stay under the 20x threshold at "
-                     "1x100 under the adaptive shapes — pair mass is linear "
-                     "in the corpus again, one decade past the previous "
-                     "audit, and the two findings above are closed with "
-                     "measured numbers rather than extrapolation.")
+        lines.append("All six pair-family serve factors stay under the 20x "
+                     "threshold at 1x100 — under the adaptive shapes pair "
+                     "mass is linear in the corpus across EVERY candidate "
+                     "generator, one decade past the r16 audit (which "
+                     "covered only the two steepest), and the two r16 "
+                     "findings above stay closed with measured numbers "
+                     "rather than extrapolation.")
 
     # ---- TOP ladder rungs: census at rung-sized corpora (round 17) ---------
     stage_fixture(RUNG_DOCS_DIR, RUNG_DOCS_REPLICAS, "documents")
