@@ -115,6 +115,19 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * hot-shingle property. */
   val MaxBucket = 1000
 
+  /** Exact-dedup normalized-text fingerprint — THE one engine-side
+    * definition (round 17: it had drifted into 12 inline copies across the
+    * batch queries and BOTH streaming dedup paths, where a one-sided
+    * normalization retune would silently split stream from batch —
+    * DocsStreamSpec pins their equality, but only at spec time). The
+    * DuckDB oracles keep their literal
+    * `md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))` text (the
+    * dialect needs the 'g' flag); the per-round oracle hash gate is the
+    * cross-engine tripwire for that text, the same contract as every
+    * other oracle string. */
+  def normFp(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), " +", " ")))
+
   /** `dd_line_dedup` span width (tokens per pseudo-line). Small enough that
     * the fixture's ~40-word vocabulary produces real cross-document span
     * collisions (3 tokens ≈ 6.4e4 combinations vs ~2e4 spans at sf0.01),

@@ -78,8 +78,8 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       .select(col("doc_id"),
         expr(s"size($toks)").as("n_tokens"),
         expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))").as("n_stop"),
-        md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
-      .filter(expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+        normFp(col("text")).as("fp"))
+      .filter(expr(graft.text.TextStats.qualityKeepSql))
     val keepers = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
     val nearDupLosers = jaccardPairs(s, d, permille = 500)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -93,7 +93,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
     QueryDef(
       "dd_exact",
       (s, d) => Tables.documents(s, d)
-        .groupBy(md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+        .groupBy(normFp(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy("fp"),
       Some("""SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
@@ -113,7 +113,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val ranked = Tables.documents(s, d)
-          .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
+          .withColumn("fp", normFp(col("text")))
           // try_cast + sentinel: a source outside the 'srcN' scheme ranks
           // LAST deterministically in both engines (a plain CAST returns
           // NULL→NULLS FIRST in Spark but ERRORS in DuckDB)
@@ -349,7 +349,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       "dd_source_dup_rate",
       (s, d) => {
         val doc = Tables.documents(s, d).select(col("doc_id"), col("source"),
-          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+          normFp(col("text")).as("fp"))
         val grp = doc.groupBy(col("fp"))
           .agg(count(lit(1)).as("n_copies"),
             countDistinct(col("source")).as("n_sources"))
@@ -507,9 +507,9 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
             expr(graft.text.TextStats.nTokensAs("BIGINT")).as("n_tokens"),
             expr(s"size(filter($toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))")
               .as("n_stop"),
-            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+            normFp(col("text")).as("fp"))
           .withColumn("q_ok",
-            expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+            expr(graft.text.TextStats.qualityKeepSql))
         val exactKeep = base.filter(col("q_ok"))
           .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"), lit(true).as("e_ok"))
@@ -759,7 +759,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
         import org.apache.spark.sql.expressions.Window
         Tables.documents(s, d)
           .select(col("doc_id"),
-            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"),
+            normFp(col("text")).as("fp"),
             expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
           .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
           .select(col("doc_id"), col("fp_count"),

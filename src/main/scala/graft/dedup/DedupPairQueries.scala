@@ -391,7 +391,7 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
       (s, d) => {
         val fp = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+            normFp(col("text")).as("fp"))
         def positions(df: DataFrame) = (0 until 4).map(i =>
           df.select(col("doc_id"), col("source"),
             expr(s"CAST(conv(substr(md5(fp), ${1 + 4 * i}, 3), 16, 10) AS BIGINT)").as("pos")))

@@ -281,7 +281,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
         val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
           expr(s"size($tk)").as("ntok"),
           expr(s"size(filter($tk, t -> t IN ${graft.text.TextStats.stopList}))").as("nstop"),
-          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+          graft.dedup.Dedup.normFp(col("text")).as("fp"))
         val dupfp = docs.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
         val tot = docs.agg(count(lit(1)).as("total_docs"))
         docs.join(dupfp, "fp").crossJoin(broadcast(tot))

@@ -38,7 +38,7 @@ object DocsStream {
   def runDedupToParquet(spark: SparkSession, docsDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val q = spark.readStream.schema(docsSchema).parquet(docsDir)
-      .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
+      .withColumn("fp", graft.dedup.Dedup.normFp(col("text")))
       .dropDuplicates("fp")
       .writeStream.outputMode("append").format("parquet")
       .option("path", outDir)
@@ -57,7 +57,7 @@ object DocsStream {
     val reader = spark.readStream.schema(docsSchema)
     if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val q = reader.parquet(docsDir)
-      .withColumn("fp", md5(lower(regexp_replace(trim(col("text")), " +", " "))))
+      .withColumn("fp", graft.dedup.Dedup.normFp(col("text")))
       .dropDuplicates("fp")
       .writeStream.outputMode("append").format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
@@ -168,14 +168,11 @@ object DocsStream {
     * reach one screen and miss the other. */
   private def runScreenStream(spark: SparkSession, docsDir: String,
       idxPath: String, queryName: String,
-      verdicts: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val docs = spark.readStream.schema(docsSchema).parquet(docsDir)
-    val q = verdicts(docs, spark.read.parquet(idxPath))
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("doc_id")
-  }
+      verdicts: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      verdicts(spark.readStream.schema(docsSchema).parquet(docsDir),
+        spark.read.parquet(idxPath)),
+      queryName, Seq("doc_id"))
 
   /** [[landingVerdicts]] as a CHECKPOINTED incremental landing job — the
     * runDedupToParquet lifecycle applied to the near-dup screen: each
@@ -253,7 +250,7 @@ object DocsStream {
         expr("size(filter(split(trim(text), ' +'), t -> t IN " +
           graft.text.TextStats.stopList + "))").as("n_stop"))
       .withColumn("quality_ok",
-        expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+        expr(graft.text.TextStats.qualityKeepSql))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_pass"))
@@ -263,13 +260,10 @@ object DocsStream {
   /** [[qualityGate]] as an incremental stream over an arriving-files
     * directory (complete-mode memory sink, AvailableNow). */
   def runQualityGateStream(spark: SparkSession, docsDir: String,
-      queryName: String = "quality_gate"): DataFrame = {
-    val q = qualityGate(spark.readStream.schema(docsSchema).parquet(docsDir))
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("source")
-  }
+      queryName: String = "quality_gate"): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      qualityGate(spark.readStream.schema(docsSchema).parquet(docsDir)),
+      queryName, Seq("source"))
 
   /** Landing-zone PII GATE rollup: the tx_pii_scrub battery (same pattern
     * constants — graft.text.TextStats owns them, so batch scrub and stream
@@ -312,13 +306,10 @@ object DocsStream {
   /** [[piiGate]] as an incremental stream over an arriving-files directory
     * (complete-mode memory sink, AvailableNow). */
   def runPiiGateStream(spark: SparkSession, docsDir: String,
-      queryName: String = "pii_gate"): DataFrame = {
-    val q = piiGate(spark.readStream.schema(docsSchema).parquet(docsDir))
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("source")
-  }
+      queryName: String = "pii_gate"): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      piiGate(spark.readStream.schema(docsSchema).parquet(docsDir)),
+      queryName, Seq("source"))
 
   /** TOKENIZER FERTILITY MONITOR — subwords-per-word of arriving text under
     * the TRAINED BPE merges, per source: the tokenizer-health metric every
@@ -349,14 +340,10 @@ object DocsStream {
     * directory, the subword dictionary read as a static batch table
     * (complete-mode memory sink, AvailableNow). */
   def runFertilityStream(spark: SparkSession, docsDir: String, dict: DataFrame,
-      queryName: String = "bpe_fertility"): DataFrame = {
-    val q = bpeFertility(
-      spark.readStream.schema(docsSchema).parquet(docsDir), dict)
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("source")
-  }
+      queryName: String = "bpe_fertility"): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      bpeFertility(spark.readStream.schema(docsSchema).parquet(docsDir), dict),
+      queryName, Seq("source"))
 
   /** Registered batch variant (the st_* convention: batch semantics under
     * the oracle, stream ≡ batch pinned by DocsStreamSpec). */
@@ -520,13 +507,10 @@ object DocsStream {
     * be the STATIC plan table (collected once per recipe), which is what
     * makes the in-stream join a broadcast stream-static attach. */
   def runMixtureFillStream(spark: SparkSession, docsDir: String, rates: DataFrame,
-      queryName: String = "mixture_fill"): DataFrame = {
-    val q = mixtureFill(spark.readStream.schema(docsSchema).parquet(docsDir), rates)
-      .writeStream.outputMode("complete").format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("source")
-  }
+      queryName: String = "mixture_fill"): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      mixtureFill(spark.readStream.schema(docsSchema).parquet(docsDir), rates),
+      queryName, Seq("source"))
 
   def mixtureFill(docs: DataFrame, rates: DataFrame): DataFrame = {
     // ONE broadcast join attaching BOTH n_target and thresh (the previous

@@ -57,8 +57,8 @@ object EmbedStream {
   def runUpsertStream(spark: SparkSession, embDir: String,
       cents: Seq[(Int, Seq[Double])],
       queryName: String = "ann_upsert",
-      maxFilesPerTrigger: Int = 0): DataFrame = {
-    val logDir = java.nio.file.Files.createTempDirectory(s"graft_$queryName").toString
+      maxFilesPerTrigger: Int = 0): DataFrame =
+      StreamDirs.withTempDir(s"graft_$queryName") { logDir =>
     val reader = spark.readStream.schema(embSchema)
     if (maxFilesPerTrigger > 0) reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val q = reader.parquet(embDir)
@@ -87,17 +87,7 @@ object EmbedStream {
       // delta log is a managed WAL partition that compaction RETIRES, not a
       // process temp dir — this helper models one compaction cycle.)
       .localCheckpoint()
-    deleteRecursively(java.nio.file.Paths.get(logDir))
     compacted
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      try it.forEach(p => Files.deleteIfExists(p))
-      finally it.close()
-    }
   }
 
   /** Arriving-vector cell counts as an incremental stream over a directory

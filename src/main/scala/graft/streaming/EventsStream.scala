@@ -15,22 +15,33 @@ import graft.QueryDef
   *  - [[EventsStream.hourlyCountsBatch]] — the batch DataFrame the driver
   *    verifies against the DuckDB oracle;
   *  - [[EventsStream.runHourlyCountsStream]] — the identical logical plan
-  *    under `readStream` with a 1-hour watermark and
-  *    `Trigger.AvailableNow`, the incremental-rerun story that replaces the
-  *    reference's drop-everything-and-reload (create_tables.py:40-41).
-  *    At scale this is the same shuffle as the batch group-by, plus state
-  *    store bookkeeping bounded by the watermark horizon.
+  *    under `readStream` with `Trigger.AvailableNow`, the incremental-rerun
+  *    story that replaces the reference's drop-everything-and-reload
+  *    (create_tables.py:40-41). At scale this is the same shuffle as the
+  *    batch group-by, plus state store bookkeeping bounded by the GROUP
+  *    CARDINALITY — one state row per (hour, type); complete mode never
+  *    evicts, so a watermark would be inert here (StreamRuns states the
+  *    argument once; the sessionizer is the path with per-event state and
+  *    a REAL watermark).
   */
 // Serializable: the sessionizer closure calls [[mergeSessions]], so executors
 // deserialize the (stateless) singleton with the task.
 object EventsStream extends Serializable {
 
   /** Event projection used by the stateful sessionizer. */
-  final case class Ev(user_id: Long, event_id: Long, ms: Long, cents: Long)
+  /** `cents` is an Option: events.value is a NULLABLE double, and the
+    * typed seam must tolerate a NULL exactly the way [[sessionizeBatch]]'s
+    * untyped `sum(cents)` does (skip the value, still count the event; a
+    * session whose every value is NULL sums to NULL) — a primitive Long
+    * here made one null-valued arrival crash the stream where batch
+    * answers (round-17 review finding). */
+  final case class Ev(user_id: Long, event_id: Long, ms: Long, cents: Option[Long])
 
   /** One pending session interval: [start, end] event-time span plus the
-    * running aggregate. Pending sessions are disjoint and gap-separated. */
-  final case class PendSess(start: Long, end: Long, n: Long, cents: Long)
+    * running aggregate. Pending sessions are disjoint and gap-separated.
+    * `cents` mirrors SQL SUM over the span: None until the first non-NULL
+    * value joins the span. */
+  final case class PendSess(start: Long, end: Long, n: Long, cents: Option[Long])
 
   /** Sessionizer state: the user's pending sessions (sorted by start) and a
     * per-user emission sequence number — compaction picks the LATEST row per
@@ -43,7 +54,7 @@ object EventsStream extends Serializable {
     * `n_events = 0` rows are tombstones for keys superseded by a late-event
     * rewind or bridge. */
   final case class Sess(user_id: Long, session_start_ms: Long, n_events: Long,
-      sum_cents: Long, seq: Long)
+      sum_cents: Option[Long], seq: Long)
 
   /** Streaming-source schema with ts = BIGINT nanoseconds — the engine's
     * post-normalization contract (see [[graft.Tables.events]]). */
@@ -107,29 +118,22 @@ object EventsStream extends Serializable {
     * of arriving parquet files — the FileStreamSource contract (a bare file
     * path is rejected), and the realistic landing-zone shape. */
   def runHourlyCountsStream(spark: SparkSession, eventsDir: String,
-      queryName: String = "hourly_stream"): DataFrame = {
-    val events = readEventsStream(spark, eventsDir)
-    val agg = hourly(
-      events
-        .withColumn("ts_watermark", timestamp_seconds(expr("(ts div 1000000) div 1000")))
-        .withWatermark("ts_watermark", "1 hour"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("hour_ts", "event_type")
-  }
+      queryName: String = "hourly_stream"): DataFrame =
+    // No watermark: complete mode never evicts state, so one here would be
+    // INERT while its presence claimed a bound that doesn't exist (round-17
+    // review finding) — the real bound is the O(hours×types) group
+    // cardinality; see StreamRuns for the stated-once scale argument.
+    StreamRuns.completeToMemory(spark,
+      hourly(readEventsStream(spark, eventsDir)),
+      queryName, Seq("hour_ts", "event_type"))
 
   /** Stream-static ENRICHMENT: purchase events joined to the static
     * `customer` dimension on user_id = c_custkey, then hourly revenue per
     * market segment — the classic landing-zone enrichment rollup. The
     * static side is broadcast (re-read per micro-batch by Structured
     * Streaming, so dim updates between batches are picked up); the join
-    * itself holds NO streaming state — only the windowed aggregate does,
-    * bounded by the watermark horizon. */
+    * itself holds NO streaming state — only the aggregate does, one state
+    * row per (hour, segment) group (see StreamRuns' complete-mode note). */
   private def enrichSegment(events: DataFrame, customer: DataFrame): DataFrame =
     events
       .filter(col("event_type") === "purchase")
@@ -149,22 +153,12 @@ object EventsStream extends Serializable {
   /** The same enrichment as an incremental stream over an arriving-files
     * directory, with the customer dim read as a static batch table. */
   def runEnrichSegmentStream(spark: SparkSession, eventsDir: String, sfDir: String,
-      queryName: String = "enrich_stream"): DataFrame = {
-    val events = readEventsStream(spark, eventsDir)
-    val agg = enrichSegment(
-      events
-        .withColumn("ts_watermark", timestamp_seconds(expr("(ts div 1000000) div 1000")))
-        .withWatermark("ts_watermark", "1 hour"),
-      graft.Tables.customer(spark, sfDir))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("hour_ts", "segment")
-  }
+      queryName: String = "enrich_stream"): DataFrame =
+    // No watermark — same reasoning as runHourlyCountsStream.
+    StreamRuns.completeToMemory(spark,
+      enrichSegment(readEventsStream(spark, eventsDir),
+        graft.Tables.customer(spark, sfDir)),
+      queryName, Seq("hour_ts", "segment"))
 
   /** Session gap: a new session starts after 60 minutes of user inactivity. */
   val SessionGapMs = 3600000L
@@ -200,12 +194,21 @@ object EventsStream extends Serializable {
     * event inside a span is within gap of its neighbours by construction —
     * so inserting late events as singleton spans and re-merging reproduces
     * the batch answer for ANY arrival order the watermark admits. */
+  /** SQL-SUM combine for the optional running aggregate: NULL is skipped,
+    * not zeroed, so an all-NULL span stays NULL — batch parity. */
+  private def sumOpt(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+    case (Some(x), Some(y)) => Some(x + y)
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+
   private[streaming] def mergeSessions(ss: List[PendSess]): List[PendSess] =
     ss.sortBy(s => (s.start, s.end))
       .foldLeft(List.empty[PendSess]) { (acc, s) =>
         acc match {
           case h :: t if s.start - h.end <= SessionGapMs =>
-            PendSess(h.start, math.max(h.end, s.end), h.n + s.n, h.cents + s.cents) :: t
+            PendSess(h.start, math.max(h.end, s.end), h.n + s.n,
+              sumOpt(h.cents, s.cents)) :: t
           case _ => s :: acc
         }
       }.reverse
@@ -270,7 +273,7 @@ object EventsStream extends Serializable {
       // recreate an erased key, since it now lies strictly inside a span
       val newKeys = merged.map(_.start).toSet
       old.sessions.map(_.start).filterNot(newKeys).sorted
-        .foreach { k => seq += 1; out += Sess(user, k, 0L, 0L, seq) }
+        .foreach { k => seq += 1; out += Sess(user, k, 0L, None, seq) }
       // `end + gap < wm` strictly: an event AT the watermark is admissible
       // and an event at exactly end + gap still merges under `≤ gap`
       val (fin, live) = merged.partition(_.end + SessionGapMs < wm)
@@ -462,31 +465,20 @@ object EventsStream extends Serializable {
     * write zero files); both fixes are the established
     * EmbedStream.runUpsertStream discipline. */
   private def runCountsMonitor(spark: SparkSession, queryName: String,
-      streamedCounts: DataFrame, score: DataFrame => DataFrame): DataFrame = {
-    val countsDir = java.nio.file.Files
-      .createTempDirectory(s"graft_$queryName").toString
-    val schema = streamedCounts.schema
-    val q = streamedCounts.writeStream
-      .outputMode("complete")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("overwrite").parquet(countsDir); ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val result = score(spark.read.schema(schema).parquet(countsDir))
-      .localCheckpoint()
-    deleteRecursively(java.nio.file.Paths.get(countsDir))
-    result
-  }
-
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => { Files.deleteIfExists(p); () })
+      streamedCounts: DataFrame, score: DataFrame => DataFrame): DataFrame =
+    StreamDirs.withTempDir(s"graft_$queryName") { countsDir =>
+      val schema = streamedCounts.schema
+      val q = streamedCounts.writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(countsDir); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      score(spark.read.schema(schema).parquet(countsDir))
+        .localCheckpoint()
     }
-  }
 
   /** Coverage scoring of graft.ops.Analytics an_backfill_plan over a
     * day×type count table — the SAME streamable aggregation that feeds the
@@ -593,16 +585,8 @@ object EventsStream extends Serializable {
   /** [[kanonGate]] as an incremental stream over a landing directory:
     * stream-static join + single aggregation, complete mode, memory sink. */
   def runKanonGateStream(spark: SparkSession, eventsDir: String, staticDir: String,
-      queryName: String = "kanon_gate_stream"): DataFrame = {
-    val gated = kanonGate(readEventsStream(spark, eventsDir),
-      kanonOkCells(spark, staticDir))
-    val q = gated.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName).orderBy("event_type", "verdict")
-  }
+      queryName: String = "kanon_gate_stream"): DataFrame =
+    StreamRuns.completeToMemory(spark,
+      kanonGate(readEventsStream(spark, eventsDir), kanonOkCells(spark, staticDir)),
+      queryName, Seq("event_type", "verdict"))
 }

@@ -65,7 +65,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
             s"size(filter($toks, t -> t IN $stopList)) END AS INT)").as("n_stop"))
         .withColumn("pct_stop", expr("(100 * n_stop) div n_tokens"))
         .withColumn("quality_ok",
-          expr("n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"))
+          expr(TextStats.qualityKeepSql))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |       CAST(len(string_split_regex(trim(text), ' +')) AS INTEGER) AS n_tokens,
@@ -275,7 +275,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       (s, d) => Tables.documents(s, d)
         .select(
           col("doc_id"),
-          md5(lower(regexp_replace(trim(col("text")), " +", " "))).as("fp"))
+          graft.dedup.Dedup.normFp(col("text")).as("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),

@@ -126,6 +126,17 @@ object TextStats extends TextDp with TextBpe
     * the gate's verdict must be the same expression batch and stream. */
   private[graft] val stopList = "('the', 'a', 'of', 'and', 'to')"
 
+  /** The FULL quality-keep verdict over (n_tokens, n_stop) — one owner for
+    * the thresholds, not just the stop-list (round 17: the predicate was
+    * restated inline in the batch keeper chain, tx_quality's bucket query,
+    * and the streaming landing gate; a threshold retune applied to one
+    * copy would silently pass docs at the landing zone that the corpus
+    * cleaner later drops, with no error until a spec run). Consumers:
+    * Dedup.cleanCorpusKeepers / dd_quality_buckets' keeper arm /
+    * graft.streaming.DocsStream.qualityGate / tx_quality_buckets. */
+  private[graft] val qualityKeepSql =
+    "n_tokens BETWEEN 10 AND 1000 AND (100 * n_stop) div n_tokens < 40"
+
   /** PII battery patterns, shared by [[defs tx_pii_scrub]] and the
     * streaming landing gate (graft.streaming.DocsStream.piiGate) so batch
     * scrub and stream monitor agree on what counts as PII. Escape-free

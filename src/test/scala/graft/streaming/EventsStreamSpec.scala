@@ -92,6 +92,40 @@ class EventsStreamSpec extends AnyFunSuite {
       s"multi-batch stream diverged: ${stream.size} vs ${batch.size} sessions")
   }
 
+  test("NULL event values: sessionize stream answers like batch (skip the value, count the event)") {
+    // Round-17 review finding: events.value is NULLABLE, and the typed
+    // sessionizer seam (Ev.cents was a primitive Long) crashed the whole
+    // stream on one null-valued arrival where sessionizeBatch answered
+    // (SQL SUM skips NULL, COUNT still counts the row; an all-NULL session
+    // sums to NULL). Pin the parity on both shapes: a mixed-null session
+    // and an all-null session.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("events_nullval").toString
+    val dir = s"$root/events.parquet"
+    new java.io.File(dir).mkdirs()
+    val t0 = 1600000000000L
+    val rows = Seq( // (event_id, ms, user_id, value)
+      (1L, t0, 1L, Some(1.0)), (2L, t0 + 1000L, 1L, None), (3L, t0 + 2000L, 1L, Some(0.5)),
+      (10L, t0, 2L, None), (11L, t0 + 1000L, 2L, None))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, ms, uid, v) =>
+        org.apache.spark.sql.Row(id, ms * 1000000L, uid, "play", v.orNull, "{}") }, 1),
+      StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val batch = EventsStream.sessionizeBatch(spark, root).collect().toSeq
+    val stream = EventsStream.runSessionizeStream(spark, dir, "sessions_nullval")
+      .collect().toSeq
+    assert(stream == batch, s"null-value stream diverged: $stream vs $batch")
+    val u1 = batch.find(_.getLong(0) == 1L).get
+    assert(u1.getLong(2) == 3L && u1.getLong(3) == 150L,
+      "mixed-null session: 3 events counted, nulls skipped in the sum")
+    val u2 = batch.find(_.getLong(0) == 2L).get
+    assert(u2.getLong(2) == 2L && u2.isNullAt(3),
+      "all-null session: events counted, sum is NULL")
+  }
+
   test("cross-batch LATE event merges without rewinding the gap horizon (stream == batch)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
