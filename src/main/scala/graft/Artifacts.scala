@@ -76,6 +76,17 @@ object Artifacts {
     * race winner; the result is `_SUCCESS`-guarded and atomically renamed
     * into place.
     *
+    * NAMING POLICY (round 17): the content signature detects corpus
+    * changes, NOT code changes — so when `build` bakes in a documented
+    * tunable (an LSH shape ladder, a bucket cap, k-means k/iters, PQ
+    * m/ks, a hash count), the tunable belongs IN `name`
+    * (`mh_sig_h64`, `pq_codes_m8ks16i3`, `simhash_pairs_<ladder>…`): a
+    * retune then misses the store and rebuilds instead of silently
+    * serving the stale artifact with an identical schema. Constants that
+    * are definitional to the operator (shingle width 3, frame stride,
+    * the md5 family) stay out of the name — changing those is changing
+    * the operator, which a round's oracle gate catches directly.
+    *
     * `root` defaults to [[baseDir]]; a destructive spec passes its own
     * private root EXPLICITLY instead of mutating the process-global
     * `graft.artifact.dir` property — under parallel suite execution a

@@ -128,6 +128,16 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
   def normFp(text: Column): Column =
     md5(lower(regexp_replace(trim(text), " +", " ")))
 
+  /** The [[SimShape]] ladder rendered into artifact NAMES: the content key
+    * detects corpus changes but is blind to a CONSTANT retune, so an
+    * artifact whose build bakes in a documented tunable must carry the
+    * tunable in its name — a SimShape/cap/k retune then forces a rebuild
+    * instead of silently serving the stale graph with an identical schema
+    * (round-17 review finding; see [[graft.Artifacts.indexParquet]]'s
+    * naming policy). */
+  private[graft] def simShapeTag: String =
+    (SimShape.map { case (t, b) => s"$b@$t" } :+ s"$SimBitsMax").mkString("-") + "_"
+
   /** `dd_line_dedup` span width (tokens per pseudo-line). Small enough that
     * the fixture's ~40-word vocabulary produces real cross-document span
     * collisions (3 tokens ≈ 6.4e4 combinations vs ~2e4 spans at sf0.01),
@@ -306,7 +316,7 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * in-place dataset rewrite forces a rebuild instead of serving stale
     * signatures. */
   private[dedup] def minhashSigStored(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.indexParquet(s, "mh_sig", d, "documents")(minhashSig(s, d))
+    graft.Artifacts.indexParquet(s, s"mh_sig_h$NumHashes", d, "documents")(minhashSig(s, d))
 
   /** MinHash-LSH candidate pairs from [[minhashSig]]: 16 bands × 4 rows,
     * capped band buckets, deduped across bands. */
@@ -411,7 +421,7 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * (the probe path never reaches this block), and the shape is a pure
     * function of the same corpus content the artifact is keyed by. */
   private[dedup] def simhashPairGraph(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.indexParquet(s, "simhash_pairs", d, "documents") {
+    graft.Artifacts.indexParquet(s, s"simhash_pairs_${simShapeTag}h10c$MaxBucket", d, "documents") {
       simhashBandedPairs(s, d, simBitsFor(Tables.documents(s, d).count()))
     }
 
@@ -494,6 +504,21 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
        |        FROM inter JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
        |        WHERE (1000 * i) // (na.n + nb.n - i) >= $permille)""".stripMargin
 
+  /** Transitive near-dup cluster labels over the ≥0.5-Jaccard pair graph
+    * as a content-keyed parquet artifact — the last derived structure of
+    * the pair graph that was still recomputed per query (round-17 review
+    * finding): [[connectedComponents]] is an O(log diameter) iterative
+    * loop of joins + checkpoints + a driver-blocking count per round, and
+    * BOTH dd_dup_clusters and dd_cluster_best paid it on every
+    * invocation while every sibling structure (jac_pairs, simhash_pairs,
+    * cell_cos_pairs) is built once and probed. Knob-tagged per the
+    * [[graft.Artifacts.indexParquet]] naming policy (the 500‰ threshold
+    * and the cap ride the build). */
+  private[dedup] def dupClustersStored(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.indexParquet(s, s"dup_clusters_p500c$MaxBucket", d, "documents")(
+      connectedComponents(
+        jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b")))._1)
+
   /** Truncate lineage between label-propagation rounds. With a configured
     * checkpoint dir this is a RELIABLE checkpoint (blocks on the cluster
     * store, survives executor loss — required for the iterative loop on a
@@ -569,7 +594,7 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * itself); in production it is built per corpus snapshot and probed,
     * not re-derived from the shingle stream per consumer. */
   private[graft] def jaccardPairs(s: SparkSession, d: String, permille: Int): DataFrame =
-    graft.Artifacts.indexParquet(s, "jac_pairs", d, "documents")(
+    graft.Artifacts.indexParquet(s, s"jac_pairs_c$MaxBucket", d, "documents")(
       jaccardPairsUncached(s, d))
       .filter(col("jaccard_permille") >= permille)
 
@@ -592,7 +617,9 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * (all same-cell pairs with their cos6), so a threshold change is a
     * stored-column filter, not a rebuild. */
   private[dedup] def cellCosPairs(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.indexParquet(s, "cell_cos_pairs", d, "embeddings")(
+    graft.Artifacts.indexParquet(s,
+      s"cell_cos_pairs_k${graft.sim.Similarity.K}i${graft.sim.Similarity.Iters}c$MaxBucket",
+      d, "embeddings")(
       cellCosPairsUncached(s, d))
 
   private def cellCosPairsUncached(s: SparkSession, d: String): DataFrame = {

@@ -258,9 +258,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       * implementation. */
     QueryDef(
       "dd_dup_clusters",
-      (s, d) => connectedComponents(
-        jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b")))
-        ._1.orderBy("doc_id"),
+      (s, d) => dupClustersStored(s, d).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE
              |${duckJaccard(500)},
              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
@@ -279,8 +277,9 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       * original land in one cluster, the pipeline must keep the full copy.
       * Emitted per clustered doc: cluster, length, keep/drop verdict.
       *
-      * Distributed shape: rides [[connectedComponents]] over the PERSISTED
-      * ≥0.5-Jaccard pair graph (no new corpus pass), one doc-keyed length
+      * Distributed shape: probes the PERSISTED cluster-label artifact
+      * ([[Dedup.dupClustersStored]] — round 17; previously re-ran the
+      * iterative closure per query), one doc-keyed length
       * attach, then the argmax is a map-combinable MAX of ONE packed BIGINT
       * — n_tokens·2^32 + (2^32−1−doc_id), so max-by-length ties break to
       * min-id in the same scalar op (the dd_line_dedup packing discipline;
@@ -293,8 +292,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
     QueryDef(
       "dd_cluster_best",
       (s, d) => {
-        val clusters = connectedComponents(
-          jaccardPairs(s, d, permille = 500).select(col("doc_a"), col("doc_b")))._1
+        val clusters = dupClustersStored(s, d)
         val len = Tables.documents(s, d)
           .select(col("doc_id"), expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
         val cl = clusters.join(len, Seq("doc_id"))
@@ -449,7 +447,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
         // Keeper rule: [[lineKeepers]] — min packed (doc_id, pos) BIGINT,
         // map-combinable, width contract enforced in packedLineKey.
         val keepPerDoc = lineKeepers(lineSpans(docs))
@@ -523,7 +521,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
           .withColumn("s_ok", col("e_ok") && coalesce(col("n_bad"), lit(false)) =!= true)
         val surv = flagged.filter(col("s_ok"))
           .select(col("doc_id"), col("source"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
         val lineTok = lineKeepers(lineSpans(surv))
           .select(expr(packedLineDoc).as("doc_id"))
           .groupBy(col("doc_id")).agg(expr(s"$LineTok * count(1)").as("tok_line_doc"))
@@ -702,7 +700,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(size(t) AS BIGINT) div $LineTok"))
+          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
         val lines = lineSpans(docs)
         val keep = lineKeepers(lines)
         // The probe-side pack can stay unguarded: every span row also flows
@@ -760,7 +758,9 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
         Tables.documents(s, d)
           .select(col("doc_id"),
             normFp(col("text")).as("fp"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"))
+            // NULL-total (TextStats.nTokensAs): -1 would emit a negative
+            // eff_tokens_micro where the oracle answers NULL
+            expr(graft.text.TextStats.nTokensAs("BIGINT")).as("n_tokens"))
           .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
           .select(col("doc_id"), col("fp_count"),
             expr("1000000 div fp_count").as("weight_micro"),

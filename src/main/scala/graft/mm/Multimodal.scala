@@ -246,7 +246,9 @@ object Multimodal {
       * artifact every consumer probes. */
     QueryDef(
       "mm_phash_dedup",
-      (s, d) => graft.Artifacts.indexParquet(s, "phash_pairs", d, "documents") {
+      (s, d) => graft.Artifacts.indexParquet(s,
+        s"phash_pairs_${graft.dedup.Dedup.simShapeTag}h8c${graft.dedup.Dedup.MaxBucket}",
+        d, "documents") {
         phashBandedPairs(s, d,
           graft.dedup.Dedup.simBitsFor(Tables.documents(s, d).count()))
       }.orderBy("doc_a", "doc_b"),
@@ -307,7 +309,7 @@ object Multimodal {
       * equivalence, enforced by MultimodalSpec's fixture tripwire.) */
     QueryDef(
       "mm_video_dedup",
-      (s, d) => graft.Artifacts.indexParquet(s, "video_pairs", d, "documents") {
+      (s, d) => graft.Artifacts.indexParquet(s, s"video_pairs_c${graft.dedup.Dedup.MaxBucket}", d, "documents") {
         // The frame contract (32-byte frames, every 4th, md5, per-doc
         // distinct) is [[withFrameFps]] — ONE statement shared with the
         // streaming media screen, so the stride/width can't silently

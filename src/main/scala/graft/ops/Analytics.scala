@@ -23,6 +23,30 @@ object Analytics extends AnalyticsOlapQueries with AnalyticsGovernanceQueries {
     * engine ([[duckHashBits]] is the oracle twin) so the cross-query
     * "same bucket bits" reproducibility contract is enforced by
     * construction, not by keeping 5 hand-copied expressions in sync. */
+  /** Total-variation drift of each `unit`'s `cell` distribution against
+    * the corpus-wide mix — THE one drift pipeline (round 17: an_shard_drift
+    * and tx_length_drift restated it near-verbatim; a TV-arithmetic fix
+    * applied to one would silently desynchronize the two monitors that are
+    * documented as the same mechanism). `rows` = one row per item with
+    * (unit, cell) columns; output = (unit, <nOut> item count, tv_micro),
+    * computed over the FULL unit×cell grid (absent cells coalesce to 0) in
+    * integer micro-shares. The oracle SQL stays literal per query — the
+    * per-round oracle hash gate is its tripwire (the normFp contract). */
+  private[graft] def tvDriftByUnit(rows: org.apache.spark.sql.DataFrame,
+      unit: String, cell: String, nOut: String): org.apache.spark.sql.DataFrame = {
+    val sh = rows.groupBy(col(unit), col(cell)).agg(count(lit(1)).as("cnt"))
+    val tot = sh.groupBy(col(unit)).agg(sum(col("cnt")).as("tot"))
+    val g = sh.groupBy(col(cell)).agg(sum(col("cnt")).as("gcnt"))
+    val gt = g.agg(sum(col("gcnt")).as("gtot"))
+    tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
+      .join(sh, Seq(unit, cell), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("diff_micro",
+        abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
+      .groupBy(col(unit))
+      .agg(sum(col("cnt")).as(nOut), sum(col("diff_micro")).as("tv_micro"))
+  }
+
   private[ops] def hashBits(idCol: String, hexDigits: Int): String =
     s"CAST(conv(substr(md5(CAST($idCol AS STRING)), 1, $hexDigits), 16, 10) AS BIGINT)"
 

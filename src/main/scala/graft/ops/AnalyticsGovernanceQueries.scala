@@ -236,22 +236,11 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
       * grid is |days|·|types| rows — schema-sized, never data-sized. */
     QueryDef(
       "an_shard_drift",
-      (s, d) => {
-        val e = Tables.events(s, d)
-          .select(expr("(ts div 1000000) div 86400000").as("day"), col("event_type"))
-        val sh = e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("cnt"))
-        val tot = sh.groupBy(col("day")).agg(sum(col("cnt")).as("tot"))
-        val g = sh.groupBy(col("event_type")).agg(sum(col("cnt")).as("gcnt"))
-        val gt = g.agg(sum(col("gcnt")).as("gtot"))
-        tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
-          .join(sh, Seq("day", "event_type"), "left_outer")
-          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-          .withColumn("diff_micro",
-            abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
-          .groupBy(col("day"))
-          .agg(sum(col("cnt")).as("n_events"), sum(col("diff_micro")).as("tv_micro"))
-          .orderBy("day")
-      },
+      (s, d) => tvDriftByUnit(
+          Tables.events(s, d)
+            .select(expr("(ts div 1000000) div 86400000").as("day"), col("event_type")),
+          "day", "event_type", "n_events")
+        .orderBy("day"),
       Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events),
              |sh AS (SELECT day, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
              |tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS tot FROM sh GROUP BY 1),

@@ -146,7 +146,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * content-key + atomic-publish discipline as the MinHash signature
     * table; at 100 TB this is the cell-assignment column of the index. */
   private[sim] def cellsStored(s: SparkSession, d: String, k: Int): DataFrame =
-    graft.Artifacts.indexParquet(s, s"ivf_cells_k$k", d, "embeddings")(
+    graft.Artifacts.indexParquet(s, s"ivf_cells_k${k}i$Iters", d, "embeddings")(
       nearest(vecs(s, d).select(col("vec_id"), col("v")),
           centroidsDf(s, trainKMeans(s, d, k, Iters)))
         .select(col("vec_id"), col("cid").as("cell"), col("cos6")))
@@ -316,7 +316,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     s"""brute AS (SELECT q_id, cand_id FROM (
        |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
        |         row_number() OVER (PARTITION BY q.vec_id
-       |           ORDER BY ${duckDotOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
+       |           ORDER BY ${duckDotRawOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
        |        FROM embeddings WHERE vec_id < 8) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
@@ -382,8 +382,41 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
   private[sim] def mipsIvfSearch(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame =
     ivfSearch(s, d, k, nprobe, "dot_product", "ip6")
 
+  /** (vec_id, scale `m`, u8 codes `q`) for the whole corpus — THE u8
+    * quantizer definition, shared by `sim_quantize_u8` (publishes the
+    * codes' checksums) and `sim_topk_q8` (serves from them):
+    * q_i = ((x_i·1e6 + m)·127) div (2m), m = max(1, max|x_i·1e6|). One
+    * owner (round-17 review finding — the derivation existed in four
+    * textual copies, and a quantizer retune applied to sim_quantize_u8
+    * but not sim_topk_q8 would silently desynchronize served scores from
+    * published codes). The oracle SQL stays literal per query — the
+    * per-round oracle hash gate is its tripwire (the normFp contract). */
+  private[sim] def u8Codes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("vm"))
+      .withColumn("m",
+        expr("greatest(aggregate(vm, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))), " +
+          "CAST(1 AS BIGINT))"))
+      .select(col("vec_id"), col("m"),
+        expr("transform(vm, x -> ((x + m) * 127) div (2 * m))").as("q"))
+
+  /** UNROUNDED dot — the ranking key of the exact MIPS convention: the
+    * Spark side ([[bruteMipsTopK]]'s `dot_product`) ranks by the raw
+    * double and only ROUNDS THE PROJECTED score, and the sim_mips_topk
+    * oracle does the same, so every exact-dot ground truth must rank
+    * unrounded too (round 17: [[duckMipsBruteCte]] ranked by the rounded
+    * form — two candidates differing past the 6th decimal at the rank-k
+    * boundary would silently split the engines' "exact" sets). The
+    * IVF-SERVED paths are the opposite convention — both engines rank by
+    * round(metric, 6) ([[ivfSearch]] / [[duckIvfCtes]]) — which is why
+    * both forms exist. */
+  private[sim] def duckDotRawOf(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
   private[sim] def duckDotOf(a: String, b: String): String =
-    s"round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), 6)"
+    s"round(${duckDotRawOf(a, b)}, 6)"
 
   /** Shared probe/candidate/ranked-result CTE text of the IVF oracle under
     * a given metric, ending in `ivfranked(q_id, cand_id, <scoreCol>,
@@ -602,7 +635,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * (`sim_pq_codes`, `sim_pq_topk`, `sim_ivf_pq`) probe the stored table
     * instead of re-encoding the corpus per query. */
   def pqAssignAll(s: SparkSession, d: String): DataFrame =
-    graft.Artifacts.indexParquet(s, "pq_codes", d, "embeddings")(
+    // knob-tagged name (PqM/PqKs/Iters are documented retune targets —
+    // PqKs becomes 256 at 100 TB): see Artifacts.indexParquet's policy
+    graft.Artifacts.indexParquet(s, s"pq_codes_m${PqM}ks${PqKs}i$Iters", d, "embeddings")(
       pqAssignAllUncached(s, d))
 
   /** One corpus scan, one broadcast join on the subspace id, one window

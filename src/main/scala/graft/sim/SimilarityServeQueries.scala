@@ -239,13 +239,9 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
       * row compact while pinning every code. */
     QueryDef(
       "sim_quantize_u8",
-      (s, d) => Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-            .as("vm"))
-        .withColumn("m",
-          expr("greatest(aggregate(vm, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))), CAST(1 AS BIGINT))"))
-        .withColumn("q", expr("transform(vm, x -> ((x + m) * 127) div (2 * m))"))
+      // quantizer derivation shared with sim_topk_q8 — Similarity.u8Codes
+      // is the one owner (round 17)
+      (s, d) => u8Codes(s, d)
         .select(col("vec_id"), col("m").as("scale_micro"),
           expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("q_sum"),
           expr("array_min(q)").as("q_min"), expr("array_max(q)").as("q_max"))
@@ -285,14 +281,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
     QueryDef(
       "sim_topk_q8",
       (s, d) => {
-        val q8 = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-              .as("vm"))
-          .withColumn("m",
-            expr("greatest(aggregate(vm, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))), CAST(1 AS BIGINT))"))
-          .select(col("vec_id"), col("m"),
-            expr("transform(vm, x -> ((x + m) * 127) div (2 * m))").as("q"))
+        val q8 = u8Codes(s, d)
         val qs = q8.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("m").as("ma"), col("q").as("qa"))
         val cs = q8.select(col("vec_id").as("cand_id"), col("m").as("mb"), col("q").as("qb"))

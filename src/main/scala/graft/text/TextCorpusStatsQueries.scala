@@ -25,7 +25,9 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       (s, d) => Tables.documents(s, d)
         .select(
           col("doc_id"),
-          expr(s"size($toks)").as("n_tokens"),
+          // NULL-total (TextStats.nTokensAs): non-ANSI size(NULL) is -1
+          // where the oracle's len(NULL) is NULL
+          expr(nTokensAs("INT")).as("n_tokens"),
           expr("CAST(length(replace(text, ' ', '')) AS INTEGER)").as("n_chars_nospace"),
           // BPE-ish estimate: alnum runs + residual punctuation, ~chars/4 floor
           expr(s"CAST(size($toks) + length(replace(text, ' ', '')) div 16 AS INTEGER)")
@@ -441,24 +443,16 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       * integer micro shares. */
     QueryDef(
       "tx_length_drift",
-      (s, d) => {
-        val b = Tables.documents(s, d)
-          .select(col("source"),
-            expr(s"least(CAST(size($toks) AS BIGINT) div 32, 7L)").as("band"))
-        val sh = b.groupBy(col("source"), col("band")).agg(count(lit(1)).as("cnt"))
-        val tot = sh.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
-        val g = sh.groupBy(col("band")).agg(sum(col("cnt")).as("gcnt"))
-        val gt = g.agg(sum(col("gcnt")).as("gtot"))
-        tot.crossJoin(broadcast(g)).crossJoin(broadcast(gt))
-          .join(sh, Seq("source", "band"), "left_outer")
-          .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
-          .withColumn("diff_micro",
-            abs(expr("(1000000 * cnt) div tot - (1000000 * gcnt) div gtot")))
-          .groupBy(col("source"))
-          .agg(sum(col("cnt")).as("n_docs"), sum(col("diff_micro")).as("tv_micro"))
-          .withColumn("drift_ok", col("tv_micro") < 100000L)
-          .orderBy("source")
-      },
+      (s, d) => graft.ops.Analytics.tvDriftByUnit(
+          Tables.documents(s, d)
+            .select(col("source"),
+              // NULL-total guard: unguarded size(NULL) = -1 would band a
+              // NULL-text doc at 0 while the oracle's len(NULL) div is NULL
+              // and both engines' least() then skips the NULL arm -> band 7
+              expr(s"least(${nTokensAs("BIGINT")} div 32, 7L)").as("band")),
+          "source", "band", "n_docs")
+        .withColumn("drift_ok", col("tv_micro") < 100000L)
+        .orderBy("source"),
       Some("""WITH b AS (SELECT source,
              |         least(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) // 32,
              |               7) AS band

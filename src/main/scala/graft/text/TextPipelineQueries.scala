@@ -152,7 +152,11 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
       "tx_mask_spans",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), expr(toks).as("tk"))
-        .withColumn("n_tokens", expr("CAST(size(tk) AS BIGINT)"))
+        // NULL-total (TextStats.nTokensAs discipline): size(NULL tk) = -1
+        // would drive sequence(0, -2) and emit corrupted/masked values
+        // where the oracle answers NULL throughout
+        .withColumn("n_tokens",
+          expr("CAST(CASE WHEN tk IS NULL THEN NULL ELSE size(tk) END AS BIGINT)"))
         .withColumn("corrupted", expr(
           "array_join(filter(transform(sequence(0, CAST(n_tokens AS INT) - 1), " +
             "i -> CASE WHEN (i div 3) % 5 <> 0 THEN tk[i] " +
@@ -162,8 +166,11 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
           "array_join(transform(filter(sequence(0, CAST(n_tokens AS INT) - 1), " +
             "i -> (i div 3) % 5 = 0), i -> tk[i]), ' ')"))
         .withColumn("n_masked", expr(
-          "CAST(size(filter(sequence(0, CAST(n_tokens AS INT) - 1), " +
-            "i -> (i div 3) % 5 = 0)) AS BIGINT)"))
+          // the NULL-n_tokens row must stay NULL here too: size(NULL
+          // filter result) would be -1
+          "CASE WHEN n_tokens IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+            "CAST(size(filter(sequence(0, CAST(n_tokens AS INT) - 1), " +
+            "i -> (i div 3) % 5 = 0)) AS BIGINT) END"))
         .select(col("doc_id"), col("n_tokens"), col("n_masked"),
           md5(col("corrupted")).as("corrupted_md5"),
           md5(col("target")).as("target_md5"))
@@ -233,7 +240,9 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
-            expr(s"CAST(size($toks) AS BIGINT)").as("n_tokens"),
+            // NULL-total: a -1 from size(NULL) would poison the per-source
+            // token totals where the oracle's SUM skips the NULL
+            expr(nTokensAs("BIGINT")).as("n_tokens"),
             expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000")
               .as("bucket"))
         val perSource = docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("t_s"))

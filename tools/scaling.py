@@ -102,7 +102,9 @@ def purge_artifacts() -> None:
              # round 16: the cell-blocked cosine pair graph (added r15) was
              # missing here, so dd_embed_cosine/dd_semantic_dedup's warm-pass
              # build figures could read artifact-warm
-             "cell_cos_pairs"]
+             "cell_cos_pairs",
+             # round 17: the persisted cluster-label table
+             "dup_clusters"]
     for n in names:
         for p in glob.glob(f"/tmp/graft_{n}_*"):
             shutil.rmtree(p, ignore_errors=True)
