@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
   *  - Diagnostics on stderr: per-round wall + GC-time delta, plus any query
   *    whose cross-round max/min exceeds 3x above 0.3 s — the signature of
   *    external noise, distinguishing instrument problems from plan problems.
+  *  - MACHINE-IDLE GATE (round 18): before any Spark work, the bench samples
+  *    the OS loadavg and waits (bounded) for residual load to decay, then
+  *    stamps a machine-readable `loaded` verdict + the BASELINE.md idle
+  *    calibration band into both JSON lines — the committed artifact either
+  *    IS an idle run or self-declares loaded (upper bound only).
   *
   * Cost floor for narrow single-pass queries at local fixture scale
   * (profiled round 3, sf0.1, idle machine): ~0.19 s scan + noop job
@@ -128,6 +133,37 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Dev loop: bench only the queries matching a name regex (driver sets none).
     val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    // MACHINE-IDLE GATE (VERDICT r17 #1): three rounds running, the committed
+    // artifact was a loaded run (load1_before 1.94-2.17) while the idle
+    // evidence lived only in BASELINE.md narrative. Two fixes here:
+    //  - The idleness sample moves to BEFORE any Spark/warm-pass work. The
+    //    old load1_before was drawn after the untimed warm pass, so OUR OWN
+    //    burst load contaminated it — r17's idle calibration read 1.88
+    //    post-warm-pass vs 2.07 loaded, an unadjudicable 10% gap. Sampled at
+    //    process start, residual driver load (1-min loadavg decays e^-1 per
+    //    idle minute) separates cleanly from a machine that is actually busy.
+    //  - The bench WAITS for the residual to decay (poll every 10 s, up to
+    //    SPARK_GRAFT_BENCH_IDLE_WAIT_S = 300 s — a post-compile loadavg of
+    //    ~2 passes under 1.0 in ~60-90 idle seconds) and then stamps a
+    //    machine-readable `loaded` verdict into BOTH JSON lines, so the
+    //    driver and judge never adjudicate idleness from narrative again.
+    val idleThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_LOAD", "1.0").toDouble
+    val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "300").toInt
+    val load1AtStart = loadAvg
+    var idleWaitedS = 0
+    while (loadAvg > idleThresh && idleWaitedS < idleWaitMax) {
+      System.err.println(f"[bench] waiting for idle: load1=$loadAvg%.2f > $idleThresh%.2f " +
+        f"(waited ${idleWaitedS}s/${idleWaitMax}s)")
+      Thread.sleep(10000)
+      idleWaitedS += 10
+    }
+    val load1AfterWait = loadAvg
+    // `loaded` is the recorded verdict: the machine still carried >threshold
+    // runnable load when real work began, so the run's ratios are upper
+    // bounds under the BASELINE.md convention (idle medians ~76-81).
+    val loaded = load1AfterWait > idleThresh
+    System.err.println(f"[bench] idle gate: load1_at_start=$load1AtStart%.2f " +
+      f"after_wait=$load1AfterWait%.2f (waited ${idleWaitedS}s) loaded=$loaded")
     val spark = Sessions.local(cpus)
     // Warm the JVM/codegen/file-index paths once so the first measured query
     // doesn't absorb session startup.
@@ -255,7 +291,15 @@ object Bench {
       s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +
         s""""gc_s":${Jnum.f((gcMillis - envGc0) / 1000.0, 1)},"jit_s":${Jnum.f((jitMillis - envJit0) / 1000.0, 1)},""" +
         s""""canary_s":${Jnum.f(canary, 2)},""" +
-        s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(loadAvg, 2)},"cpus":${Runtime.getRuntime.availableProcessors}}"""
+        s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(loadAvg, 2)},""" +
+        // Idle-gate evidence (VERDICT r17 #1/#6): pre-Spark load samples, the
+        // wait spent decaying residual load, the recorded verdict, and the
+        // BASELINE.md idle calibration band — so bench_vs_baseline is
+        // adjudicable from committed JSON alone, narrative-free.
+        s""""load1_at_start":${Jnum.f(load1AtStart, 2)},"load1_after_wait":${Jnum.f(load1AfterWait, 2)},""" +
+        s""""idle_wait_s":$idleWaitedS,"idle_load_threshold":${Jnum.f(idleThresh, 2)},"loaded":$loaded,""" +
+        s""""calibration":{"idle_median_per_canary_band":[76.0,81.0],"source":"BASELINE.md normalized envelope"},""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
     }
     val results = samples.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
@@ -339,10 +383,10 @@ object Bench {
     spark.stop()
     // The driver records only the LAST ~2000 chars of the log; the full
     // one-line record above outgrew that window two rounds running (BENCH_r10
-    // and r11 both landed parsed:null). This compact summary (~850 chars
-    // since the round-17 median-of-runs fields — total/failed/count +
-    // telemetry + bench_runs/median_per_canary/runs + the 5 slowest; size a
-    // tail capture at >=1200) is printed LAST, after spark.stop()
+    // and r11 both landed parsed:null). This compact summary (~1100 chars
+    // since the round-18 idle-gate fields — total/failed/count + telemetry
+    // + bench_runs/median_per_canary/runs + idle-gate verdict + the 5
+    // slowest; size a tail capture at >=1500) is printed LAST, after spark.stop()
     // so no shutdown logging can follow it, guaranteeing any tail window
     // captures one complete parseable record. The full per-query record stays
     // in the long line + target/bench_last.json.

@@ -84,15 +84,11 @@ object Multimodal {
       .toDF("doc_id", "luma")
   }
 
-  /** The pHash banded pair expansion at an EXPLICIT band width — the
-    * `mm_phash_dedup` body, factored (mirroring
-    * [[graft.dedup.Dedup.simhashBandedPairs]], round 17) so every SimShape
-    * rung — including the 2×30 top rung that fires only past 2,097,152
-    * docs — is exercisable by a spec on a small corpus without staging a
-    * rung-sized fixture (MultimodalSpec's top-rung test). The production
-    * QueryDef always wraps this in the content-keyed `phash_pairs`
-    * artifact and derives `bits` from the corpus count. */
-  private[mm] def phashBandedPairs(s: SparkSession, d: String, bits: Int): DataFrame = {
+  /** The banded pHash posting frame (doc_id, phash, band key `bk`) at an
+    * explicit band width — the frame both the pair expansion buckets on and
+    * the entropy guard censuses. Factored (round 18) so the guard's
+    * distinct-bucket count and the expansion can never band differently. */
+  private[mm] def phashBands(s: SparkSession, d: String, bits: Int): DataFrame = {
     val ph = decodeLumaPartitions(
         Tables.documents(s, d)
           .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
@@ -103,19 +99,67 @@ object Multimodal {
           "IF(b > mean_b, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), " +
           "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"))
       .select(col("doc_id"), col("phash"))
-    val bands = ph.select(col("doc_id"), col("phash"),
+    ph.select(col("doc_id"), col("phash"),
       explode(expr(s"transform(sequence(0, ${60 / bits - 1}), b -> " +
         s"concat_ws(':', b, shiftright(phash, b * $bits) & ${(1L << bits) - 1}))"))
         .as("bk"))
+  }
+
+  /** The pHash DISTINCT banded candidate pairs with their Hamming distance,
+    * PRE-verify — [[phashBandedPairs]] minus the final `hamming <= 8` cut.
+    * Factored (round 18) so the kept-vs-verified measurement
+    * (tools/PhashVerifyProbe, SCALING.md's pHash row) counts candidates and
+    * verified pairs in ONE aggregation over the same frame the production
+    * query filters, instead of re-deriving the expansion. `private[graft]`:
+    * the probe lives in graft.tools. */
+  private[graft] def phashCandidates(s: SparkSession, d: String, bits: Int): DataFrame =
     graft.dedup.Dedup
-      .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
+      .bucketedPairs(phashBands(s, d, bits), struct(col("doc_id"), col("phash")), col("bk"))
       .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
         col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
       .distinct()
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+
+  /** Band-bucket entropy floor for the pHash pair graph, as a fraction of
+    * corpus size: below `nDocs / PhashEntropyFloorDiv` distinct band buckets
+    * the decode's code entropy has collapsed — same-bucket payloads are
+    * near-identical in pHash space and the pair graph is dominated by
+    * DECODER collisions, not media similarity. Calibrated on the 2.56M-doc
+    * rung census (round 18, SCALING.md): the healthy simhash family sits at
+    * ~1.0 buckets/doc, the degenerate stub-decode pHash at 0.011; 1/64
+    * (0.0156) separates them with margin on both sides. */
+  val PhashEntropyFloorDiv = 64L
+
+  /** The entropy guard's verdict, pure so MultimodalSpec pins both sides of
+    * the floor. Some(warning) ⇒ the build logs it; the query still runs —
+    * the measured kept-vs-verified ratio at the degenerate rung is 0.984
+    * (476,993,634 of 484,652,616 distinct candidates VERIFY at Hamming ≤ 8,
+    * tools/PhashVerifyProbe, round 18), i.e. the mass is genuine output
+    * under the stub decode, not engine waste, and the cap + two-level
+    * explode already bound the transient — so refusing would reject a
+    * correct (if operationally useless) graph. The warning tells the
+    * operator the real fix: a higher-entropy decode, not a wider band. */
+  def phashEntropyWarning(nDocs: Long, nBuckets: Long): Option[String] =
+    if (nDocs >= PhashEntropyFloorDiv && nBuckets < nDocs / PhashEntropyFloorDiv)
+      Some(s"[mm_phash_dedup] decode entropy collapsed: $nBuckets distinct band " +
+        s"buckets for $nDocs docs (< 1/$PhashEntropyFloorDiv per doc) — the pair " +
+        "graph will be dominated by decoder collisions (the capped expansion " +
+        "stays bounded and its pairs verify, but per-doc output mass is governed " +
+        "by the bucket cap); fix the decode's entropy, not the band width")
+    else None
+
+  /** The pHash banded pair expansion at an EXPLICIT band width — the
+    * `mm_phash_dedup` body, factored (mirroring
+    * [[graft.dedup.Dedup.simhashBandedPairs]], round 17) so every SimShape
+    * rung — including the 2×30 top rung that fires only past 2,097,152
+    * docs — is exercisable by a spec on a small corpus without staging a
+    * rung-sized fixture (MultimodalSpec's top-rung test). The production
+    * QueryDef always wraps this in the content-keyed `phash_pairs`
+    * artifact and derives `bits` from the corpus count. */
+  private[mm] def phashBandedPairs(s: SparkSession, d: String, bits: Int): DataFrame =
+    phashCandidates(s, d, bits)
       .filter(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
 
   /** Sampled-frame fingerprints as a PER-ROW array column — the stream-safe
     * form of [[defs mm_video_dedup]]'s frame contract (32-byte frames,
@@ -249,8 +293,15 @@ object Multimodal {
       (s, d) => graft.Artifacts.indexParquet(s,
         s"phash_pairs_${graft.dedup.Dedup.simShapeTag}h8c${graft.dedup.Dedup.MaxBucket}",
         d, "documents") {
-        phashBandedPairs(s, d,
-          graft.dedup.Dedup.simBitsFor(Tables.documents(s, d).count()))
+        val n = Tables.documents(s, d).count()
+        val bits = graft.dedup.Dedup.simBitsFor(n)
+        // Entropy guard (round 18): one distinct-count over the band frame
+        // per BUILD (never on artifact probes) — collapsed decode entropy
+        // means the graph measures decoder collisions, and the operator
+        // should hear it from the build, not discover it downstream.
+        val nBuckets = phashBands(s, d, bits).select(col("bk")).distinct().count()
+        phashEntropyWarning(n, nBuckets).foreach(System.err.println)
+        phashBandedPairs(s, d, bits)
       }.orderBy("doc_a", "doc_b"),
       Some(s"""WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx,
              |                   octet_length(encode(text)) AS len

@@ -148,6 +148,26 @@ class MultimodalSpec extends AnyFunSuite {
       s"top-rung pHash graph diverged: got ${got.size}, ref ${ref.size}")
   }
 
+  test("phashEntropyWarning: fires below the 1/64 bucket floor, silent at healthy entropy and tiny corpora") {
+    // Round 18 (VERDICT r17 #2): calibrated on the 2.56M-doc rung census —
+    // degenerate stub-decode pHash sits at 28,642 buckets (0.011/doc, warns),
+    // healthy simhash at ~1.0 buckets/doc (silent). The measured rung point
+    // itself is the canonical degenerate case; the ±1 boundary cases pin the
+    // floor arithmetic; corpora under the divisor never warn (a 50-doc spec
+    // fixture with few buckets is small, not degenerate).
+    assert(Multimodal.phashEntropyWarning(2560000L, 28642L).isDefined,
+      "the censused degenerate rung point must warn")
+    assert(Multimodal.phashEntropyWarning(2560000L, 2604413L).isEmpty,
+      "healthy ~1 bucket/doc entropy must not warn")
+    val div = Multimodal.PhashEntropyFloorDiv
+    assert(Multimodal.phashEntropyWarning(64000L, 64000L / div - 1).isDefined,
+      "one bucket under the floor must warn")
+    assert(Multimodal.phashEntropyWarning(64000L, 64000L / div).isEmpty,
+      "exactly at the floor must not warn")
+    assert(Multimodal.phashEntropyWarning(div - 1, 0L).isEmpty,
+      "corpora smaller than the divisor never warn")
+  }
+
   test("mm_video_dedup: a stop-frame shared by a hot corpus cannot go quadratic") {
     val s = spark; import s.implicits._
     // 1200 payloads that share ONE sampled frame (a black/silence stand-in:

@@ -8,10 +8,11 @@ dominated by the fixed per-query cost (scan + noop job + final sort sampling,
 profiled in Bench.scala's scaladoc), so their factors are reported but not
 meaningful as exponents.
 
-Usage: python3 tools/scaling.py  (from the repo root; ~30-40 min, idle
+Usage: python3 tools/scaling.py  (from the repo root; ~40-50 min, idle
 machine — three full-suite benches + the extra-decade bench + two composed
 corpus-pipeline runs + two fresh-JVM warmup probes + the isolated tail
-bench + the 64-round BPE envelope)
+bench + the 64-round BPE envelope + the rung censuses and the two
+kept-vs-verified aggregations, ~6 min of which is the pHash one)
 """
 import json
 import math
@@ -235,6 +236,27 @@ def run_countq(d: str, query: str) -> tuple[int, float]:
         sys.exit(f"CountQ {d} {query} produced no count line:"
                  f"\n{out.stdout[-2000:]}")
     return int(m.group(1)), float(m.group(2))
+
+
+def run_phash_verify(d: str) -> dict:
+    """Candidates + Hamming<=8 survivors of the pHash banded expansion in ONE
+    aggregation (graft.tools.PhashVerifyProbe) — the verified side of the
+    pHash kept-vs-verified measurement (round 18). Counts the same DISTINCT
+    candidate frame mm_phash_dedup filters; no artifact write, no second
+    expansion."""
+    env = {**__import__("os").environ, "SPARK_DRIVER_MEM": "24g"}
+    out = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.PhashVerifyProbe {d}"],
+        capture_output=True, text=True, env=env)
+    m = re.search(r"\[phashverify\] dir=\S+ n_docs=(\d+) bits=(\d+) "
+                  r"candidates=(\d+) verified=(\d+) ratio=([0-9.]+) "
+                  r"wall=([0-9.]+)s", out.stdout)
+    if not m:
+        sys.exit(f"PhashVerifyProbe {d} produced no line:"
+                 f"\n{out.stdout[-2000:]}")
+    return {"n_docs": int(m.group(1)), "bits": int(m.group(2)),
+            "candidates": int(m.group(3)), "verified": int(m.group(4)),
+            "ratio": float(m.group(5)), "wall": float(m.group(6))}
 
 
 def run_pipeline(sf_dir: str, out_dir: str, label: str) -> dict | None:
@@ -651,6 +673,46 @@ def main() -> None:
         "recall variance), so both the kept and verified masses scale",
         "linearly and the serve factor (5.1x/decade, table above) is engine",
         "cost on linear mass, not a compounding term.",
+    ]
+
+    # ---- pHash kept-vs-verified at the censused rung (round 18) ------------
+    pv = run_phash_verify(RUNG_DOCS_DIR)
+    ph = rung_doc["phash"]
+    lines += [
+        "",
+        "## pHash kept-vs-verified at the censused rung: output mass, entropy guarded",
+        "",
+        "Round 18 (VERDICT r17 #2): pHash was the one pair family whose",
+        f"censused kept mass ({ph['kept']:,} band-level pairs at the",
+        f"{ph['n']:,}-doc rung fixture, top-rung table above) had no",
+        "output-vs-waste number. Measured with tools/PhashVerifyProbe:",
+        "the DISTINCT banded candidate frame mm_phash_dedup filters,",
+        "candidates and Hamming<=8 survivors counted in ONE aggregation",
+        "(no artifact write, no second expansion):",
+        "",
+        f"- distinct candidates: **{pv['candidates']:,}** (the",
+        f"  {ph['kept']:,} band-level kept mass deduped across the",
+        f"  {60 // ph['bits']} bands),",
+        f"- VERIFIED (Hamming <= 8): **{pv['verified']:,}** —",
+        f"  **{pv['ratio']:.3f}** of the candidates ({pv['wall']:.0f}s",
+        "  aggregation wall at 32 threads).",
+        "",
+        "Reading: the Hamming verify is NOT the binding filter here either",
+        "— the stub decode's collapsed entropy clusters payloads so tightly",
+        "that same-bucket candidates are genuinely near-identical in pHash",
+        f"space, so the kept mass is OUTPUT mass ({pv['ratio']:.0%}",
+        "verifies; simhash's same verdict read 0.82 at 100x) and the",
+        "SimShape ladder thresholds stay unchanged. What IS pathological is",
+        f"the per-doc output graph (~{pv['verified'] / ph['n']:.0f} verified",
+        "pairs/doc): a graph that dense measures DECODER collisions, not",
+        "media similarity. That failure mode is now guarded at build time:",
+        "mm_phash_dedup censuses its band buckets during the artifact build",
+        "and logs Multimodal.phashEntropyWarning when entropy falls under",
+        f"1/{64} buckets/doc (the measured degenerate point is",
+        f"{ph['buckets'] / ph['n']:.3f}, healthy simhash ~1.0; the floor is",
+        "spec-pinned on both sides in MultimodalSpec) — and the fix the",
+        "warning names is a higher-entropy decode, not a wider band, since",
+        "the cap + two-level explode already bound the expansion transient.",
     ]
 
     # ---- non-pair steep factors at the extra decade ------------------------
