@@ -158,12 +158,15 @@ object Bench {
       idleWaitedS += 10
     }
     val load1AfterWait = loadAvg
-    // `loaded` is the recorded verdict: the machine still carried >threshold
-    // runnable load when real work began, so the run's ratios are upper
-    // bounds under the BASELINE.md convention (idle medians ~76-81).
-    val loaded = load1AfterWait > idleThresh
+    // Start-side half of the recorded verdict: the machine still carried
+    // >threshold runnable load when real work began, so the run's ratios are
+    // upper bounds under the BASELINE.md convention (idle medians ~76-81).
+    // The FINAL `loaded` verdict (in the JSON) also folds in an end-of-window
+    // sample — load arriving mid-bench would otherwise let the artifact
+    // self-declare idle while cpu_wall/load1_after show contamination.
+    val loadedAtStart = load1AfterWait > idleThresh
     System.err.println(f"[bench] idle gate: load1_at_start=$load1AtStart%.2f " +
-      f"after_wait=$load1AfterWait%.2f (waited ${idleWaitedS}s) loaded=$loaded")
+      f"after_wait=$load1AfterWait%.2f (waited ${idleWaitedS}s) loaded_at_start=$loadedAtStart")
     val spark = Sessions.local(cpus)
     // Warm the JVM/codegen/file-index paths once so the first measured query
     // doesn't absorb session startup.
@@ -288,18 +291,34 @@ object Bench {
     val envCpuS = if (envCpu0 < 0) -1.0 else (processCpuNanos - envCpu0) / 1e9 - canaryTax
     val envJson = {
       val cpuWall = if (envCpuS < 0 || envWallS <= 0) -1.0 else envCpuS / envWallS
+      val cpusN = Runtime.getRuntime.availableProcessors
+      val load1AtEnvClose = loadAvg
+      // End-of-window half of the verdict (round 19): during the timed window
+      // OUR OWN 32-thread suite drives loadavg toward ~cpus, so the end
+      // threshold is cpus + idleThresh — only load ABOVE what the suite
+      // itself can generate marks a co-tenant arriving mid-bench. The final
+      // `loaded` is the OR of both halves, preserving the contract that the
+      // committed artifact either IS idle or self-declares loaded.
+      val loadedAtEnd = load1AtEnvClose > cpusN + idleThresh
+      val loaded = loadedAtStart || loadedAtEnd
       s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +
         s""""gc_s":${Jnum.f((gcMillis - envGc0) / 1000.0, 1)},"jit_s":${Jnum.f((jitMillis - envJit0) / 1000.0, 1)},""" +
         s""""canary_s":${Jnum.f(canary, 2)},""" +
-        s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(loadAvg, 2)},""" +
+        s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(load1AtEnvClose, 2)},""" +
         // Idle-gate evidence (VERDICT r17 #1/#6): pre-Spark load samples, the
         // wait spent decaying residual load, the recorded verdict, and the
         // BASELINE.md idle calibration band — so bench_vs_baseline is
         // adjudicable from committed JSON alone, narrative-free.
         s""""load1_at_start":${Jnum.f(load1AtStart, 2)},"load1_after_wait":${Jnum.f(load1AfterWait, 2)},""" +
-        s""""idle_wait_s":$idleWaitedS,"idle_load_threshold":${Jnum.f(idleThresh, 2)},"loaded":$loaded,""" +
-        s""""calibration":{"idle_median_per_canary_band":[76.0,81.0],"source":"BASELINE.md normalized envelope"},""" +
-        s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+        s""""idle_wait_s":$idleWaitedS,"idle_load_threshold":${Jnum.f(idleThresh, 2)},""" +
+        s""""loaded_at_start":$loadedAtStart,"loaded_at_end":$loadedAtEnd,"loaded":$loaded,""" +
+        // Band recalibrated round 19: idle medians on byte-identical code
+        // span 76.3 (r17 machine) / 81 (r15) / 90.4 (r18) / ~99-102 (r19
+        // controlled x2) — per-machine, tight within a session. The carried
+        // band is the observed CROSS-MACHINE idle range; see BASELINE.md
+        // "Round-19 cross-machine recalibration".
+        s""""calibration":{"idle_median_per_canary_band":[76.0,103.0],"source":"BASELINE.md round-19 cross-machine recalibration"},""" +
+        s""""cpus":$cpusN}"""
     }
     val results = samples.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)

@@ -30,14 +30,19 @@ object PhashVerifyProbe {
     val row = graft.mm.Multimodal.phashCandidates(s, d, bits)
       .agg(
         count(lit(1)).as("candidates"),
-        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("verified"))
+        coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)), lit(0L))
+          .as("verified"))
       .collect()(0)
     val wall = (System.nanoTime() - t0) / 1e9
     val cand = row.getLong(0)
     val verified = row.getLong(1)
+    // floor_div is printed from the production constant so tools/scaling.py
+    // interpolates the guard's ACTUAL divisor — a retune of the Scala value
+    // can't silently desynchronize the committed SCALING.md narrative.
     println(f"[phashverify] dir=$d n_docs=$nDocs bits=$bits " +
       f"candidates=$cand verified=$verified " +
-      f"ratio=${if (cand > 0) verified.toDouble / cand else 0.0}%.4f wall=$wall%.1fs")
+      f"ratio=${if (cand > 0) verified.toDouble / cand else 0.0}%.4f wall=$wall%.1fs " +
+      f"floor_div=${graft.mm.Multimodal.PhashEntropyFloorDiv}")
     s.stop()
   }
 }

@@ -250,13 +250,17 @@ def run_phash_verify(d: str) -> dict:
         capture_output=True, text=True, env=env)
     m = re.search(r"\[phashverify\] dir=\S+ n_docs=(\d+) bits=(\d+) "
                   r"candidates=(\d+) verified=(\d+) ratio=([0-9.]+) "
-                  r"wall=([0-9.]+)s", out.stdout)
+                  r"wall=([0-9.]+)s floor_div=(\d+)", out.stdout)
     if not m:
         sys.exit(f"PhashVerifyProbe {d} produced no line:"
                  f"\n{out.stdout[-2000:]}")
     return {"n_docs": int(m.group(1)), "bits": int(m.group(2)),
             "candidates": int(m.group(3)), "verified": int(m.group(4)),
-            "ratio": float(m.group(5)), "wall": float(m.group(6))}
+            "ratio": float(m.group(5)), "wall": float(m.group(6)),
+            # the production guard's divisor (Multimodal.PhashEntropyFloorDiv)
+            # printed by the probe, so the SCALING.md narrative interpolates
+            # the value the guard actually fires on
+            "floor_div": int(m.group(7))}
 
 
 def run_pipeline(sf_dir: str, out_dir: str, label: str) -> dict | None:
@@ -708,7 +712,7 @@ def main() -> None:
         "media similarity. That failure mode is now guarded at build time:",
         "mm_phash_dedup censuses its band buckets during the artifact build",
         "and logs Multimodal.phashEntropyWarning when entropy falls under",
-        f"1/{64} buckets/doc (the measured degenerate point is",
+        f"1/{pv['floor_div']} buckets/doc (the measured degenerate point is",
         f"{ph['buckets'] / ph['n']:.3f}, healthy simhash ~1.0; the floor is",
         "spec-pinned on both sides in MultimodalSpec) — and the fix the",
         "warning names is a higher-entropy decode, not a wider band, since",
