@@ -294,12 +294,15 @@ object Bench {
       val cpusN = Runtime.getRuntime.availableProcessors
       val load1AtEnvClose = loadAvg
       // End-of-window half of the verdict (round 19): during the timed window
-      // OUR OWN 32-thread suite drives loadavg toward ~cpus, so the end
-      // threshold is cpus + idleThresh — only load ABOVE what the suite
-      // itself can generate marks a co-tenant arriving mid-bench. The final
-      // `loaded` is the OR of both halves, preserving the contract that the
-      // committed artifact either IS idle or self-declares loaded.
-      val loadedAtEnd = load1AtEnvClose > cpusN + idleThresh
+      // OUR OWN suite drives loadavg toward the local[N] THREAD COUNT (cpus,
+      // the SPARK_GRAFT_CPUS setting — runnable threads, not machine cores:
+      // local[32] on an 8-core box still drives load1 toward ~32), so the
+      // end threshold is that bound + idleThresh — only load ABOVE what the
+      // suite itself can generate marks a co-tenant arriving mid-bench. The
+      // final `loaded` is the OR of both halves, preserving the contract
+      // that the committed artifact either IS idle or self-declares loaded.
+      val selfLoadBound = scala.util.Try(cpus.toInt).getOrElse(cpusN)
+      val loadedAtEnd = load1AtEnvClose > selfLoadBound + idleThresh
       val loaded = loadedAtStart || loadedAtEnd
       s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +
         s""""gc_s":${Jnum.f((gcMillis - envGc0) / 1000.0, 1)},"jit_s":${Jnum.f((jitMillis - envJit0) / 1000.0, 1)},""" +

@@ -113,8 +113,17 @@ object Multimodal {
     * query filters, instead of re-deriving the expansion. `private[graft]`:
     * the probe lives in graft.tools. */
   private[graft] def phashCandidates(s: SparkSession, d: String, bits: Int): DataFrame =
+    phashCandidatesFrom(phashBands(s, d, bits))
+
+  /** [[phashCandidates]] over an ALREADY-BUILT band frame — the build path
+    * passes a persisted frame here so the entropy census and the pair
+    * expansion share one decode pass instead of each re-running the full
+    * decode→luma→pHash→band pipeline (round-19 review finding: the round-18
+    * factoring shared the definition but not the computation, doubling the
+    * rung build). */
+  private[mm] def phashCandidatesFrom(bands: DataFrame): DataFrame =
     graft.dedup.Dedup
-      .bucketedPairs(phashBands(s, d, bits), struct(col("doc_id"), col("phash")), col("bk"))
+      .bucketedPairs(bands, struct(col("doc_id"), col("phash")), col("bk"))
       .select(col("p.x.doc_id").as("doc_a"), col("p.x.phash").as("pa"),
         col("p.y.doc_id").as("doc_b"), col("p.y.phash").as("pb"))
       .distinct()
@@ -157,7 +166,12 @@ object Multimodal {
     * QueryDef always wraps this in the content-keyed `phash_pairs`
     * artifact and derives `bits` from the corpus count. */
   private[mm] def phashBandedPairs(s: SparkSession, d: String, bits: Int): DataFrame =
-    phashCandidates(s, d, bits)
+    phashBandedPairsFrom(phashBands(s, d, bits))
+
+  /** [[phashBandedPairs]] over an already-built (possibly persisted) band
+    * frame — see [[phashCandidatesFrom]]. */
+  private[mm] def phashBandedPairsFrom(bands: DataFrame): DataFrame =
+    phashCandidatesFrom(bands)
       .filter(col("hamming") <= 8)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
 
@@ -290,19 +304,32 @@ object Multimodal {
       * artifact every consumer probes. */
     QueryDef(
       "mm_phash_dedup",
-      (s, d) => graft.Artifacts.indexParquet(s,
-        s"phash_pairs_${graft.dedup.Dedup.simShapeTag}h8c${graft.dedup.Dedup.MaxBucket}",
-        d, "documents") {
-        val n = Tables.documents(s, d).count()
-        val bits = graft.dedup.Dedup.simBitsFor(n)
-        // Entropy guard (round 18): one distinct-count over the band frame
-        // per BUILD (never on artifact probes) — collapsed decode entropy
-        // means the graph measures decoder collisions, and the operator
-        // should hear it from the build, not discover it downstream.
-        val nBuckets = phashBands(s, d, bits).select(col("bk")).distinct().count()
-        phashEntropyWarning(n, nBuckets).foreach(System.err.println)
-        phashBandedPairs(s, d, bits)
-      }.orderBy("doc_a", "doc_b"),
+      (s, d) => {
+        // The band frame is persisted for the BUILD's lifetime so the
+        // entropy census and the pair expansion share ONE decode pass
+        // (round-19 review: re-deriving it doubled the multi-minute rung
+        // build); unpersisted after indexParquet's write returns. On an
+        // artifact probe the builder never runs and nothing is cached.
+        var bands: Option[DataFrame] = None
+        val out = graft.Artifacts.indexParquet(s,
+          s"phash_pairs_${graft.dedup.Dedup.simShapeTag}h8c${graft.dedup.Dedup.MaxBucket}",
+          d, "documents") {
+          val n = Tables.documents(s, d).count()
+          val bits = graft.dedup.Dedup.simBitsFor(n)
+          val b = phashBands(s, d, bits)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          bands = Some(b)
+          // Entropy guard (round 18): one distinct-count over the band frame
+          // per BUILD (never on artifact probes) — collapsed decode entropy
+          // means the graph measures decoder collisions, and the operator
+          // should hear it from the build, not discover it downstream.
+          val nBuckets = b.select(col("bk")).distinct().count()
+          phashEntropyWarning(n, nBuckets).foreach(System.err.println)
+          phashBandedPairsFrom(b)
+        }.orderBy("doc_a", "doc_b")
+        bands.foreach(_.unpersist(false))
+        out
+      },
       Some(s"""WITH p0 AS (SELECT doc_id, hex(encode(text)) AS hx,
              |                   octet_length(encode(text)) AS len
              |            FROM documents),

@@ -38,6 +38,8 @@ import subprocess
 import sys
 import time
 
+from local_check import parse_compare_lines
+
 LADDER_QUERIES = ["dd_simhash", "dd_simhash_pairs", "mm_phash_dedup", "sim_rp_pairs"]
 FILTER = "^(" + "|".join(LADDER_QUERIES) + ")$"
 
@@ -74,18 +76,12 @@ def main():
     t0 = time.time()
     chk = subprocess.run(["python3", "tools/local_check.py", fixture, vout],
                          capture_output=True, text=True)
-    results = {}
-    for line in chk.stdout.splitlines():
-        # WARN is local_check's rows-equal-but-ORDER-differs outcome and
-        # counts as a failure there — record it with its real diagnosis
-        # instead of falling through to "no compare line emitted".
-        m = re.match(r"(OK|FAIL|WARN)\s+(\S+?):\s*(.*)", line)
-        if not m or m.group(2) not in LADDER_QUERIES:
-            continue
-        status, name, detail = m.groups()
-        results[name] = {"status": "ok" if status == "OK" else "fail",
-                         "detail": detail.strip() if status != "WARN"
-                         else f"ORDER differs (rows equal as multiset): {detail.strip()}"}
+    # Shared parser (local_check.parse_compare_lines) so the line format
+    # and the WARN-means-fail semantics can't drift between this gate and
+    # sf01_gate.py; WARN is local_check's rows-equal-but-ORDER-differs
+    # outcome and is recorded as fail with its real diagnosis.
+    results = {name: r for name, r in parse_compare_lines(chk.stdout).items()
+               if name in LADDER_QUERIES}
     for q in LADDER_QUERIES:
         results.setdefault(q, {"status": "fail", "detail": "no compare line emitted"})
 

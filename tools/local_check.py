@@ -9,12 +9,34 @@ Usage: python3 tools/local_check.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import re
 import sys
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+COMPARE_LINE = re.compile(r"(OK|FAIL|WARN)\s+(\S+?):\s*(.*)")
+
+
+def parse_compare_lines(stdout):
+    """Parse this script's OK/FAIL/WARN compare lines into
+    {name: {status, detail}} — the ONE parser both round gates
+    (sf01_gate.py, ladder_gate.py) import, so the line format and the
+    WARN-means-fail semantics cannot drift between their copies
+    (round-19 review finding)."""
+    results = {}
+    for line in stdout.splitlines():
+        m = COMPARE_LINE.match(line)
+        if not m:
+            continue
+        status, name, detail = m.groups()
+        results[name] = {"status": "ok" if status == "OK" else "fail",
+                         "detail": detail.strip() if status != "WARN"
+                         else "ORDER differs (rows equal as multiset): "
+                              f"{detail.strip()}"}
+    return results
 
 
 def norm(v):

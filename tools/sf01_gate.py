@@ -16,10 +16,12 @@ Usage: python3 tools/sf01_gate.py <round>
 """
 import json
 import os
-import re
+import shutil
 import subprocess
 import sys
 import time
+
+from local_check import parse_compare_lines
 
 
 def main():
@@ -27,6 +29,12 @@ def main():
     sf_dir = "/root/testdata/sf0.1"
     vout = "/tmp/vout_sf01"
     out_json = f"CORRECTNESS_r{rnd}_sf01.json"
+
+    # Wipe the reused out dir: graft.Verify only overwrites CURRENTLY
+    # registered queries, so a stale dump dir from a renamed/deregistered
+    # query would otherwise be folded in below as green 'no-oracle'
+    # evidence forever (round-19 review finding).
+    shutil.rmtree(vout, ignore_errors=True)
 
     t0 = time.time()
     subprocess.run(["sbt", "-batch", f"runMain graft.Verify {sf_dir} {vout}"],
@@ -36,15 +44,19 @@ def main():
     t1 = time.time()
     chk = subprocess.run(["python3", "tools/local_check.py", sf_dir, vout],
                          capture_output=True, text=True)
-    results = {}
-    for line in chk.stdout.splitlines():
-        m = re.match(r"(OK|FAIL|WARN)\s+(\S+?):\s*(.*)", line)
-        if not m:
-            continue
-        status, name, detail = m.groups()
-        results[name] = {"status": "ok" if status == "OK" else "fail",
-                         "detail": detail.strip() if status != "WARN"
-                         else f"ORDER differs (rows equal as multiset): {detail.strip()}"}
+    results = parse_compare_lines(chk.stdout)
+
+    # Guard against a vacuous pass (round-19 review finding): if
+    # local_check crashed before (or partway through) its compare loop,
+    # the missing queries must FAIL, not fall through to 'no-oracle'.
+    # Every oracle_sql.json key must have produced a compare line.
+    oracle_keys = set(json.load(open(f"{vout}/oracle_sql.json")))
+    for name in sorted(oracle_keys - set(results)):
+        results[name] = {
+            "status": "fail",
+            "detail": "no compare line emitted (local_check rc="
+                      f"{chk.returncode}; crashed or exited early — "
+                      f"stderr tail: {chk.stderr[-300:]!r})"}
 
     # The oracle replay only covers oracle_sql.json keys. The REAL suite is
     # everything graft.Verify touched: each query dumps a parquet dir into
