@@ -44,6 +44,13 @@ object Artifacts {
     * object doc). */
   def tableSig(d: String, table: String): String = {
     val src = new java.io.File(s"$d/$table.parquet")
+    // Fail loud on a missing source (round-19 review): File.length and
+    // lastModified return 0 for nonexistent paths, so a missing table
+    // would otherwise sign as `path:0:0` and PUBLISH an artifact of
+    // nothing under a stable key — served silently until the table
+    // appears and shifts the sig.
+    require(src.exists(),
+      s"tableSig: source table does not exist: ${src.getAbsolutePath}")
     def walk(f: java.io.File, rel: String): Seq[String] =
       if (f.isDirectory)
         Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.sortBy(_.getName))
@@ -127,8 +134,30 @@ object Artifacts {
         val tmp = new java.io.File(root,
           s"graft_${key}_w${java.util.UUID.randomUUID.toString.take(8)}")
         writeTo(tmp.getAbsolutePath)
-        if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists())
-          deleteRecursively(fin) // corrupt leftover (crashed writer): clear it
+        if (fin.exists() && !new java.io.File(fin, "_SUCCESS").exists()) {
+          // Corrupt leftover (crashed writer): QUARANTINE it atomically
+          // instead of deleting in place — delete-in-place could destroy a
+          // concurrent JVM's just-published VALID artifact that replaced
+          // fin between our _SUCCESS check and the delete (round-19
+          // review). Rename-aside is atomic, so whatever we captured can
+          // be inspected: a stolen valid copy is restored (or discarded if
+          // a third racer re-published fin meanwhile); true corruption is
+          // deleted from quarantine. A failed rename-aside means another
+          // JVM moved/replaced fin concurrently — fall through; the rename
+          // race below re-adjudicates on the winner's _SUCCESS either way.
+          val q = new java.io.File(root,
+            s"graft_${key}_q${java.util.UUID.randomUUID.toString.take(8)}")
+          if (fin.renameTo(q)) {
+            if (new java.io.File(q, "_SUCCESS").exists()) {
+              if (!q.renameTo(fin) && !new java.io.File(fin, "_SUCCESS").exists())
+                throw new IllegalStateException(
+                  s"artifact quarantine recovery failed for $fin: stole a " +
+                    "valid copy, cannot restore it, and fin has no valid winner")
+              if (q.exists() && new java.io.File(fin, "_SUCCESS").exists())
+                deleteRecursively(q) // a third racer won fin; ours is redundant
+            } else deleteRecursively(q)
+          }
+        }
         if (!tmp.renameTo(fin)) {
           // A failed rename means EITHER a concurrent winner published fin
           // first (fine — discard our copy and read theirs) OR fin is an

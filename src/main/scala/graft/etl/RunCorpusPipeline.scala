@@ -71,8 +71,8 @@ object RunCorpusPipeline {
   final val BpeMinCount = 2L
 
   final case class StageCounts(
-      nInput: Long, nClean: Long, nDecontamDropped: Long, nSampled: Long,
-      splits: Map[String, Long], nPacked: Long, nMerges: Long)
+      nInput: Long, nClean: Long, nDecontamDropped: Long, nEvalHeldOut: Long,
+      nSampled: Long, splits: Map[String, Long], nPacked: Long, nMerges: Long)
 
   /** @param dpReleaseSeed secret seed keying the data card's DP noise draw
     *   — MUST be fresh per release and never published (a public or reused
@@ -129,8 +129,16 @@ object RunCorpusPipeline {
     val evalDict = graft.dedup.Dedup
       .shingleRowsOf(docs.filter(col("source") === EvalSource))
       .select(col("sng")).distinct()
+    // The probe side shingles the CLEAN non-eval slice, not the raw corpus:
+    // contaminated ids are only consumed as a left_anti against `clean`, so
+    // shingling quality-rejects and near-dup losers re-windows and
+    // re-distincts documents whose verdict can never matter — up to ~2x
+    // wasted work on the stage's most expensive scan on a dup-heavy corpus
+    // (round-19 review). The eval DICTIONARY stays over raw docs: an eval
+    // doc dropped by stage 1 must still contribute its shingles, or its
+    // near-dups leak into the corpus.
     val contaminated = graft.dedup.Dedup
-      .shingleRowsOf(docs.filter(col("source") =!= EvalSource))
+      .shingleRowsOf(clean.filter(col("source") =!= EvalSource))
       .join(broadcast(evalDict), "sng")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= decontamMinShingles)
@@ -140,8 +148,12 @@ object RunCorpusPipeline {
     decontam.write.mode("overwrite").parquet(s"$outDir/clean.parquet")
     val cleanBack = spark.read.schema(decontam.schema).parquet(s"$outDir/clean.parquet")
     val nClean = clean.count()
-    val nDecontamDropped = nClean - cleanBack.count() -
-      clean.filter(col("source") === EvalSource).count()
+    // Recorded so the manifest funnel BALANCES: sampler input =
+    // n_clean - n_decontam_dropped - n_eval_held_out (round-19 review: the
+    // eval-held-out term was computed for the subtraction but never
+    // published, leaving an unexplained gap in the release record).
+    val nEvalHeldOut = clean.filter(col("source") === EvalSource).count()
+    val nDecontamDropped = nClean - cleanBack.count() - nEvalHeldOut
     clean.unpersist()
     stageDone("clean_decontam")
 
@@ -215,20 +227,28 @@ object RunCorpusPipeline {
       .repartition(1).write.mode("overwrite").parquet(s"$outDir/dp_datacard.parquet")
     stageDone("release_audit")
 
-    val counts = StageCounts(nInput, nClean, nDecontamDropped, nSampled,
-      splitCounts, nPacked, merges.length.toLong)
+    val counts = StageCounts(nInput, nClean, nDecontamDropped, nEvalHeldOut,
+      nSampled, splitCounts, nPacked, merges.length.toLong)
     val manifest =
       s"""{"n_input":${counts.nInput},"n_clean":${counts.nClean},
          |"n_decontam_dropped":${counts.nDecontamDropped},
+         |"n_eval_held_out":${counts.nEvalHeldOut},
          |"n_sampled":${counts.nSampled},
          |"splits":${counts.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"n_packed":${counts.nPacked},"n_bpe_merges":${counts.nMerges},
-         |"n_surviving_neardup_pairs":$survivingPairs,"dp_eps_micro":1098612}"""
+         |"n_surviving_neardup_pairs":$survivingPairs,
+         |"dp_eps_micro":${graft.text.TextStats.EpsMicro}}"""
         .stripMargin.replace("\n", "")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outDir, "manifest.json"),
-      (manifest + "\n").getBytes("UTF-8"))
+    // Written through the session's Hadoop FileSystem, not java.nio local-FS
+    // paths: every stage output above goes through Spark's URI-capable
+    // writers, and a non-local outDir (the 100 TB deployment this object
+    // documents) would otherwise crash at the very end of the run with all
+    // the work spent (round-19 review).
+    val outPath = new org.apache.hadoop.fs.Path(outDir, "manifest.json")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(outPath, true)
+    try os.write((manifest + "\n").getBytes("UTF-8")) finally os.close()
     counts
   }
 
@@ -256,7 +276,8 @@ object RunCorpusPipeline {
         onStage = (name, sec) => stageSecs(name) = sec,
         decontamMinShingles = minShingles)
       println(s"[pipeline] input=${c.nInput} clean=${c.nClean} " +
-        s"decontam_dropped=${c.nDecontamDropped} sampled=${c.nSampled} " +
+        s"decontam_dropped=${c.nDecontamDropped} eval_held_out=${c.nEvalHeldOut} " +
+        s"sampled=${c.nSampled} " +
         s"splits=${c.splits.toSeq.sortBy(_._1).mkString(",")} " +
         s"packed=${c.nPacked} bpe_merges=${c.nMerges} -> $outDir")
       // One parseable line for the composed-pipeline scale probe
@@ -268,9 +289,15 @@ object RunCorpusPipeline {
         .mkString("{", ",", "}")
       val splitsJson = c.splits.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""GRAFT_PIPELINE {"sf":"$sfDir","min_shingles":$minShingles,"stages":$stagesJson,""" +
+      // sfDir is JSON-escaped: a path carrying a quote or backslash would
+      // otherwise emit invalid JSON that the scale probe's parser silently
+      // drops (round-19 review) — the same silent-record-drop class the
+      // Jnum locale fix exists to prevent.
+      val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+      println(s"""GRAFT_PIPELINE {"sf":"$sfJson","min_shingles":$minShingles,"stages":$stagesJson,""" +
         s""""n_input":${c.nInput},"n_clean":${c.nClean},""" +
-        s""""n_decontam_dropped":${c.nDecontamDropped},"n_sampled":${c.nSampled},""" +
+        s""""n_decontam_dropped":${c.nDecontamDropped},"n_eval_held_out":${c.nEvalHeldOut},""" +
+        s""""n_sampled":${c.nSampled},""" +
         s""""splits":$splitsJson,"n_packed":${c.nPacked},"n_bpe_merges":${c.nMerges}}""")
     } finally spark.stop()
   }

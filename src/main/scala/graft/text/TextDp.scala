@@ -74,9 +74,17 @@ private[text] trait TextDp {
       .withColumn("noise", expr(s"size(filter($tArr, t -> u48 >= t)) - 20"))
       .select(col(keyCol), col("n_raw"), col("noise"),
         expr("greatest(n_raw + noise, 0L)").as("n_noisy"),
-        lit(1098612L).as("eps_micro"))
+        lit(EpsMicro).as("eps_micro"))
       .orderBy(keyCol)
   }
+
+  /** ε = ln 3 in micro-units (⌊ln(3)·10⁶⌋) — the ONE definition of the
+    * mechanism's privacy budget. The emitted `eps_micro` column, the
+    * pipeline manifest's `dp_eps_micro` field, and the oracle SQL all
+    * interpolate this constant so a retune cannot leave a published
+    * record disagreeing with the mechanism that actually ran (round-19
+    * review: the manifest restated the literal). */
+  final val EpsMicro = 1098612L
 
   /** The columns of a [[dpNoisyCounts]] result that a release may publish
     * (plus the key column). `n_raw`/`noise`/`u48` exist for the internal

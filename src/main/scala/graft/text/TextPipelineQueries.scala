@@ -537,7 +537,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
            |       FROM u)
            |SELECT source, n_raw, noise,
            |       CAST(greatest(n_raw + noise, 0) AS BIGINT) AS n_noisy,
-           |       CAST(1098612 AS BIGINT) AS eps_micro
+           |       CAST(${TextStats.EpsMicro} AS BIGINT) AS eps_micro
            |FROM nz ORDER BY source""".stripMargin
       }),
 

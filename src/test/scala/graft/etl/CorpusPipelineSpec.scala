@@ -23,12 +23,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(c.nInput == graft.Tables.documents(spark, TestSpark.sf).count())
     assert(c.nClean <= c.nInput && c.nClean > 0)
     assert(c.nSampled > 0 && c.nSampled <= c.nClean)
+    // The funnel BALANCES from the recorded fields alone (round 19):
+    // sampler input = n_clean - n_decontam_dropped - n_eval_held_out.
+    assert(c.nSampled <= c.nClean - c.nDecontamDropped - c.nEvalHeldOut,
+      s"funnel does not balance: $c")
     assert(c.splits.values.sum == c.nSampled)
     assert(c.nPacked == c.nSampled, "pack emits one coordinate row per doc")
     assert(c.nMerges > 0)
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
     for (frag <- Seq(s""""n_input":${c.nInput}""", s""""n_clean":${c.nClean}""",
+        s""""n_decontam_dropped":${c.nDecontamDropped}""",
+        s""""n_eval_held_out":${c.nEvalHeldOut}""",
         s""""n_sampled":${c.nSampled}""", s""""n_packed":${c.nPacked}""",
         s""""n_bpe_merges":${c.nMerges}"""))
       assert(manifest.contains(frag), s"manifest missing $frag: $manifest")

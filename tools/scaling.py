@@ -800,8 +800,8 @@ def main() -> None:
             lines.append(f"| {st} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
         lines.append(f"| **total** | {tot01:.2f} | {tot1x:.2f} | "
                      f"{tot1x / tot01:.1f}x |")
-        counts = ["n_input", "n_clean", "n_decontam_dropped", "n_sampled",
-                  "n_packed"]
+        counts = ["n_input", "n_clean", "n_decontam_dropped",
+                  "n_eval_held_out", "n_sampled", "n_packed"]
         ratios = ", ".join(
             f"{c} {pipe01[c]}->{pipe1x[c]} ({pipe1x[c] / max(pipe01[c], 1):.1f}x)"
             for c in counts)
