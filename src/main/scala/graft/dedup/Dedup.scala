@@ -486,12 +486,20 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * shingle bounds pair mass, never a doc's denominator). Fixture shingle
     * buckets stay far under the cap today, but the semantics must agree by
     * construction, not by fixture luck. */
-  private[dedup] val duckInterChain: String =
+  /** The DuckDB tokenize → distinct-3-gram-shingle → unnest CTE prefix
+    * (`toksq`/`sh`/`<outName>`), the oracle mirror of [[shingleRows]] —
+    * stated ONCE like [[duckSigChain]] so a shingle-definition retune
+    * (gram width, tokenizer) edits one definition per engine instead of
+    * three hand-copied oracle texts (round-19 review). */
+  private[dedup] def duckShingleChain(outName: String): String =
     s"""toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
        |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
+       |$outName AS (SELECT doc_id, unnest(shingles) AS sng FROM sh)""".stripMargin
+
+  private[dedup] val duckInterChain: String =
+    s"""${duckShingleChain("ex")},
        |n AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
        |keep AS (SELECT sng FROM ex GROUP BY sng HAVING COUNT(*) <= $MaxBucket),
        |inter AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS i
        |          FROM ex a JOIN keep k ON a.sng = k.sng

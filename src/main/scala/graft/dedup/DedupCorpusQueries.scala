@@ -46,6 +46,16 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
   /** Decode the doc side of [[packedLineKey]]. */
   private val packedLineDoc: String = s"kp div $LinePosW"
 
+  /** Attach `nl` — the NULL-guarded [[LineTok]]-span count (NULL text →
+    * NULL, matching the oracle's `len(NULL)`; the unguarded `size` answers
+    * -1) — to a frame carrying token array `t`. The ONE definition of the
+    * line-span denominator: dd_line_dedup, dd_dedup_funnel's line stage,
+    * and dd_line_dedup_apply previously carried three hand-copied
+    * expressions that a retune had to edit in lockstep (round-19 review). */
+  private def withNl(docs: DataFrame): DataFrame =
+    docs.withColumn("nl",
+      expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
+
   /** Span rows `(doc_id, pos, line)` — the [[LineTok]]-token consecutive
     * non-overlapping pseudo-line stream the whole line-dedup family shares
     * (dd_line_dedup, dd_line_dedup_apply, dd_dedup_funnel's line stage).
@@ -89,16 +99,25 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
 
   private[dedup] lazy val corpusDefs: Seq[QueryDef] = Seq(
 
-    /** Exact dedup: group by normalized-text fingerprint; keeper = min id. */
+    /** Exact dedup: group by normalized-text fingerprint; keeper = min id.
+      * NULL-TEXT CONTRACT (round-19 review; NullTextSpec): a NULL
+      * fingerprint is NOT DEDUPABLE — two unknown-content docs are not
+      * copies of each other — so fingerprint-keyed queries exclude NULL
+      * text on both sides. (Grouping NULLs also ordered divergently:
+      * Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST.) The sibling
+      * semantics: dd_soft_dedup weights a NULL-fp doc as a singleton,
+      * dd_source_dup_rate counts it as never-duplicate. */
     QueryDef(
       "dd_exact",
       (s, d) => Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .groupBy(normFp(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy("fp"),
       Some("""SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
              |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
-             |FROM documents GROUP BY fp ORDER BY fp""".stripMargin)),
+             |FROM documents WHERE text IS NOT NULL
+             |GROUP BY fp ORDER BY fp""".stripMargin)),
 
     /** Priority-aware canonical selection — the production exact-dedup
       * variant: within each exact-dup group keep the doc from the
@@ -112,7 +131,9 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       "dd_exact_priority",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // NULL text excluded: the dd_exact NULL-fingerprint contract.
         val ranked = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
           .withColumn("fp", normFp(col("text")))
           // try_cast + sentinel: a source outside the 'srcN' scheme ranks
           // LAST deterministically in both engines (a plain CAST returns
@@ -132,7 +153,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |  SELECT doc_id, source,
              |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
              |         COALESCE(TRY_CAST(substr(source, 4) AS INT), 2147483647) AS src_rank
-             |  FROM documents)
+             |  FROM documents WHERE text IS NOT NULL)
              |SELECT fp, keeper, keeper_source, n_docs FROM (
              |  SELECT fp, doc_id AS keeper, source AS keeper_source,
              |         COUNT(*) OVER (PARTITION BY fp) AS n_docs,
@@ -351,7 +372,12 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
         val grp = doc.groupBy(col("fp"))
           .agg(count(lit(1)).as("n_copies"),
             countDistinct(col("source")).as("n_sources"))
-        doc.join(grp, "fp")
+        // LEFT join: a NULL-fp (NULL-text) doc never matches the group
+        // table (NULL != NULL in both engines), so with an inner join it
+        // silently vanished from n_docs, deflating the denominator. Under
+        // the dd_exact NULL-fingerprint contract it counts as a doc that is
+        // never a duplicate: NULL n_copies/n_sources fail both >= 2 tests.
+        doc.join(grp, Seq("fp"), "left_outer")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"),
@@ -371,7 +397,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |         AS n_cross_dup,
              |       (1000 * CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT))
              |         // COUNT(*) AS dup_permille
-             |FROM doc JOIN grp USING (fp)
+             |FROM doc LEFT JOIN grp USING (fp)
              |GROUP BY source ORDER BY source""".stripMargin)),
 
     /** CHUNK-LEVEL NEAR-DUP MASS over content-defined chunks — the
@@ -447,7 +473,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
+          .transform(withNl)
         // Keeper rule: [[lineKeepers]] — min packed (doc_id, pos) BIGINT,
         // map-combinable, width contract enforced in packedLineKey.
         val keepPerDoc = lineKeepers(lineSpans(docs))
@@ -521,7 +547,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
           .withColumn("s_ok", col("e_ok") && coalesce(col("n_bad"), lit(false)) =!= true)
         val surv = flagged.filter(col("s_ok"))
           .select(col("doc_id"), col("source"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
+          .transform(withNl)
         val lineTok = lineKeepers(lineSpans(surv))
           .select(expr(packedLineDoc).as("doc_id"))
           .groupBy(col("doc_id")).agg(expr(s"$LineTok * count(1)").as("tok_line_doc"))
@@ -700,7 +726,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), expr(toks).as("t"))
-          .withColumn("nl", expr(s"CAST(CASE WHEN t IS NULL THEN NULL ELSE size(t) END AS BIGINT) div $LineTok"))
+          .transform(withNl)
         val lines = lineSpans(docs)
         val keep = lineKeepers(lines)
         // The probe-side pack can stay unguarded: every span row also flows
@@ -761,7 +787,13 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
             // NULL-total (TextStats.nTokensAs): -1 would emit a negative
             // eff_tokens_micro where the oracle answers NULL
             expr(graft.text.TextStats.nTokensAs("BIGINT")).as("n_tokens"))
-          .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
+          // NULL fp (NULL text) isolates PER DOC: window PARTITION BY
+          // groups all NULLs together in both engines, so two unknown-
+          // content docs would halve each other's sampling weight as if
+          // they were copies — the dd_exact NULL-fingerprint contract says
+          // they are not dedupable (round-19 review; NullTextSpec).
+          .withColumn("fp_count", count(lit(1)).over(Window.partitionBy(
+            coalesce(col("fp"), concat(lit("null:"), col("doc_id"))))))
           .select(col("doc_id"), col("fp_count"),
             expr("1000000 div fp_count").as("weight_micro"),
             expr("(n_tokens * 1000000) div fp_count").as("eff_tokens_micro"))
@@ -772,7 +804,8 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
              |       FROM documents),
              |c AS (SELECT doc_id, n_tokens,
-             |        COUNT(*) OVER (PARTITION BY fp) AS fp_count FROM f)
+             |        COUNT(*) OVER (PARTITION BY COALESCE(fp, 'null:' || doc_id))
+             |          AS fp_count FROM f)
              |SELECT doc_id, fp_count, 1000000 // fp_count AS weight_micro,
              |       (n_tokens * 1000000) // fp_count AS eff_tokens_micro
              |FROM c ORDER BY doc_id""".stripMargin)),

@@ -28,10 +28,7 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
       "dd_minhash_lsh",
       (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(
-        s"""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-           |         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-           |shq AS (SELECT doc_id, unnest(shingles) AS sng FROM sh),
+        s"""WITH ${duckShingleChain("shq")},
            |${duckSigChain("shq")},
            |bands AS (SELECT doc_id, unnest([
            |            ${duckBandList(NumBands, RowsPerBand)}]) AS bk FROM sig),
@@ -200,10 +197,14 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
              |FROM g LEFT JOIN rep r USING (gh)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
-    /** Per-doc 32-bit SimHash code. */
+    /** Per-doc 32-bit SimHash code. NULL-text docs are ABSENT (not a NULL
+      * row): the native simhash32 answers NULL for a NULL token array —
+      * "the scalar analog of the absent row" — while the oracle's unnest
+      * produces no rows at all for NULL text; the filter makes the engines
+      * agree on absence (round-19 review; NullTextSpec pins it). */
     QueryDef(
       "dd_simhash",
-      (s, d) => simhash(s, d).orderBy("doc_id"),
+      (s, d) => simhash(s, d).filter(col("simhash").isNotNull).orderBy("doc_id"),
       Some(s"""WITH $duckSimhash
               |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin)),
 
@@ -356,11 +357,7 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
             sum(col("nb")).as("n_bench_incidences"))
           .orderBy("doc_id")
       },
-      Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t
-             |               FROM documents),
-             |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i ->
-             |          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingles FROM toksq),
-             |ex AS (SELECT doc_id, unnest(shingles) AS sng FROM sh0),
+      Some(s"""WITH ${duckShingleChain("ex")},
              |benchdict AS (SELECT e.sng, COUNT(DISTINCT e.doc_id) AS nb FROM ex e
              |              JOIN documents d ON d.doc_id = e.doc_id
              |              WHERE d.source = 'src0' GROUP BY e.sng),
@@ -389,13 +386,22 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
     QueryDef(
       "dd_bloom_probe",
       (s, d) => {
+        // NULL-text docs are excluded on BOTH sides: a NULL fingerprint can
+        // be neither inserted into the filter nor probed, so keeping them
+        // made the oracle's "n_false_neg is zero by construction" literal
+        // FALSE for a NULL-text src0 member (round-19 review; NullTextSpec).
         val fp = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
           .select(col("doc_id"), col("source"),
             normFp(col("text")).as("fp"))
-        def positions(df: DataFrame) = (0 until 4).map(i =>
-          df.select(col("doc_id"), col("source"),
-            expr(s"CAST(conv(substr(md5(fp), ${1 + 4 * i}, 3), 16, 10) AS BIGINT)").as("pos")))
-          .reduce(_ unionAll _)
+        // ONE pass per side: the 4 positions explode from one md5 per doc —
+        // the earlier 4-way unionAll of projections re-scanned documents
+        // and recomputed the normFp md5 per branch (round-19 review).
+        def positions(df: DataFrame) = df
+          .select(col("doc_id"), col("source"),
+            explode(expr("transform(sequence(0, 3), i -> " +
+              "CAST(conv(substr(md5(fp), 1 + 4 * i, 3), 16, 10) AS BIGINT))"))
+              .as("pos"))
         val filterSet = positions(fp.filter(col("source") === "src0"))
           .select(col("pos")).distinct()
         val probed = positions(fp)
@@ -414,7 +420,7 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
       },
       Some("""WITH fp AS (SELECT doc_id, source,
              |              md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
-             |            FROM documents),
+             |            FROM documents WHERE text IS NOT NULL),
              |pos AS (SELECT doc_id, source,
              |          CAST(('0x' || substr(md5(fp), 1 + 4 * i, 3)) AS BIGINT) AS pos
              |        FROM fp, range(0, 4) r(i)),

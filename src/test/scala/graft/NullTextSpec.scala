@@ -72,4 +72,62 @@ class NullTextSpec extends AnyFunSuite {
     assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3),
       s"NULL doc must report NULL line stats (oracle len(NULL) = NULL): $row")
   }
+
+  // ---- The NULL-fingerprint contract (round 19): a NULL fingerprint is
+  // not dedupable. dd_exact's scaladoc states the family rule; these pin
+  // each sibling's half of it.
+
+  test("dd_simhash: the NULL-text doc is ABSENT, matching the oracle's unnest") {
+    val r = run("dd_simhash").collect()
+    assert(r.length == 2 && !r.exists(_.getLong(0) == 99L),
+      s"NULL-text doc must be absent (oracle emits no row): ${r.mkString(";")}")
+  }
+
+  test("dd_exact / dd_exact_priority: no NULL-fingerprint group") {
+    val e = run("dd_exact").collect()
+    assert(e.length == 2 && e.forall(!_.isNullAt(0)),
+      s"NULL fp must be excluded: ${e.mkString(";")}")
+    val p = run("dd_exact_priority").collect()
+    assert(p.length == 2 && p.forall(!_.isNullAt(0)),
+      s"NULL fp must be excluded: ${p.mkString(";")}")
+  }
+
+  test("dd_bloom_probe: NULL-fp docs excluded; zero false negatives holds") {
+    val r = run("dd_bloom_probe").collect()
+    // src1 holds ONLY the NULL doc, so it has no probeable members at all.
+    assert(r.map(_.getString(0)).toSeq == Seq("src0"),
+      s"only fingerprintable sources appear: ${r.mkString(";")}")
+    assert(r.forall(_.getLong(4) == 0L),
+      s"n_false_neg must be zero by construction: ${r.mkString(";")}")
+  }
+
+  test("dd_source_dup_rate: the NULL-fp doc counts as a never-dup doc") {
+    val r = run("dd_source_dup_rate").collect()
+      .map(x => x.getString(0) -> x).toMap
+    val src1 = r("src1")
+    assert(src1.getLong(1) == 1L && src1.getLong(2) == 0L && src1.getLong(3) == 0L,
+      s"src1's NULL doc must count in n_docs but never as dup: $src1")
+  }
+
+  test("dd_soft_dedup: two NULL-text docs are NOT mutual duplicates") {
+    val d2 = java.nio.file.Files.createTempDirectory("graft_nulltext2").toString
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "one real document with several plain words"),
+      (98L, null), (99L, null)).map { case (id, t) =>
+      org.apache.spark.sql.Row(id: java.lang.Long, t, "en", "src0",
+        Option(t).map(_.length.toLong).map(Long.box).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r = SparkEntry.queries("dd_soft_dedup")(spark, d2).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(98L).getLong(1) == 1L && r(99L).getLong(1) == 1L,
+      s"each NULL-fp doc is a singleton (full weight): ${r.values.mkString(";")}")
+    assert(r(98L).getLong(2) == 1000000L,
+      s"singleton weight must be full: ${r(98L)}")
+  }
 }
