@@ -43,9 +43,23 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
   val SqrtNProbe = 8
   def sqrtK(n: Long): Int = math.max(2, math.sqrt(n.toDouble).toInt)
 
+  /** NULL-EMBEDDING CONTRACT (round 19 — the embeddings analog of the
+    * NULL-text and NULL-fingerprint contracts): a NULL embedding
+    * participates in NO vector computation, filtered ONCE at this reader
+    * boundary; every oracle's embeddings scan carries the matching
+    * `WHERE embedding IS NOT NULL`. Without it the oracles' unnest-range
+    * cross joins COUNT the NULL rows that Spark's posexplode drops,
+    * training divergent centroids and splitting denominators
+    * (sim_dim_stats' n, centroid means). Zero-norm vectors REMAIN in the
+    * corpus — dot products are defined for them — and cosine RANKING /
+    * THRESHOLD sites guard NaN individually (the bruteTopK convention);
+    * the one documented boundary is a zero-norm vector acting as a
+    * k-means SEED or assignment subject, where the engines' NaN-vs-NULL
+    * orderings differ (NullEmbeddingSpec pins the guarded paths). */
   private[sim] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
   }
 
@@ -207,7 +221,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * √N-scaled variant can derive K from the corpus itself. */
   def duckKmeansChain(kExpr: String = K.toString, iters: Int = Iters): String = {
     val sb = new StringBuilder
-    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),\n"
     sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < ($kExpr)),\n"
     for (i <- 1 to iters) {
       val cos = duckCosOf("e.v", "c.cv")
@@ -292,8 +306,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8) q,
-       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
+       |        WHERE embedding IS NOT NULL) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos))
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
@@ -306,8 +321,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8) q,
-       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
+       |        WHERE embedding IS NOT NULL) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos)) WHERE rank <= $k)""".stripMargin
 
   /** Dot-metric twin of [[duckBruteCte]] — the exact ground truth of the
@@ -318,8 +334,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY ${duckDotRawOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8) q,
-       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
+       |        WHERE embedding IS NOT NULL) c
        |  WHERE c.vec_id <> q.vec_id) WHERE rank <= $k)""".stripMargin
 
   /** The IVF probe block shared by EVERY IVF-served path (`sim_ann_ivf`,
@@ -360,6 +377,12 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     c.join(broadcast(probes),
         c("cell") === probes("probe_cell") && col("cand_id") =!= col("q_id"))
       .withColumn(scoreCol, expr(s"round($metricFn(va, vb), 6)"))
+      // The bruteTopK NaN convention applied to the re-rank (round-19
+      // review): a zero-norm candidate's cosine is NaN, and Spark sorts
+      // NaN GREATEST under desc — rank 1 — while the oracle's NULL/NaN
+      // fails its NOT isnan guard; a NaN score has no similarity rank.
+      // No-op under the dot metric (a dot is never NaN on real inputs).
+      .filter(!isnan(col(scoreCol)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("cand_id"), col(scoreCol), col("rank"))
@@ -393,6 +416,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * per-round oracle hash gate is its tripwire (the normFp contract). */
   private[sim] def u8Codes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull) // the vecs() NULL-embedding contract
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("vm"))
@@ -439,7 +463,8 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY p.q_id
        |                            ORDER BY ${metricOf("p.va", "c.vb")} DESC, c.cand_id ASC) AS rank
        |  FROM probes p JOIN cands c
-       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id)""".stripMargin
+       |    ON c.cell = p.probe_cell AND c.cand_id <> p.q_id
+       |  WHERE NOT isnan(${metricOf("p.va", "c.vb")}))""".stripMargin
   }
 
   /** Oracle for [[mipsIvfSearch]]: the shared k-means replay, probes and
@@ -527,7 +552,12 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * SimilaritySpec's regroup-equivalence property. */
   private[graft] def rpBandedCodes(bits: Int): Column = {
     val g = bits / RpBandBits
-    require(g >= 1 && RpBands % g == 0, s"bits=$bits must be a multiple of $RpBandBits")
+    // bits % RpBandBits == 0 stated EXPLICITLY (round-19 review): a width
+    // in 9..15 truncates to g = 1 and the old divisibility-of-16 check
+    // passed, silently serving 8-bit bands while the oracle's shape CTE
+    // grouped planes at the true width — a retune must fail fast instead.
+    require(bits >= RpBandBits && bits % RpBandBits == 0 && RpBands % g == 0,
+      s"bits=$bits must be a positive multiple of $RpBandBits dividing 128")
     if (g == 1) col("codes")
     else expr(s"transform(sequence(0, ${RpBands / g - 1}), gi -> " +
       s"aggregate(sequence(0, ${g - 1}), CAST(0 AS BIGINT), " +
@@ -718,7 +748,8 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     val union = (0 until PqM)
       .map(m => s"SELECT vec_id, $m AS m, code, dist2 FROM m${m}asg")
       .mkString("\n       UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
        |$duckPqChains,
        |u AS ($union)
        |SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ' ') AS codes,
@@ -738,7 +769,8 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
   /** The PQ top-3 CTE chain (training replay + ADC ranking) shared by
     * `sim_pq_topk` and `sim_pq_recall`. Emits `r` (ranked candidates). */
   private[sim] def duckPqRankedCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |     WHERE embedding IS NOT NULL),
        |$duckPqChains,
        |sc AS ($duckPqScoreSel),
        |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score

@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.QueryDef
 
 /** The EVALUATION / MONITORING half of the similarity query surface
   * (round-17 split, same template as [[SimilarityServeQueries]]): recall
@@ -138,6 +138,12 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
           .orderBy(col("cos6").asc, col("vec_id").asc)
         e.join(broadcast(cent), "label")
           .withColumn("cos6", expr("round(cosine_sim(v, cv), 6)"))
+          // bruteTopK NaN convention (round-19 review): a zero-norm
+          // vector's cosine-to-centroid is NaN — it has no outlier RANK
+          // (ascending NaN sorts GREATEST in Spark but the oracle's
+          // NULL/NaN is excluded), and its norm is already the
+          // sim_norm_audit signal; rank only ranks real similarities.
+          .filter(!isnan(col("cos6")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("label"), col("vec_id"), col("cos6"),
@@ -146,7 +152,8 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
       },
       Some {
         val cos = duckCosOf("e.v", "c.cv")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+           |           WHERE embedding IS NOT NULL),
            |cent AS (SELECT label, list(comp ORDER BY jj) AS cv FROM (
            |  SELECT label, jj,
            |         CAST(SUM(CAST(round(v[jj] * 1000000) AS BIGINT)) AS DOUBLE)
@@ -154,7 +161,8 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
            |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS jj)
            |  GROUP BY label, jj) GROUP BY label),
            |sc AS (SELECT e.label, e.vec_id, $cos AS cos6
-           |       FROM e JOIN cent c USING (label))
+           |       FROM e JOIN cent c USING (label)
+           |       WHERE NOT isnan($cos))
            |SELECT label, vec_id, cos6, CAST(rank AS INTEGER) AS rank
            |FROM (SELECT *, row_number() OVER (PARTITION BY label
            |        ORDER BY cos6 ASC, vec_id ASC) AS rank FROM sc)
@@ -182,7 +190,8 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
         .select(col("j").cast("int").as("j"), col("n"), col("sum_micro"),
           col("sumsq_micro2"), col("mean"))
         .orderBy("j"),
-      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              |           WHERE embedding IS NOT NULL),
               |x AS (SELECT jj, CAST(round(v[jj] * 1000000) AS BIGINT) AS xm
               |      FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS jj))
               |SELECT CAST(jj - 1 AS INTEGER) AS j, COUNT(*) AS n,
@@ -249,7 +258,7 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
              |           list_transform(CAST(embedding AS DOUBLE[]),
              |                          x -> CAST(round(x * 1000000) AS BIGINT)),
              |           y -> y * y)) // 1000000 AS BIGINT) AS norm2_micro
-             |       FROM embeddings)
+             |       FROM embeddings WHERE embedding IS NOT NULL)
              |SELECT label, COUNT(*) AS n_vecs,
              |       CAST(MIN(norm2_micro) AS BIGINT) AS min_norm2_micro,
              |       CAST(MAX(norm2_micro) AS BIGINT) AS max_norm2_micro,

@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{QueryDef, Tables}
+import graft.QueryDef
 
 /** The SERVING half of the similarity query surface (split out of
   * Similarity.scala in round 17 — same package, no behavior change; the
@@ -64,17 +64,27 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
           .bucketedPairs(postings, struct(col("vec_id"), col("v")), col("bi"), col("bv"))
           .select(col("p.x.vec_id").as("vec_a"), col("p.y.vec_id").as("vec_b"),
             expr("round(cosine_sim(p.x.v, p.y.v), 6)").as("cos6"))
-          .filter(col("cos6") >= 0.35)
+          // !isnan: a zero-norm member scores NaN, and BOTH engines compare
+          // NaN greater than any numeric so `>= 0.35` alone passes it — the
+          // guard (mirrored in the oracle WHERE) is the bruteTopK convention
+          // applied to the verify filter (round-19 review;
+          // NullEmbeddingSpec pins the pair set).
+          .filter(col("cos6") >= 0.35 && !isnan(col("cos6")))
           .distinct()
           .orderBy("vec_a", "vec_b")
       },
       Some(
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |           WHERE embedding IS NOT NULL),
            |shape AS (${rpShapeSql("e")}),
            |planes AS (SELECT p.p, i.i,
            |    ${sgnCase("'rp:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")} AS sgn
            |  FROM (SELECT unnest(range(0, $RpPlanes)) AS p) p,
            |       (SELECT unnest(range(0, $Dim)) AS i) i),
+           |-- e's WHERE (the vecs() contract) is what prevents the phantom
+           |-- band code a NULL embedding would otherwise get here: all-NULL
+           |-- dots sum through CASE WHEN dm >= 0 ... ELSE 0 to bv = 0,
+           |-- inflating (bi, 0) buckets Spark never posts to
            |comps AS (SELECT vec_id, i.i, CAST(round(v[i.i + 1] * 1000000) AS BIGINT) AS xm
            |          FROM e, (SELECT unnest(range(0, $Dim)) AS i) i),
            |dots AS (SELECT vec_id, p, SUM(xm * sgn) AS dm
@@ -91,7 +101,12 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
            |       ${duckCosOf("a.v", "c.v")} AS cos6
            |FROM ev a JOIN keep k ON a.bi = k.bi AND a.bv = k.bv
            |     JOIN ev c ON c.bi = a.bi AND c.bv = a.bv AND a.vec_id < c.vec_id
+           |-- NOT isnan mirrors the Spark-side guard: BOTH engines compare
+           |-- NaN greater than any numeric, so >= 0.35 alone would pass a
+           |-- zero-norm pair in both — the guard, not the threshold, is
+           |-- what excludes it
            |WHERE ${duckCosOf("a.v", "c.v")} >= 0.35
+           |  AND NOT isnan(${duckCosOf("a.v", "c.v")})
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
     /** Brute-force cosine top-5 for queries vec_id < 8 (self excluded;
@@ -248,7 +263,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
         .orderBy("vec_id"),
       Some("""WITH vm AS (SELECT vec_id,
              |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-             |  FROM embeddings),
+             |  FROM embeddings WHERE embedding IS NOT NULL),
              |mm AS (SELECT vec_id, vm,
              |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m
              |       FROM vm),
@@ -299,7 +314,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
       },
       Some("""WITH vm AS (SELECT vec_id,
              |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-             |  FROM embeddings),
+             |  FROM embeddings WHERE embedding IS NOT NULL),
              |q8 AS (SELECT vec_id,
              |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m,
              |         list_transform(vm, x ->
@@ -344,6 +359,9 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
         a.join(b, "cell")
           .filter(col("src") =!= col("dst"))
           .withColumn("cos6", expr(cosExpr))
+          // bruteTopK NaN convention (round-19 review): a zero-norm
+          // endpoint's cosine is NaN — no similarity rank on either side.
+          .filter(!isnan(col("cos6")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("src"), col("dst"), col("cos6"), col("rank"))
@@ -354,7 +372,8 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
            |av AS (SELECT a.vec_id, a.cell, e.v FROM assign a JOIN e USING (vec_id)),
            |p AS (SELECT x.vec_id AS src, y.vec_id AS dst,
            |             ${duckCosOf("x.v", "y.v")} AS cos6
-           |      FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+           |      FROM av x JOIN av y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+           |      WHERE NOT isnan(${duckCosOf("x.v", "y.v")})),
            |r AS (SELECT src, dst, cos6,
            |             row_number() OVER (PARTITION BY src
            |                                ORDER BY cos6 DESC, dst ASC) AS rank
@@ -479,8 +498,9 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
              |                                            i -> va[i] * vb[i])) DESC,
              |                    c.vec_id ASC) AS rank
              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-             |        FROM embeddings WHERE vec_id < 8) q,
-             |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings) c
+             |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+             |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
+             |        WHERE embedding IS NOT NULL) c
              |  WHERE c.vec_id <> q.vec_id)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
