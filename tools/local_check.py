@@ -55,6 +55,14 @@ def main(sf_dir, out_dir):
         # (tools/ScaleFixture replica corpora) are part-file DIRECTORIES
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        # Partial fixtures are legitimate: ScaleFixture stages only the 5
+        # tables the ladder queries read, so a view over a missing file
+        # must not abort the whole compare (it crashed ladder_gate on a
+        # fresh machine — the prior machine had a stale full-table dir).
+        # An oracle that actually references an absent table still FAILS
+        # its own query with a clear error; strictness is preserved.
+        if not os.path.exists(path):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
