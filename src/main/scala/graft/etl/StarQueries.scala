@@ -5,6 +5,14 @@ import graft.QueryDef
 /** Driver-facing registrations for the star-schema ETL (StarEtl) with their
   * DuckDB oracles. The two `*_fixed` entries are the documented deviations
   * from the reference's preserved bugs (SURVEY.md §2.4 A2, §2.6 E7).
+  *
+  * NULL-EVENT CONTRACT (star half): the reference loads NULL staging
+  * fields verbatim (nothing in sql_queries.py filters them), so the builds
+  * KEEP rows with NULL keys — a NULL-ts view row becomes a NULL start_time
+  * in songplays/time, a NULL-props row a NULL level/user_agent. The only
+  * thing to pin is presentation order: Spark sorts NULLs FIRST ascending,
+  * DuckDB LAST, so every nullable ORDER BY key carries NULLS FIRST in the
+  * oracle (matching Spark's default).
   */
 object StarQueries {
   val defs: Seq[QueryDef] = Seq(
@@ -20,13 +28,14 @@ object StarQueries {
              |       CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
              |FROM se JOIN dim ON se.user_id = dim.d_user
              |                AND CAST(se.value AS DECIMAL(9,0)) = dim.d_value
-             |ORDER BY start_time, user_id, song_id, session_id, user_agent""".stripMargin)),
+             |ORDER BY start_time NULLS FIRST, user_id, song_id, session_id,
+             |         user_agent NULLS FIRST""".stripMargin)),
     QueryDef(
       "users_build",
       (s, d) => StarEtl.users(s, d),
       Some("""SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS level
              |FROM events WHERE event_type = 'view'
-             |ORDER BY user_id, level""".stripMargin)),
+             |ORDER BY user_id NULLS FIRST, level NULLS FIRST""".stripMargin)),
     QueryDef(
       "users_fixed",
       (s, d) => StarEtl.usersFixed(s, d),
@@ -35,7 +44,7 @@ object StarQueries {
              |         row_number() OVER (PARTITION BY user_id
              |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
              |  FROM events WHERE event_type = 'view')
-             |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+             |WHERE rn = 1 ORDER BY user_id NULLS FIRST""".stripMargin)),
     QueryDef(
       "songs_build",
       (s, d) => StarEtl.songs(s, d),
@@ -60,7 +69,7 @@ object StarQueries {
              |       CAST(month(start_time) AS INTEGER) AS month,
              |       CAST(year(start_time) AS INTEGER) AS year,
              |       CAST(weekofyear(start_time) AS INTEGER) AS weekday
-             |FROM t ORDER BY start_time""".stripMargin)),
+             |FROM t ORDER BY start_time NULLS FIRST""".stripMargin)),
     QueryDef(
       "time_fixed",
       (s, d) => StarEtl.timeFixed(s, d),
@@ -73,7 +82,7 @@ object StarQueries {
              |       CAST(month(start_time) AS INTEGER) AS month,
              |       CAST(year(start_time) AS INTEGER) AS year,
              |       CAST(isodow(start_time) - 1 AS INTEGER) AS weekday
-             |FROM t ORDER BY start_time""".stripMargin)),
+             |FROM t ORDER BY start_time NULLS FIRST""".stripMargin)),
     /** Demo analytics over the built star schema (SURVEY §2.5: the
       * "queries given to you by the analytics team" the reference README
       * alludes to but never ships): top songs by play count. */
@@ -124,7 +133,7 @@ object StarQueries {
              |  FROM se JOIN dim ON se.user_id = dim.d_user
              |                  AND CAST(se.value AS DECIMAL(9,0)) = dim.d_value)
              |SELECT CAST(hour(start_time) AS INTEGER) AS hour, COUNT(*) AS n_plays
-             |FROM songplays GROUP BY hour ORDER BY hour""".stripMargin)),
+             |FROM songplays GROUP BY hour ORDER BY hour NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "j1_rounded_join",

@@ -240,7 +240,10 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           Tables.events(s, d)
             .select(expr("(ts div 1000000) div 86400000").as("day"), col("event_type")),
           "day", "event_type", "n_events")
-        .orderBy("day"),
+        // NULL day (a NULL-ts event's bucket) is a legitimate accounting
+        // group in a monitor — kept, with the null direction pinned on both
+        // sides (Spark ASC is NULLS FIRST, DuckDB NULLS LAST).
+        .orderBy(col("day").asc_nulls_first),
       Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events),
              |sh AS (SELECT day, event_type, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
              |tot AS (SELECT day, CAST(SUM(cnt) AS BIGINT) AS tot FROM sh GROUP BY 1),
@@ -252,7 +255,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |                    - (1000000 * g.gcnt) // gt.gtot)) AS BIGINT) AS tv_micro
              |FROM tot t CROSS JOIN g CROSS JOIN gt
              |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
-             |GROUP BY t.day ORDER BY t.day""".stripMargin)),
+             |GROUP BY t.day ORDER BY t.day NULLS FIRST""".stripMargin)),
 
     /** CORPUS DATA CARD — the per-language datasheet a training org
       * publishes with a corpus release: volume (docs, tokens, mean length),
@@ -349,7 +352,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
             expr("CAST(dev2 AS STRING)").as("dev2"),
             expr("CAST(thresh2 AS STRING)").as("thresh2"),
             col("is_anomaly"))
-          .orderBy("day")
+          // an_shard_drift's NULL-day accounting-group pin
+          .orderBy(col("day").asc_nulls_first)
       },
       Some("""WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, COUNT(*) AS n_events
              |               FROM events GROUP BY 1),
@@ -365,7 +369,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |         * (CAST(n AS HUGEINT) * n_events - s)
              |         > 4 * (CAST(n AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
              |         AS is_anomaly
-             |FROM daily, st ORDER BY day""".stripMargin)),
+             |FROM daily, st ORDER BY day NULLS FIRST""".stripMargin)),
 
     /** HEAVY HITTERS under the Misra-Gries sketch contract
       * (graft.functions.FreqSketch): the frequent-items op of a data
@@ -503,7 +507,10 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
         // null direction pinned on BOTH sides because the engines' defaults
         // diverge — Spark ASC is NULLS FIRST, DuckDB NULLS LAST (the
         // an_union_by_name discipline).
-        .orderBy(col("event_type"), col("hour_of_day"),
+        // event_type and hour_of_day are nullable too (a NULL type / a
+        // NULL-ts event's hour) — same pin on every nullable key.
+        .orderBy(col("event_type").asc_nulls_first,
+          col("hour_of_day").asc_nulls_first,
           col("value_decade").asc_nulls_first),
       Some("""SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
              |       CAST(floor(value / 10) AS BIGINT) AS value_decade,
@@ -511,7 +518,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |       CASE WHEN COUNT(DISTINCT user_id) >= 5 THEN 'ok'
              |            ELSE 'suppress' END AS verdict
              |FROM events GROUP BY 1, 2, 3
-             |ORDER BY event_type, hour_of_day, value_decade NULLS FIRST""".stripMargin)),
+             |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST,
+             |         value_decade NULLS FIRST""".stripMargin)),
 
     /** AUDIENCE-OVERLAP MATRIX — |users(a) ∩ users(b)| and Jaccard for every
       * unordered pair of event types: the cross-feature co-engagement grid
@@ -529,6 +537,12 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
       "an_audience_overlap",
       (s, d) => {
         val ut = Tables.events(s, d)
+          // NULL-EVENT CONTRACT (user-grain rule): a NULL user_id is not a
+          // user — without the filter Spark's groupBy(user_id) folds ALL
+          // anonymous events into one pseudo-user whose type set emits
+          // pairs, while the oracle's self-join (NULL = NULL → no match)
+          // emits none: a genuine n_both divergence, not just ordering.
+          .filter(col("user_id").isNotNull)
           .select(col("user_id"), col("event_type")).distinct()
         val pairs = ut.groupBy(col("user_id"))
           .agg(sort_array(collect_set(col("event_type"))).as("ts"))
@@ -546,7 +560,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
             expr("(1000 * n_both) div (na + nb - n_both)").as("jaccard_permille"))
           .orderBy("type_a", "type_b")
       },
-      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+             |            WHERE user_id IS NOT NULL),
              |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
              |             COUNT(*) AS n_both
              |      FROM ut a JOIN ut b ON a.user_id = b.user_id
@@ -581,7 +596,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
             expr("global_max_ms - max_ms").as("lag_ms"),
             expr("CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh' " +
               "ELSE 'stale' END").as("freshness"))
-          .orderBy("event_type")
+          // NULL event_type is an accounting group — kept, null pin both sides
+          .orderBy(col("event_type").asc_nulls_first)
       },
       Some("""WITH m AS (SELECT event_type, MAX(epoch_ms(ts)) AS max_ms
              |          FROM events GROUP BY 1),
@@ -589,7 +605,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |SELECT event_type, max_ms, global_max_ms - max_ms AS lag_ms,
              |       CASE WHEN global_max_ms - max_ms < 14400000 THEN 'fresh'
              |            ELSE 'stale' END AS freshness
-             |FROM m, g ORDER BY event_type""".stripMargin)),
+             |FROM m, g ORDER BY event_type NULLS FIRST""".stripMargin)),
 
     /** BACKFILL PLANNER — per-type day-partition coverage against the
       * corpus calendar span: how many epoch-days between the corpus min and
@@ -619,7 +635,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
             expr("hi - lo + 1 - n_days_present").as("n_missing"),
             expr("CASE WHEN hi - lo + 1 = n_days_present THEN 'complete' " +
               "ELSE 'backfill' END").as("verdict"))
-          .orderBy("event_type")
+          // NULL event_type is an accounting group — kept, null pin both sides
+          .orderBy(col("event_type").asc_nulls_first)
       },
       Some("""WITH td AS (SELECT DISTINCT event_type,
              |              epoch_ms(ts) // 86400000 AS day FROM events),
@@ -629,7 +646,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |       hi - lo + 1 - n_days_present AS n_missing,
              |       CASE WHEN hi - lo + 1 = n_days_present THEN 'complete'
              |            ELSE 'backfill' END AS verdict
-             |FROM p, span ORDER BY event_type""".stripMargin)),
+             |FROM p, span ORDER BY event_type NULLS FIRST""".stripMargin)),
 
     /** A/B ASSIGNMENT + SAMPLE-RATIO-MISMATCH GATE — the experimentation-
       * platform integrity check: users are deterministically bucketed
@@ -661,7 +678,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           expr("CASE WHEN abs(n_users_a - n_users_b) > " +
             "3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT) " +
             "THEN 'srm' ELSE 'ok' END").as("verdict"))
-        .orderBy("event_type"),
+        // NULL event_type is an accounting group — kept, null pin both sides
+        .orderBy(col("event_type").asc_nulls_first),
       Some(s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
              |a AS (SELECT event_type,
              |        CASE WHEN ${duckHashBits("user_id", 15)} % 100 < 50
@@ -678,6 +696,6 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |       CASE WHEN abs(n_users_a - n_users_b) >
              |            3 * CAST(floor(sqrt(CAST(n_users_a + n_users_b AS DOUBLE))) AS BIGINT)
              |            THEN 'srm' ELSE 'ok' END AS verdict
-             |FROM g ORDER BY event_type""".stripMargin)),
+             |FROM g ORDER BY event_type NULLS FIRST""".stripMargin)),
   )
 }

@@ -289,6 +289,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       "an_funnel",
       (s, d) => {
         val e = Tables.events(s, d)
+          // an_sessionize's NULL-EVENT CONTRACT: no owner / no position
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), col("event_type"), expr("ts div 1000000").as("ms"))
         val firstView = e.filter(col("event_type") === "view")
           .groupBy(col("user_id")).agg(min(col("ms")).as("first_view_ms"))
@@ -302,12 +304,14 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .withColumn("lag_ms", col("first_purchase_ms") - col("first_view_ms"))
           .orderBy("user_id")
       },
-      Some("""WITH fv AS (SELECT user_id, MIN(epoch_ms(ts)) AS first_view_ms
-             |            FROM events WHERE event_type = 'view' GROUP BY user_id),
-             |fp AS (SELECT fv.user_id, fv.first_view_ms, MIN(epoch_ms(e.ts)) AS first_purchase_ms
-             |       FROM fv LEFT JOIN events e
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+             |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |fv AS (SELECT user_id, MIN(ms) AS first_view_ms
+             |            FROM ev WHERE event_type = 'view' GROUP BY user_id),
+             |fp AS (SELECT fv.user_id, fv.first_view_ms, MIN(e.ms) AS first_purchase_ms
+             |       FROM fv LEFT JOIN ev e
              |         ON e.user_id = fv.user_id AND e.event_type = 'purchase'
-             |        AND epoch_ms(e.ts) >= fv.first_view_ms
+             |        AND e.ms >= fv.first_view_ms
              |       GROUP BY fv.user_id, fv.first_view_ms)
              |SELECT user_id, first_view_ms, first_purchase_ms,
              |       first_purchase_ms - first_view_ms AS lag_ms
@@ -422,6 +426,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       "an_retention",
       (s, d) => {
         val e = Tables.events(s, d)
+          // an_sessionize's NULL-EVENT CONTRACT: no owner / no position
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), expr("(ts div 1000000) div 604800000").as("wk"))
         val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
         e.join(first, "user_id")
@@ -429,7 +435,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_wk", "offset_wk")
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events
+             |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
              |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
              |SELECT f.cohort_wk, e.wk - f.cohort_wk AS offset_wk,
              |       COUNT(DISTINCT e.user_id) AS n_users
@@ -478,13 +485,24 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       * column, so any tie order yields the same (user_id, session_seq)
       * multiset. Scale shape: the window partitions by user_id — millions
       * of small independent partitions, no global sort anywhere before the
-      * final presentation ORDER BY. */
+      * final presentation ORDER BY.
+      *
+      * NULL-EVENT CONTRACT (the user-grain/timeline rule, shared with
+      * an_attribution / an_funnel / an_retention / st_sessionize): an
+      * event with NULL `user_id` has no owner and one with NULL `ts` has
+      * no position on the timeline — both are excluded, with the oracle
+      * carrying the identical WHERE. Without it the engines genuinely
+      * diverge (Spark windows sort a NULL ms FIRST, DuckDB LAST, shifting
+      * every session_seq for that user), and at scale the NULL-user
+      * pseudo-partition would hold EVERY anonymous event in one window —
+      * the exact skew bomb the user_id partitioning exists to avoid. */
     QueryDef(
       "an_sessionize",
       (s, d) => {
         val w = Window
           .partitionBy(col("user_id")).orderBy(col("ms"))
         Tables.events(s, d)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("user_id"), expr("ts div 1000000").as("ms"))
           .withColumn("new_sess",
             when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L)
@@ -498,7 +516,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .withColumn("dur_ms", col("end_ms") - col("start_ms"))
           .orderBy("user_id", "session_seq")
       },
-      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+             |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
              |m AS (SELECT user_id, ms,
              |        CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
              |               OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
@@ -541,6 +560,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .orderBy(col("ms"), col("event_id"))
           .rowsBetween(W.unboundedPreceding, W.currentRow)
         Tables.events(s, d)
+          // an_sessionize's NULL-EVENT CONTRACT: no owner / no position
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
           .select(col("event_id"), col("user_id"), col("event_type"),
             expr("ts div 1000000").as("ms"))
           .withColumn("new_sess",
@@ -557,7 +578,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .orderBy("event_id")
       },
       Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
-             |           FROM events),
+             |           FROM events
+             |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
              |m AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
              |                       OR ms - lag(ms) OVER w > 1800000
              |                     THEN 1 ELSE 0 END AS new_sess

@@ -53,7 +53,18 @@ object Relational {
     * orderkey, and the `is_order desc` leg of the sort makes a same-tick
     * order visible to its event (DuckDB ASOF `>=` semantics). Both
     * consumers filter/project from this one frame, so the tie-break and
-    * the o_orderdate cast cannot drift between them. */
+    * the o_orderdate cast cannot drift between them.
+    *
+    * NULL-EVENT CONTRACT: an event with NULL `ts` has no position on the
+    * timeline and is NOT as-of-joinable — excluded here, with every
+    * consumer's oracle carrying the matching `WHERE ts IS NOT NULL`.
+    * Without the exclusion the engines diverge: Spark sorts the NULL-ms
+    * row FIRST in its key's window (no preceding order → dropped by the
+    * `asof_orderkey IS NOT NULL` filter) while DuckDB's ASOF JOIN sorts
+    * it LAST (matching the key's latest order — an accidental t=+∞
+    * reading, not a semantics anyone asked for). NULL-k event rows need
+    * no filter: they share a window partition no order row ever enters,
+    * so both engines drop them identically. */
   private def asofComposed(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val orders = Tables.orders(s, d)
@@ -65,6 +76,7 @@ object Relational {
       .select(col("k"), col("t"), lit(1).as("is_order"),
         col("o_orderkey"), lit(null).cast("long").as("event_id"))
     val events = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
       .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
         lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
         col("event_id"))
@@ -236,7 +248,8 @@ object Relational {
       Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
              |                  MAX(o_orderkey) AS o_orderkey
              |           FROM orders GROUP BY 1, 2),
-             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events)
+             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events
+             |      WHERE ts IS NOT NULL)
              |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |ORDER BY event_id""".stripMargin)),
@@ -262,7 +275,8 @@ object Relational {
       Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
              |                  MAX(o_orderkey) AS o_orderkey
              |           FROM orders GROUP BY 1, 2),
-             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events)
+             |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events
+             |      WHERE ts IS NOT NULL)
              |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |WHERE e.t - o.t <= 730000000000

@@ -203,16 +203,29 @@ object Ingest {
       "s1_scan_events_json",
       (s, d) => {
         val json = stagedEventsJson(s, d)
-        readJsonViaJsonpaths(s, json, eventsFixtureManifest, eventsFixtureTarget)
-          // The fixture's ts is never null, so a null here means exactly one
-          // thing: the staged JSON serialized ts in a shape the LongType
-          // read schema can't parse (e.g. an ISO string). A schema'd JSON
-          // read nulls unparseable fields silently — schema_match would stay
-          // true while every ms diverged — so fail the query loudly instead.
+        val read = readJsonViaJsonpaths(s, json, eventsFixtureManifest,
+          eventsFixtureTarget)
+        // Serialization-drift guard, NULL-tolerant since round 19: a
+        // schema'd JSON read nulls unparseable fields silently (an ISO
+        // string under the LongType ts_ns schema) — schema_match would stay
+        // true while every ms diverged — so the query must fail loudly on
+        // drift. But a LEGITIMATE NULL ts round-trips as an omitted JSON
+        // field and reads back null too, so a per-row null test cannot tell
+        // the two apart (the old guard raised on any NULL-ts corpus row).
+        // Drift nulls EVERY row; source nulls only their own. The guard is
+        // therefore corpus-level — zero parseable ts_ns over a non-empty
+        // read — attached as a broadcast 1-row scalar (the an_histogram
+        // cross-join discipline; one extra aggregate scan of the staged
+        // JSON, still scan-parallel). A corpus with literally no
+        // timestamped event is indistinguishable from drift and fails
+        // loudly too, by design.
+        val chk = read.agg(count(col("ts_ns")).as("n_ts"),
+          count(lit(1)).as("n_rows"))
+        read.crossJoin(broadcast(chk))
           .select(col("evt_id"),
-            expr("""CASE WHEN ts_ns IS NULL
+            expr("""CASE WHEN n_rows > 0 AND n_ts = 0
                    |  THEN CAST(raise_error(
-                   |    'staged events JSON: ts_ns read null — serialized type drifted from BIGINT nanos') AS BIGINT)
+                   |    'staged events JSON: every ts_ns read null — serialized type drifted from BIGINT nanos') AS BIGINT)
                    |  ELSE ts_ns div 1000000 END""".stripMargin).as("ms"),
             col("uid"), col("etype"), col("val"), col("props_json"))
           .orderBy("evt_id")

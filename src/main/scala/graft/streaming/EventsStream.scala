@@ -111,7 +111,10 @@ object EventsStream extends Serializable {
 
   def hourlyCountsBatch(spark: SparkSession, sfDir: String): DataFrame =
     hourly(graft.Tables.events(spark, sfDir))
-      .orderBy("hour_ts", "event_type")
+      // NULL hour_ts (NULL-ts events) / NULL event_type are accounting
+      // groups in a monitor — kept, null direction pinned on both sides
+      // (Spark ASC is NULLS FIRST, DuckDB NULLS LAST).
+      .orderBy(col("hour_ts").asc_nulls_first, col("event_type").asc_nulls_first)
 
   /** Run the same aggregation as an incremental stream; returns the final
     * result table (complete mode, memory sink). `eventsDir` is a directory
@@ -148,7 +151,8 @@ object EventsStream extends Serializable {
 
   def enrichSegmentBatch(spark: SparkSession, sfDir: String): DataFrame =
     enrichSegment(graft.Tables.events(spark, sfDir), graft.Tables.customer(spark, sfDir))
-      .orderBy("hour_ts", "segment")
+      // hourlyCountsBatch's NULL-hour accounting-group pin
+      .orderBy(col("hour_ts").asc_nulls_first, col("segment"))
 
   /** The same enrichment as an incremental stream over an arriving-files
     * directory, with the customer dim read as a static batch table. */
@@ -171,6 +175,13 @@ object EventsStream extends Serializable {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     graft.Tables.events(spark, sfDir)
+      // NULL-EVENT CONTRACT (an_sessionize's user-grain/timeline rule): a
+      // NULL-user or NULL-ts event is not sessionizable — excluded in BOTH
+      // the batch and stream paths (stream≡batch parity; the stream's
+      // Dataset[Ev] encodes user_id/ms into primitive Longs, so an
+      // unfiltered NULL would crash the stateful path outright) and in the
+      // oracle's WHERE.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
         expr(graft.Tables.centsSql("value")).as("cents"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
@@ -254,6 +265,9 @@ object EventsStream extends Serializable {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val events = readEventsStream(spark, eventsDir, maxFilesPerTrigger)
+      // sessionizeBatch's NULL-EVENT CONTRACT (stream≡batch; also keeps
+      // NULLs out of the primitive-Long Ev encoder and the watermark)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ms"),
         expr(graft.Tables.centsSql("value")).as("cents"))
       .withColumn("et", expr("timestamp_millis(ms)"))
@@ -327,7 +341,7 @@ object EventsStream extends Serializable {
              |         CAST(round(value * 100) AS BIGINT) AS cents,
              |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
              |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
-             |  FROM events),
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
              |b AS (
              |  SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 3600000
              |                 THEN 1 ELSE 0 END AS brk FROM g),
@@ -347,7 +361,7 @@ object EventsStream extends Serializable {
              |       event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2
-             |ORDER BY hour_ts, event_type""".stripMargin)),
+             |ORDER BY hour_ts NULLS FIRST, event_type NULLS FIRST""".stripMargin)),
     QueryDef(
       "st_enrich_segment",
       (s, d) => enrichSegmentBatch(s, d),
@@ -358,7 +372,7 @@ object EventsStream extends Serializable {
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
              |GROUP BY 1, 2
-             |ORDER BY hour_ts, segment""".stripMargin)),
+             |ORDER BY hour_ts NULLS FIRST, segment""".stripMargin)),
 
     /** STREAMING DRIFT GATE — graft.ops.Analytics.an_shard_drift's monitor
       * run AT THE LANDING ZONE: per arriving day-shard, the event-type-mix
@@ -386,7 +400,7 @@ object EventsStream extends Serializable {
              |         AS drift_ok
              |FROM tot t CROSS JOIN g CROSS JOIN gt
              |LEFT JOIN sh s ON s.day = t.day AND s.event_type = g.event_type
-             |GROUP BY t.day ORDER BY t.day""".stripMargin)),
+             |GROUP BY t.day ORDER BY t.day NULLS FIRST""".stripMargin)),
 
     /** Streaming k-anonymity suppression gate — see [[kanonGate]]. */
     QueryDef(
@@ -404,7 +418,7 @@ object EventsStream extends Serializable {
              |       COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
              |FROM q LEFT JOIN ok ON q.event_type = ok.event_type
              |                   AND q.hour_of_day = ok.hour_of_day
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin)),
   )
 
   /** Per-(day, event_type) counts — the streamable half of the drift gate:
@@ -429,7 +443,8 @@ object EventsStream extends Serializable {
       .groupBy(col("day"))
       .agg(sum(col("cnt")).as("n_events"), sum(col("diff_micro")).as("tv_micro"))
       .withColumn("drift_ok", col("tv_micro") < 100000L)
-      .orderBy("day")
+      // hourlyCountsBatch's NULL-bucket accounting-group pin
+      .orderBy(col("day").asc_nulls_first)
   }
 
   /** The drift gate as an incremental stream: the day×type aggregation runs
@@ -580,7 +595,8 @@ object EventsStream extends Serializable {
     * EventsStreamSpec). */
   def kanonGateBatch(s: SparkSession, d: String): DataFrame =
     kanonGate(graft.Tables.events(s, d), kanonOkCells(s, d))
-      .orderBy("event_type", "verdict")
+      // hourlyCountsBatch's NULL-type accounting-group pin
+      .orderBy(col("event_type").asc_nulls_first, col("verdict"))
 
   /** [[kanonGate]] as an incremental stream over a landing directory:
     * stream-static join + single aggregation, complete mode, memory sink. */
