@@ -90,6 +90,24 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Cumulative hypervisor STEAL jiffies from /proc/stat (field 8 after
+    * the "cpu" tag; USER_HZ = 100), -1 where unreadable (non-Linux). Steal
+    * is the contention channel the rest of the gate cannot see: a
+    * co-tenant VM eating physical cores moves NEITHER this guest's loadavg
+    * NOR cpu_wall, but the 32-thread suite slows more than the 1-thread
+    * canary and the normalized ratio inflates — observed on the round-19
+    * machine as a same-day monotonic 95.7 → 110.3 → 120.8 drift on
+    * byte-identical code, every run stamped loaded:false, with
+    * /proc/stat showing thousands of accumulated steal seconds. A
+    * steal_s delta in the artifact lets an above-band ratio be read as
+    * platform contention instead of a code regression. */
+  private def procStatSteal: Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val parts = line.trim.split("\\s+")
+      if (parts.length > 8 && parts(0) == "cpu") parts(8).toLong else -1L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** Fixed-work single-thread CPU canary: 4×10⁸ xorshift steps, wall
     * seconds. Pure per-core speed — no allocation, no Spark, no IO — so
     * its value moves ONLY when the machine generation does. Divides out
@@ -151,13 +169,37 @@ object Bench {
     val idleWaitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT_S", "300").toInt
     val load1AtStart = loadAvg
     var idleWaitedS = 0
-    while (loadAvg > idleThresh && idleWaitedS < idleWaitMax) {
-      System.err.println(f"[bench] waiting for idle: load1=$loadAvg%.2f > $idleThresh%.2f " +
-        f"(waited ${idleWaitedS}s/${idleWaitMax}s)")
-      Thread.sleep(10000)
-      idleWaitedS += 10
+    // TWO consecutive sub-threshold samples 30 s apart, not one (the r18
+    // residual-decay hole, confirmed by a same-machine A/B: byte-identical
+    // code read median_per_canary 95.7 from a settled start but 110.3 when
+    // the bench began the moment a decaying load1 of 8.4 first dipped under
+    // 1.0 — the 1-min loadavg crosses the threshold while the page cache /
+    // scheduler are still churning from the residual work. A residual keeps
+    // decaying through the confirmation sample; real background load
+    // plateaus and re-fails it. Costs one extra 30 s wait per bench.
+    def settleOnce(): Double = {
+      while (loadAvg > idleThresh && idleWaitedS < idleWaitMax) {
+        System.err.println(f"[bench] waiting for idle: load1=$loadAvg%.2f > $idleThresh%.2f " +
+          f"(waited ${idleWaitedS}s/${idleWaitMax}s)")
+        Thread.sleep(10000)
+        idleWaitedS += 10
+      }
+      loadAvg
     }
-    val load1AfterWait = loadAvg
+    var load1AfterWait = settleOnce()
+    var confirmed = false
+    while (!confirmed && load1AfterWait <= idleThresh && idleWaitedS < idleWaitMax) {
+      Thread.sleep(30000)
+      idleWaitedS += 30
+      val confirm = loadAvg
+      if (confirm <= idleThresh) {
+        load1AfterWait = confirm // the verdict carries the SECOND sample
+        confirmed = true
+      } else {
+        System.err.println(f"[bench] idle confirmation failed: load1=$confirm%.2f — re-settling")
+        load1AfterWait = settleOnce()
+      }
+    }
     // Start-side half of the recorded verdict: the machine still carried
     // >threshold runnable load when real work began, so the run's ratios are
     // upper bounds under the BASELINE.md convention (idle medians ~76-81).
@@ -243,6 +285,7 @@ object Bench {
     val envGc0 = gcMillis
     val envJit0 = jitMillis
     val envLoad0 = loadAvg
+    val envSteal0 = procStatSteal
     // Per-ROUND suite totals and a per-round canary draw (VERDICT r16 #2):
     // the committed artifact must carry the MEDIAN-of-runs ratio, not one
     // possibly-noisy number — BASELINE.md's measured single-run noise is
@@ -304,9 +347,12 @@ object Bench {
       val selfLoadBound = scala.util.Try(cpus.toInt).getOrElse(cpusN)
       val loadedAtEnd = load1AtEnvClose > selfLoadBound + idleThresh
       val loaded = loadedAtStart || loadedAtEnd
+      val stealNow = procStatSteal
+      val stealS =
+        if (envSteal0 < 0 || stealNow < 0) -1.0 else (stealNow - envSteal0) / 100.0
       s""""env":{"wall_s":${Jnum.f(envWallS, 1)},"cpu_s":${Jnum.f(envCpuS, 1)},"cpu_wall":${Jnum.f(cpuWall, 2)},""" +
         s""""gc_s":${Jnum.f((gcMillis - envGc0) / 1000.0, 1)},"jit_s":${Jnum.f((jitMillis - envJit0) / 1000.0, 1)},""" +
-        s""""canary_s":${Jnum.f(canary, 2)},""" +
+        s""""canary_s":${Jnum.f(canary, 2)},"steal_s":${Jnum.f(stealS, 1)},""" +
         s""""load1_before":${Jnum.f(envLoad0, 2)},"load1_after":${Jnum.f(load1AtEnvClose, 2)},""" +
         // Idle-gate evidence (VERDICT r17 #1/#6): pre-Spark load samples, the
         // wait spent decaying residual load, the recorded verdict, and the

@@ -29,12 +29,15 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
         .count()
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy("o_orderpriority"),
+      // NULLS FIRST pins below (here and on every nullable relational sort
+      // key in this file): Spark sorts NULLs FIRST ascending, DuckDB LAST —
+      // invisible on the all-non-null fixtures, divergent on real data.
       Some("""SELECT o_orderpriority,
              |       COUNT(*) FILTER (o_orderstatus = 'F') AS F,
              |       COUNT(*) FILTER (o_orderstatus = 'O') AS O,
              |       COUNT(*) FILTER (o_orderstatus = 'P') AS P
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin)),
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "an_grouping_sets",
@@ -73,7 +76,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
              |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)),
+             |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "an_date_funcs",
@@ -119,7 +122,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
              |  UNION ALL BY NAME
              |  SELECT s_name AS name, s_suppkey AS id, NULL::DOUBLE AS bal FROM supplier)
-             |ORDER BY id ASC, name ASC, bal ASC NULLS FIRST""".stripMargin)),
+             |ORDER BY id ASC, name ASC NULLS FIRST, bal ASC NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "an_window_range_frame",
@@ -137,7 +140,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |            RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT)
              |         AS n_within_10k
              |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+             |ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin)),
 
     QueryDef(
       "an_window_nav",
@@ -155,16 +158,24 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
             col("cheapest"), col("dearest"))
           .orderBy("o_custkey", "o_orderkey")
       },
+      // The WINDOW order carries the null pin too: ntile/dense_rank/
+      // first/last are POSITION-dependent, so a NULL cents row placed
+      // FIRST (Spark) vs LAST (DuckDB) shifts every row's ntile — unlike
+      // the range-frame sibling above, where a NULL-keyed row's frame is
+      // the null group under either placement and only the final sort
+      // needed pinning.
       Some("""SELECT o_custkey, o_orderkey,
              |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
              |       CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
              |       first_value(o_orderkey) OVER wf AS cheapest,
              |       last_value(o_orderkey) OVER wf AS dearest
              |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents ASC, o_orderkey ASC),
-             |       wf AS (PARTITION BY o_custkey ORDER BY cents ASC, o_orderkey ASC
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY cents ASC NULLS FIRST, o_orderkey ASC),
+             |       wf AS (PARTITION BY o_custkey
+             |              ORDER BY cents ASC NULLS FIRST, o_orderkey ASC
              |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+             |ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin)),
 
     QueryDef(
       "an_array_agg",
@@ -204,7 +215,8 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact,
              |       TRUE AS within_bound
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
     /** Registered form of the quantile sketch ([[approxPercentileSketch]]).
       * "Exact" is the NEAREST-RANK percentile over integer cents — rank
@@ -230,7 +242,12 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
         val c = Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents("l_extendedprice").as("cts"))
         val byFlag = Window.partitionBy(col("l_returnflag"))
-        val r = c
+        // The exact rank percentile is over the NON-NULL population:
+        // percentile_approx (and DuckDB's quantile family) skip NULL
+        // measurements, so an unfiltered ranked frame would count NULL cts
+        // rows into n and bias every target rank — and the engines would
+        // place those rows at OPPOSITE ends of the rank order anyway.
+        val r = c.filter(col("cts").isNotNull)
           .withColumn("rn", row_number().over(byFlag.orderBy(col("cts"))))
           .withColumn("n", count(lit(1)).over(byFlag))
         // Rank slack from the documented guarantee: accuracy=10000 → the
@@ -252,7 +269,11 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .agg(expr("percentile_approx(cts, array(0.5D, 0.95D), 10000)").as("ap"))
           .select(col("l_returnflag").as("rf2"),
             expr("ap[0]").as("a50"), expr("ap[1]").as("a95"))
-        exact.join(approx, exact("l_returnflag") === approx("rf2"))
+        // Null-SAFE join key: l_returnflag is nullable, and a plain === on
+        // the group key silently DROPS the NULL-flag group (NULL === NULL
+        // is NULL) while the single-pass oracle keeps it — the percentile
+        // of unclassified rows is a legitimate accounting group.
+        exact.join(approx, exact("l_returnflag") <=> approx("rf2"))
           .select(col("l_returnflag"), col("exact_p50_cents"), col("exact_p95_cents"),
             (col("a50").between(col("lo50"), col("hi50")) &&
              col("a95").between(col("lo95"), col("hi95")))
@@ -265,12 +286,13 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |r AS (SELECT l_returnflag, cts,
              |             row_number() OVER (PARTITION BY l_returnflag ORDER BY cts) AS rn,
              |             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-             |      FROM c)
+             |      FROM c WHERE cts IS NOT NULL)
              |SELECT l_returnflag,
              |       MAX(CASE WHEN rn = (n + 1) // 2 THEN cts END) AS exact_p50_cents,
              |       MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN cts END) AS exact_p95_cents,
              |       TRUE AS within_bound
-             |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+             |FROM r GROUP BY l_returnflag
+             |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "an_regex_extract",
@@ -332,7 +354,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |         AS sum_value,
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)),
+             |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
     /** Salted equi-join (graft.ops.Skew.saltedJoin): hot fact keys spread
       * over 32 reducers by joining on (key, salt) against a replicated dim.
@@ -390,7 +412,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |       COALESCE(changes.new_bal, base.bal_cents) AS bal_cents,
              |       COALESCE(base.seg, 'NEW') AS seg
              |FROM base FULL JOIN changes ON base.k = changes.k
-             |ORDER BY k""".stripMargin)),
+             |ORDER BY k NULLS FIRST""".stripMargin)),
 
     /** Z-order (Morton) clustering value over (orderkey, partkey) folded to
       * 10 bits each — the multi-dimensional layout key
@@ -412,7 +434,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           s"((((l_partkey % 1024) >> $j) & 1) << ${2 * j + 1})"))
         s"""SELECT l_orderkey, l_linenumber, l_partkey,
            |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+           |FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber""".stripMargin
       }),
 
     /** COHORT RETENTION: users bucketed by first-seen epoch-week, distinct

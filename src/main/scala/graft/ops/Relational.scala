@@ -212,11 +212,11 @@ object Relational {
           .select(
             coalesce(n("n_nationkey"), sup("s_nationkey")).as("nk"),
             n("n_name"), sup("s_suppkey"))
-          .orderBy(col("nk").asc, col("s_suppkey").asc_nulls_first)
+          .orderBy(col("nk").asc_nulls_first, col("s_suppkey").asc_nulls_first)
       },
       Some("""SELECT COALESCE(n_nationkey, s_nationkey) AS nk, n_name, s_suppkey
              |FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
-             |ORDER BY nk ASC, s_suppkey ASC NULLS FIRST""".stripMargin)),
+             |ORDER BY nk ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin)),
     QueryDef(
       "jn_cross",
       (s, d) => {
@@ -433,7 +433,7 @@ object Relational {
              |       (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,0))
              |             AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
     QueryDef(
       "agg_having",
       (s, d) => Tables.orders(s, d)
@@ -452,7 +452,7 @@ object Relational {
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin)),
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
     QueryDef(
       "agg_rollup",
       (s, d) => Tables.lineitem(s, d)
@@ -520,7 +520,7 @@ object Relational {
              |         row_number() OVER (PARTITION BY o_custkey
              |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
              |  FROM orders) WHERE rn <= 2
-             |ORDER BY o_custkey, rn""".stripMargin)),
+             |ORDER BY o_custkey NULLS FIRST, rn""".stripMargin)),
     QueryDef(
       "w_running_sum",
       (s, d) => {
@@ -536,9 +536,10 @@ object Relational {
       Some("""SELECT o_custkey, o_orderkey,
              |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
              |            OVER (PARTITION BY o_custkey
-             |                  ORDER BY o_orderdate ASC, o_orderkey ASC
+             |                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
              |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+             |FROM orders
+             |ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin)),
     QueryDef(
       "w_lag",
       (s, d) => {
@@ -552,8 +553,9 @@ object Relational {
       Some("""SELECT o_custkey, o_orderkey,
              |       lag(CAST(round(o_totalprice * 100) AS BIGINT), 1)
              |         OVER (PARTITION BY o_custkey
-             |               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_cents
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+             |               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC) AS prev_cents
+             |FROM orders
+             |ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin)),
 
     // ---- Sort / limit ----------------------------------------------------
     QueryDef(
@@ -585,7 +587,7 @@ object Relational {
         .orderBy("nk"),
       Some("""SELECT c_nationkey AS nk FROM customer
              |INTERSECT SELECT s_nationkey AS nk FROM supplier
-             |ORDER BY nk""".stripMargin)),
+             |ORDER BY nk NULLS FIRST""".stripMargin)),
     QueryDef(
       "set_except",
       (s, d) => Tables.part(s, d).select(col("p_partkey").as("k"))
