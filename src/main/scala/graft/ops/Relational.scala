@@ -55,19 +55,24 @@ object Relational {
     * consumers filter/project from this one frame, so the tie-break and
     * the o_orderdate cast cannot drift between them.
     *
-    * NULL-EVENT CONTRACT: an event with NULL `ts` has no position on the
-    * timeline and is NOT as-of-joinable — excluded here, with every
-    * consumer's oracle carrying the matching `WHERE ts IS NOT NULL`.
-    * Without the exclusion the engines diverge: Spark sorts the NULL-ms
-    * row FIRST in its key's window (no preceding order → dropped by the
-    * `asof_orderkey IS NOT NULL` filter) while DuckDB's ASOF JOIN sorts
-    * it LAST (matching the key's latest order — an accidental t=+∞
-    * reading, not a semantics anyone asked for). NULL-k event rows need
-    * no filter: they share a window partition no order row ever enters,
-    * so both engines drop them identically. */
+    * NULL-EVENT CONTRACT (both inputs): a row with a NULL timeline
+    * position (`ts` / `o_orderdate`) or a NULL key cannot participate in
+    * an as-of match — excluded on BOTH inputs, with every consumer's
+    * oracle carrying the matching WHEREs. Each leg closes a real
+    * divergence: a NULL-ms EVENT sorts FIRST in Spark's window (dropped
+    * by the `asof_orderkey IS NOT NULL` filter) while DuckDB's ASOF JOIN
+    * sorts it LAST (matching the key's latest order — an accidental t=+∞
+    * reading); a NULL-date ORDER likewise sorts FIRST in Spark, so its
+    * orderkey is carried to events that DuckDB (`e.t >= o.t` over NULL →
+    * no match) leaves unmatched; and the NULL-KEY rows of the two inputs
+    * land in the SAME Spark window partition and match each other where
+    * the oracle's `e.k = o.k` equi-condition never does (found by the
+    * combined NULL-grid corpus — the single-table grids could not fire
+    * the interaction). */
   private def asofComposed(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val orders = Tables.orders(s, d)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
       // o_orderdate arrives TIMESTAMP_NTZ; session TZ is UTC so the cast
       // matches DuckDB's epoch_ms on the naive value
       .groupBy(col("o_custkey").as("k"),
@@ -76,7 +81,7 @@ object Relational {
       .select(col("k"), col("t"), lit(1).as("is_order"),
         col("o_orderkey"), lit(null).cast("long").as("event_id"))
     val events = Tables.events(s, d)
-      .filter(col("ts").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as("k"), expr("ts div 1000000").as("t"),
         lit(0).as("is_order"), lit(null).cast("long").as("o_orderkey"),
         col("event_id"))
@@ -228,7 +233,7 @@ object Relational {
       },
       Some("""SELECT r_regionkey, n_nationkey
              |FROM region CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
-             |ORDER BY r_regionkey, n_nationkey""".stripMargin)),
+             |ORDER BY r_regionkey NULLS FIRST, n_nationkey""".stripMargin)),
 
     /** As-of join — an operator Spark lacks natively, composed from
       * built-ins the scalable way (SURVEY preference (a)): tag both inputs,
@@ -247,9 +252,11 @@ object Relational {
         .orderBy("event_id"),
       Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
              |                  MAX(o_orderkey) AS o_orderkey
-             |           FROM orders GROUP BY 1, 2),
+             |           FROM orders
+             |           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |           GROUP BY 1, 2),
              |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events
-             |      WHERE ts IS NOT NULL)
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
              |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |ORDER BY event_id""".stripMargin)),
@@ -274,9 +281,11 @@ object Relational {
       },
       Some("""WITH o AS (SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t,
              |                  MAX(o_orderkey) AS o_orderkey
-             |           FROM orders GROUP BY 1, 2),
+             |           FROM orders
+             |           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             |           GROUP BY 1, 2),
              |e AS (SELECT user_id AS k, epoch_ms(ts) AS t, event_id FROM events
-             |      WHERE ts IS NOT NULL)
+             |      WHERE user_id IS NOT NULL AND ts IS NOT NULL)
              |SELECT e.event_id, e.k AS user_id, o.o_orderkey AS asof_orderkey
              |FROM e ASOF JOIN o ON e.k = o.k AND e.t >= o.t
              |WHERE e.t - o.t <= 730000000000

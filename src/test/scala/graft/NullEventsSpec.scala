@@ -48,12 +48,20 @@ class NullEventsSpec extends AnyFunSuite {
       (3L, null, Long.box(7L), "click", Double.box(3.0), """{"k": "free"}"""),
       (4L, Long.box(T0), null, "view", Double.box(4.0), """{"k": "free"}"""),
       (5L, Long.box(T0 + mins(120)), Long.box(7L), "view", null, null)))
-    // one order for custkey 7, dated long before T0, for the as-of probe
+    // one real order for custkey 7 (dated long before T0) for the as-of
+    // probe, plus a NULL-custkey and a NULL-date order: neither may become
+    // an as-of match (asofComposed's both-inputs contract — in particular
+    // the NULL-custkey order must NOT pair with the NULL-user event, which
+    // shares its Spark window partition).
     val oschema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_orderdate", TimestampType)))
-    val ordRows = Seq(org.apache.spark.sql.Row(
-      100L, 7L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+    val ordRows = Seq(
+      org.apache.spark.sql.Row(
+        100L, 7L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      org.apache.spark.sql.Row(
+        101L, null, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      org.apache.spark.sql.Row(102L, 7L, null))
     spark.createDataFrame(spark.sparkContext.parallelize(ordRows, 1), oschema)
       .write.mode("overwrite").parquet(s"$d/orders.parquet")
     d
@@ -77,11 +85,14 @@ class NullEventsSpec extends AnyFunSuite {
     assert(r(0).getLong(4) == mins(10) / 1000000L, "ms_to_convert from event 1")
   }
 
-  test("jn_asof: a NULL-ts event is not as-of-joinable") {
+  test("jn_asof: NULL-ts/NULL-user events and NULL-key/NULL-date orders never match") {
     val r = run("jn_asof").collect()
-    // events 1,2,5 match order 100; 3 (NULL ts) and 4 (NULL user) are absent
+    // events 1,2,5 match order 100; 3 (NULL ts) and 4 (NULL user) are
+    // absent, and neither the NULL-custkey order 101 nor the NULL-date
+    // order 102 is ever the carried match
     assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L), s"${r.mkString(";")}")
-    assert(r.forall(_.getLong(2) == 100L))
+    assert(r.forall(_.getLong(2) == 100L),
+      s"only the dated, keyed order may match: ${r.mkString(";")}")
   }
 
   test("an_audience_overlap: a NULL user_id is not a user and pairs nothing") {

@@ -126,6 +126,38 @@ class EventsStreamSpec extends AnyFunSuite {
       "all-null session: events counted, sum is NULL")
   }
 
+  test("NULL user_id / NULL ts events are excluded in the stream path (stream == batch)") {
+    // The NULL-EVENT CONTRACT's stream half: without the shared filter a
+    // NULL user_id or ts would crash the stateful path outright (the
+    // Dataset[Ev] encoder reads them into primitive Longs) and a NULL
+    // event time would fall foul of the watermark. Both rows must simply
+    // be absent, identically to sessionizeBatch.
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("events_nullkey").toString
+    val dir = s"$root/events.parquet"
+    new java.io.File(dir).mkdirs()
+    val t0 = 1600000000000L
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)]( // (event_id, ms, user_id)
+      (1L, Long.box(t0), Long.box(1L)), (2L, Long.box(t0 + 1000L), Long.box(1L)),
+      (3L, null, Long.box(1L)), // NULL ts
+      (4L, Long.box(t0), null)) // NULL user
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, ms, uid) =>
+        org.apache.spark.sql.Row(id,
+          Option(ms).map(m => Long.box(m * 1000000L)).orNull,
+          uid, "play", Double.box(1.0), "{}") }, 1),
+      StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val batch = EventsStream.sessionizeBatch(spark, root).collect().toSeq
+    val stream = EventsStream.runSessionizeStream(spark, dir, "sessions_nullkey")
+      .collect().toSeq
+    assert(stream == batch, s"null-key stream diverged: $stream vs $batch")
+    assert(batch.length == 1 && batch.head.getLong(0) == 1L && batch.head.getLong(2) == 2L,
+      s"only user 1's two timestamped events sessionize: $batch")
+  }
+
   test("cross-batch LATE event merges without rewinding the gap horizon (stream == batch)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Per-round NULL-grid oracle gate (NOT shipped library code — dev/driver
+tooling like sf01_gate.py). Round 19 session 2 found 41 real engine
+divergences (24 events + 16 relational + 1 dims) by replaying the suite
+over fixtures whose rows carry NULLs in every nullable column — the class
+of bug the all-non-null driver fixtures can structurally never fire
+(Spark ASC sorts NULLs FIRST where DuckDB sorts them LAST; DuckDB's ASOF
+reads a NULL probe ts as after-everything; a plain === on a nullable
+group key silently drops the NULL group; the staged-JSON drift guard
+raised on a legitimate NULL). The fixes live in the NULL-EVENT /
+NULL-RELATIONAL contracts (NullEventsSpec / NullRelationalSpec); this
+gate keeps the WHOLE suite replayed against the combined NULL corpus as a
+recorded per-round artifact so a new query or oracle edit cannot
+reintroduce the class silently.
+
+What it does:
+ 1. stages /tmp/graft_nullgrid (idempotent marker): sf0.001 copies with a
+    deterministic NULL grid appended to events (every nullable column x
+    every load-bearing event_type), orders/lineitem/customer/part/
+    supplier (each nullable column incl. join/window/group keys), and
+    region/nation,
+ 2. runs graft.Verify over it (ALL queries) and replays every DuckDB
+    oracle via tools/local_check.py (ORDER-divergence WARN = fail, the
+    driver-compare semantics),
+ 3. writes CORRECTNESS_r{N}_nullgrid.json, folding in Verify's
+    errors.json so a query that THREW on NULLs (the old ingest guard
+    shape) fails loudly instead of vanishing.
+
+Usage: python3 tools/nullgrid_gate.py <round>
+(~5 min: one sf0.001-sized Verify + compare; don't run concurrently with
+another sbt/Spark job.)
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import duckdb
+
+from local_check import parse_compare_lines
+
+SRC = "/root/testdata/sf0.001"
+FIXTURE = "/tmp/graft_nullgrid"
+MARKER_VERSION = "nullgrid-v1"
+
+EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
+
+
+def stage():
+    marker = f"{FIXTURE}/_STAGED"
+    if os.path.exists(marker) and open(marker).read() == MARKER_VERSION:
+        print(f"[nullgrid_gate] {FIXTURE} already staged")
+        return
+    shutil.rmtree(FIXTURE, ignore_errors=True)
+    os.makedirs(FIXTURE)
+    for t in ["documents", "embeddings"]:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{FIXTURE}/{t}.parquet")
+    con = duckdb.connect()
+
+    def aug(table, cols, rows):
+        vals = ",\n      ".join(rows)
+        con.execute(f"""COPY (SELECT * FROM '{SRC}/{table}.parquet'
+          UNION ALL SELECT * FROM (VALUES {vals}) v({cols}))
+          TO '{FIXTURE}/{table}.parquet' (FORMAT PARQUET)""")
+
+    # events: for each load-bearing event_type, one row per NULLed column
+    # (ts, user_id, value, props), plus the all-NULL row — event_ids pinned
+    # so spec/debug output is stable across rounds.
+    ev_rows, eid = [], 9000001
+    for et in EVENT_TYPES:
+        for null_col in range(4):
+            # layout: ts, user_id, event_type, value, props — NULL one of
+            # ts(0)/user_id(1)/value(3)/props(4); event_type comes from et
+            v = ["TIMESTAMP '2024-01-02 03:04:05'", "17", et, "7.75",
+                 "'{\"k\": 7}'"]
+            v[[0, 1, 3, 4][null_col]] = "NULL"
+            ev_rows.append(f"({eid}, {v[0]}, {v[1]}, {v[2]}, {v[3]}, {v[4]})")
+            eid += 1
+    ev_rows.append(f"({eid}, NULL, NULL, NULL, NULL, NULL)")
+    aug("events", "event_id, ts, user_id, event_type, value, props", ev_rows)
+
+    aug("orders", "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority", [
+        "(9000001, NULL, 'O', 100.5, TIMESTAMP '1995-06-01 00:00:00', '1-URGENT')",
+        "(9000002, 7, NULL, 100.5, TIMESTAMP '1995-06-01 00:00:00', '1-URGENT')",
+        "(9000003, 7, 'O', NULL, TIMESTAMP '1995-06-02 00:00:00', '2-HIGH')",
+        "(9000004, 7, 'O', 100.5, NULL, '2-HIGH')",
+        "(9000005, 7, 'O', 100.5, TIMESTAMP '1995-06-03 00:00:00', NULL)",
+        "(9000006, NULL, NULL, NULL, NULL, NULL)"])
+    aug("lineitem", "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
+        "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate", [
+        "(9000001, NULL, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
+        "(9000001, 5, NULL, 2, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
+        "(9000002, 5, 3, 1, NULL, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
+        "(9000002, 5, 3, 2, 10.0, NULL, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-06 00:00:00')",
+        "(9000003, 5, 3, 1, 10.0, 1000.5, NULL, NULL, NULL, NULL, TIMESTAMP '1995-06-06 00:00:00')",
+        "(9000003, 5, 3, 2, 10.0, 1000.5, 0.05, 0.02, 'R', 'F', NULL)",
+        "(NULL, 5, 3, 3, 10.0, 1000.5, 0.05, 0.02, 'A', 'F', TIMESTAMP '1995-06-07 00:00:00')"])
+    aug("customer", "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment", [
+        "(9000001, NULL, 3, 500.25, 'BUILDING')",
+        "(9000002, 'Customer#9000002', NULL, 500.25, 'BUILDING')",
+        "(9000003, 'Customer#9000003', 3, NULL, 'AUTOMOBILE')",
+        "(9000004, 'Customer#9000004', 3, 500.25, NULL)"])
+    aug("part", "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice", [
+        "(9000001, NULL, 'Brand#13', 'SMALL PLATED', 5, 900.75)",
+        "(9000002, 'violet chocolate part', NULL, 'SMALL PLATED', 5, 900.75)",
+        "(9000003, 'olive almond part', 'Brand#13', NULL, NULL, 900.75)",
+        "(9000004, 'navy linen part', 'Brand#13', 'SMALL PLATED', 5, NULL)"])
+    aug("supplier", "s_suppkey,s_name,s_nationkey,s_acctbal", [
+        "(9000001, NULL, 3, 700.5)",
+        "(9000002, 'Supplier#9000002', NULL, 700.5)",
+        "(9000003, 'Supplier#9000003', 3, NULL)"])
+    aug("region", "r_regionkey, r_name", [
+        "(901, NULL)", "(NULL, 'NULLKEY REGION')"])
+    aug("nation", "n_nationkey, n_name, n_regionkey", [
+        "(901, NULL, 0)", "(902, 'NATION_NULLREG', NULL)",
+        "(NULL, 'NULLKEY NATION', 1)"])
+    with open(marker, "w") as f:
+        f.write(MARKER_VERSION)
+    print(f"[nullgrid_gate] staged {FIXTURE}")
+
+
+def main():
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "dev"
+    out_json = f"CORRECTNESS_r{rnd}_nullgrid.json"
+    vout = "/tmp/vout_nullgrid"
+    stage()
+    shutil.rmtree(vout, ignore_errors=True)
+    t0 = time.time()
+    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {FIXTURE} {vout}"],
+                   check=True)
+    verify_s = time.time() - t0
+    t0 = time.time()
+    chk = subprocess.run(["python3", "tools/local_check.py", FIXTURE, vout],
+                         capture_output=True, text=True)
+    results = parse_compare_lines(chk.stdout)
+    # A query that threw during Verify must fail the gate, not vanish
+    # (the sf01_gate discipline).
+    try:
+        errors = json.load(open(f"{vout}/errors.json"))
+    except Exception:
+        errors = {}
+    for name, msg in errors.items():
+        results[name] = {"status": "fail", "detail": f"verify threw: {msg}"}
+    n_ok = sum(1 for v in results.values() if v["status"] == "ok")
+    artifact = {
+        "round": rnd,
+        "fixture": FIXTURE,
+        "marker": MARKER_VERSION,
+        "note": ("ENTIRE suite oracle-replayed over the combined NULL-grid "
+                 "corpus (every nullable column of every fixture table "
+                 "NULLed in at least one row) — the engine-divergence class "
+                 "(NULL sort direction, NULL group keys, NULL window keys, "
+                 "ASOF NULL probes) the all-non-null fixtures cannot fire"),
+        "n_queries": len(results),
+        "n_ok": n_ok,
+        "verify_wall_s": round(verify_s, 1),
+        "compare_wall_s": round(time.time() - t0, 1),
+        "queries": dict(sorted(results.items())),
+        "ok": len(results) > 0 and n_ok == len(results),
+    }
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[nullgrid_gate] wrote {out_json}: {n_ok}/{len(results)} ok "
+          f"(verify {verify_s:.1f}s)")
+    sys.exit(0 if artifact["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,19 +12,24 @@ convention a single command so no round forgets a gate:
                               the scale where the band ladders fire)
   4. sf01_gate.py <round>  -> CORRECTNESS_r{N}_sf01.json (ENTIRE suite
                               oracle-replayed at sf0.1)
+  5. nullgrid_gate.py <round> -> CORRECTNESS_r{N}_nullgrid.json (ENTIRE
+                              suite oracle-replayed over the combined
+                              NULL-grid corpus — the engine-divergence
+                              class all-non-null fixtures cannot fire)
 
 Gates run sequentially (sbt is single-instance) and ALL of them run even
 if an earlier one fails — a round wants the full evidence picture, not
 the first failure. Exit code is non-zero if any gate failed.
 
 Usage: python3 tools/round_gates.py <round>
-(~20-30 min total; don't run concurrently with another sbt/Spark job.)
+(~25-35 min total; don't run concurrently with another sbt/Spark job.)
 """
 import subprocess
 import sys
 import time
 
-GATES = ["plansweep.py", "census_gate.py", "ladder_gate.py", "sf01_gate.py"]
+GATES = ["plansweep.py", "census_gate.py", "ladder_gate.py", "sf01_gate.py",
+         "nullgrid_gate.py"]
 
 
 def main():
