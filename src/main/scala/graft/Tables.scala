@@ -23,9 +23,20 @@ object Tables {
     * integer math (never raw double accumulation in a compared column).
     * Stated ONCE here for every Spark-side money consumer (ops.Relational,
     * ops.Analytics, streaming.EventsStream previously each restated it);
-    * the DuckDB oracles mirror the identical SQL text, where `round` is
-    * also half-away-from-zero. */
-  def centsSql(c: String): String = s"CAST(round($c * 100) AS BIGINT)"
+    * the DuckDB oracles mirror the semantics with `isfinite`, where
+    * `round` is also half-away-from-zero.
+    *
+    * NON-FINITE CONTRACT (round 19): a NaN/±Infinity money value is
+    * unmeasurable → NULL (skipped by SUM/AVG like any NULL), guarded HERE
+    * so every consumer inherits it. Without the guard the engines fail in
+    * OPPOSITE ways on a poisoned feed: Spark's non-ANSI CAST silently
+    * injects 0 (NaN) or Long.MaxValue (Inf) into money totals, while the
+    * DuckDB oracle's CAST hard-errors — one corrupts, the other dies.
+    * DOUBLE→DECIMAL casts need no Spark-side guard (non-ANSI cast of a
+    * non-finite double is already NULL) — only their oracles mirror. */
+  def centsSql(c: String): String =
+    s"CAST(round(CASE WHEN isnan($c) OR abs($c) = CAST('Infinity' AS DOUBLE) " +
+      s"THEN NULL ELSE $c END * 100) AS BIGINT)"
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

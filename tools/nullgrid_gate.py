@@ -43,7 +43,8 @@ from local_check import parse_compare_lines
 
 SRC = "/root/testdata/sf0.001"
 FIXTURE = "/tmp/graft_nullgrid"
-MARKER_VERSION = "nullgrid-v1"
+MARKER_VERSION = "nullgrid-v2"  # v2: + NaN/±Infinity rows (the non-finite
+# contract — Tables.centsSql's guard and the isfinite oracle mirrors)
 
 EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
 
@@ -79,6 +80,11 @@ def stage():
             ev_rows.append(f"({eid}, {v[0]}, {v[1]}, {v[2]}, {v[3]}, {v[4]})")
             eid += 1
     ev_rows.append(f"({eid}, NULL, NULL, NULL, NULL, NULL)")
+    # non-finite measures (the Tables.centsSql contract: NaN/Inf -> NULL)
+    ev_rows += [
+        "(9100001, TIMESTAMP '2024-01-02 05:00:00', 19, 'view', 'NaN'::DOUBLE, '{\"k\": 7}')",
+        "(9100002, TIMESTAMP '2024-01-02 05:01:00', 19, 'purchase', 'inf'::DOUBLE, '{\"k\": 7}')",
+        "(9100003, TIMESTAMP '2024-01-02 05:02:00', 19, 'click', '-inf'::DOUBLE, '{\"k\": 7}')"]
     aug("events", "event_id, ts, user_id, event_type, value, props", ev_rows)
 
     aug("orders", "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority", [
@@ -87,7 +93,9 @@ def stage():
         "(9000003, 7, 'O', NULL, TIMESTAMP '1995-06-02 00:00:00', '2-HIGH')",
         "(9000004, 7, 'O', 100.5, NULL, '2-HIGH')",
         "(9000005, 7, 'O', 100.5, TIMESTAMP '1995-06-03 00:00:00', NULL)",
-        "(9000006, NULL, NULL, NULL, NULL, NULL)"])
+        "(9000006, NULL, NULL, NULL, NULL, NULL)",
+        "(9100001, 9, 'O', 'NaN'::DOUBLE, TIMESTAMP '1995-07-01 00:00:00', '1-URGENT')",
+        "(9100002, 9, 'O', 'inf'::DOUBLE, TIMESTAMP '1995-07-02 00:00:00', '2-HIGH')"])
     aug("lineitem", "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
         "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate", [
         "(9000001, NULL, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
@@ -96,21 +104,27 @@ def stage():
         "(9000002, 5, 3, 2, 10.0, NULL, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-06 00:00:00')",
         "(9000003, 5, 3, 1, 10.0, 1000.5, NULL, NULL, NULL, NULL, TIMESTAMP '1995-06-06 00:00:00')",
         "(9000003, 5, 3, 2, 10.0, 1000.5, 0.05, 0.02, 'R', 'F', NULL)",
-        "(NULL, 5, 3, 3, 10.0, 1000.5, 0.05, 0.02, 'A', 'F', TIMESTAMP '1995-06-07 00:00:00')"])
+        "(NULL, 5, 3, 3, 10.0, 1000.5, 0.05, 0.02, 'A', 'F', TIMESTAMP '1995-06-07 00:00:00')",
+        "(9100001, 5, 3, 1, 'NaN'::DOUBLE, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
+        "(9100001, 5, 3, 2, 10.0, 'NaN'::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
+        "(9100002, 5, 3, 1, 10.0, 'inf'::DOUBLE, 0.05, 0.02, 'R', 'F', TIMESTAMP '1995-07-06 00:00:00')"])
     aug("customer", "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment", [
         "(9000001, NULL, 3, 500.25, 'BUILDING')",
         "(9000002, 'Customer#9000002', NULL, 500.25, 'BUILDING')",
         "(9000003, 'Customer#9000003', 3, NULL, 'AUTOMOBILE')",
-        "(9000004, 'Customer#9000004', 3, 500.25, NULL)"])
+        "(9000004, 'Customer#9000004', 3, 500.25, NULL)",
+        "(9100001, 'Customer#9100001', 3, 'NaN'::DOUBLE, 'BUILDING')"])
     aug("part", "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice", [
         "(9000001, NULL, 'Brand#13', 'SMALL PLATED', 5, 900.75)",
         "(9000002, 'violet chocolate part', NULL, 'SMALL PLATED', 5, 900.75)",
         "(9000003, 'olive almond part', 'Brand#13', NULL, NULL, 900.75)",
-        "(9000004, 'navy linen part', 'Brand#13', 'SMALL PLATED', 5, NULL)"])
+        "(9000004, 'navy linen part', 'Brand#13', 'SMALL PLATED', 5, NULL)",
+        "(9100001, 'amber quartz part', 'Brand#13', 'SMALL PLATED', 5, 'NaN'::DOUBLE)"])
     aug("supplier", "s_suppkey,s_name,s_nationkey,s_acctbal", [
         "(9000001, NULL, 3, 700.5)",
         "(9000002, 'Supplier#9000002', NULL, 700.5)",
-        "(9000003, 'Supplier#9000003', 3, NULL)"])
+        "(9000003, 'Supplier#9000003', 3, NULL)",
+        "(9100001, 'Supplier#9100001', 3, 'NaN'::DOUBLE)"])
     aug("region", "r_regionkey, r_name", [
         "(901, NULL)", "(NULL, 'NULLKEY REGION')"])
     aug("nation", "n_nationkey, n_name, n_regionkey", [
@@ -150,9 +164,12 @@ def main():
         "marker": MARKER_VERSION,
         "note": ("ENTIRE suite oracle-replayed over the combined NULL-grid "
                  "corpus (every nullable column of every fixture table "
-                 "NULLed in at least one row) — the engine-divergence class "
-                 "(NULL sort direction, NULL group keys, NULL window keys, "
-                 "ASOF NULL probes) the all-non-null fixtures cannot fire"),
+                 "NULLed in at least one row, plus NaN/±Infinity rows in "
+                 "every money/measure double) — the engine-divergence "
+                 "classes (NULL sort direction, NULL group keys, NULL "
+                 "window keys, ASOF NULL probes; Spark's non-ANSI non-finite"
+                 " casts vs DuckDB's erroring casts) the clean fixtures "
+                 "cannot fire"),
         "n_queries": len(results),
         "n_ok": n_ok,
         "verify_wall_s": round(verify_s, 1),
