@@ -50,7 +50,7 @@ def main():
     if failures:
         print(f"[round_gates] FAILED gates: {', '.join(failures)}")
     else:
-        print("[round_gates] all gates green — commit the four artifacts")
+        print("[round_gates] all gates green — commit the five artifacts")
     sys.exit(1 if failures else 0)
 
 
