@@ -103,9 +103,12 @@ object Bench {
     * platform contention instead of a code regression. */
   private def procStatSteal: Long =
     try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      val parts = line.trim.split("\\s+")
-      if (parts.length > 8 && parts(0) == "cpu") parts(8).toLong else -1L
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val line = src.getLines().next()
+        val parts = line.trim.split("\\s+")
+        if (parts.length > 8 && parts(0) == "cpu") parts(8).toLong else -1L
+      } finally src.close()
     } catch { case scala.util.control.NonFatal(_) => -1L }
 
   /** Fixed-work single-thread CPU canary: 4×10⁸ xorshift steps, wall
@@ -186,29 +189,52 @@ object Bench {
       }
       loadAvg
     }
+    // STEAL-AWARE SETTLE (VERDICT r19 #2): loadavg only sees THIS guest's
+    // runnable threads — hypervisor steal (a co-tenant VM eating physical
+    // cores) accrues invisibly through a load-only settle, which is exactly
+    // how BENCH_r19 started "idle" (loaded:false) and still recorded
+    // steal_s 60.5 / median_per_canary 113.0 vs the low-steal 91.1. The
+    // confirmation window therefore ALSO requires the /proc/stat steal
+    // delta across its 30 s to be small (BASELINE.md's post-hoc
+    // adjudication rule — 4.3 s over a full bench = clean, 60.5 = loaded —
+    // moved to pre-work, scaled to the window). Accruing steal re-settles
+    // like a failed load sample; the settle's last steal delta ships in the
+    // env block so the artifact shows WHAT the settle saw.
+    val idleStealThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_STEAL_S", "1.0").toDouble
     var load1AfterWait = settleOnce()
     var confirmed = false
+    var settleStealS = -1.0 // steal delta over the LAST 30 s confirmation window
     while (!confirmed && load1AfterWait <= idleThresh && idleWaitedS < idleWaitMax) {
+      val steal0 = procStatSteal
       Thread.sleep(30000)
       idleWaitedS += 30
       val confirm = loadAvg
-      if (confirm <= idleThresh) {
+      val steal1 = procStatSteal
+      settleStealS = if (steal0 < 0 || steal1 < 0) -1.0 else (steal1 - steal0) / 100.0
+      val stealOk = settleStealS < 0 || settleStealS <= idleStealThresh
+      if (confirm <= idleThresh && stealOk) {
         load1AfterWait = confirm // the verdict carries the SECOND sample
         confirmed = true
       } else {
-        System.err.println(f"[bench] idle confirmation failed: load1=$confirm%.2f — re-settling")
+        System.err.println(f"[bench] idle confirmation failed: load1=$confirm%.2f " +
+          f"steal_30s=$settleStealS%.1fs — re-settling")
         load1AfterWait = settleOnce()
       }
     }
     // Start-side half of the recorded verdict: the machine still carried
     // >threshold runnable load when real work began, so the run's ratios are
     // upper bounds under the BASELINE.md convention (idle medians ~76-81).
-    // The FINAL `loaded` verdict (in the JSON) also folds in an end-of-window
-    // sample — load arriving mid-bench would otherwise let the artifact
-    // self-declare idle while cpu_wall/load1_after show contamination.
-    val loadedAtStart = load1AfterWait > idleThresh
+    // An UNCONFIRMED exit (wait budget exhausted before the second sample
+    // passed — the ADVICE r19 budget-exhaustion hole) counts as loaded: a
+    // single sub-threshold dip of a decaying residual is not a settled
+    // machine. The FINAL `loaded` verdict (in the JSON) also folds in an
+    // end-of-window sample — load arriving mid-bench would otherwise let the
+    // artifact self-declare idle while cpu_wall/load1_after show
+    // contamination.
+    val loadedAtStart = !confirmed || load1AfterWait > idleThresh
     System.err.println(f"[bench] idle gate: load1_at_start=$load1AtStart%.2f " +
-      f"after_wait=$load1AfterWait%.2f (waited ${idleWaitedS}s) loaded_at_start=$loadedAtStart")
+      f"after_wait=$load1AfterWait%.2f settle_steal=$settleStealS%.1fs confirmed=$confirmed " +
+      f"(waited ${idleWaitedS}s) loaded_at_start=$loadedAtStart")
     val spark = Sessions.local(cpus)
     // Warm the JVM/codegen/file-index paths once so the first measured query
     // doesn't absorb session startup.
@@ -360,6 +386,12 @@ object Bench {
         // adjudicable from committed JSON alone, narrative-free.
         s""""load1_at_start":${Jnum.f(load1AtStart, 2)},"load1_after_wait":${Jnum.f(load1AfterWait, 2)},""" +
         s""""idle_wait_s":$idleWaitedS,"idle_load_threshold":${Jnum.f(idleThresh, 2)},""" +
+        // Steal-aware settle evidence (VERDICT r19 #2): the last
+        // confirmation window's steal delta, the threshold it was judged
+        // against, and whether the two-sample confirmation actually
+        // completed (an unconfirmed budget-exhausted exit reads loaded).
+        s""""settle_steal_s":${Jnum.f(settleStealS, 1)},"idle_steal_threshold":${Jnum.f(idleStealThresh, 1)},""" +
+        s""""idle_confirmed":$confirmed,""" +
         s""""loaded_at_start":$loadedAtStart,"loaded_at_end":$loadedAtEnd,"loaded":$loaded,""" +
         // Band recalibrated round 19: idle medians on byte-identical code
         // span 76.3 (r17 machine) / 81 (r15) / 90.4 (r18) / ~99-102 (r19

@@ -374,13 +374,16 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
             "abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL " +
             "ELSE l_quantity END) AS BIGINT)").as("sum_qty"),
           count(lit(1)).as("n"))
-        .orderBy("p_brand"),
+        // p_brand is nullable (the nullgrid corpus stages a NULL-brand
+        // part): pin the NULL direction on BOTH sides — Spark ASC defaults
+        // NULLS FIRST, DuckDB NULLS LAST.
+        .orderBy(col("p_brand").asc_nulls_first),
       Some("""SELECT p_brand,
              |       CAST(SUM(CASE WHEN isfinite(l_quantity) THEN l_quantity END)
              |            AS BIGINT) AS sum_qty,
              |       COUNT(*) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+             |GROUP BY p_brand ORDER BY p_brand NULLS FIRST""".stripMargin)),
 
     /** MERGE/upsert semantics (SCD type-1) without a table format: snapshot
       * ⟕⟖ changes with coalesce — matched rows take the change's values,

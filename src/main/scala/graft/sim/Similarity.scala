@@ -47,19 +47,34 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * NULL-text and NULL-fingerprint contracts): a NULL embedding
     * participates in NO vector computation, filtered ONCE at this reader
     * boundary; every oracle's embeddings scan carries the matching
-    * `WHERE embedding IS NOT NULL`. Without it the oracles' unnest-range
-    * cross joins COUNT the NULL rows that Spark's posexplode drops,
-    * training divergent centroids and splitting denominators
+    * NULL + finite-component predicate. Without it the oracles'
+    * unnest-range cross joins COUNT the NULL rows that Spark's posexplode
+    * drops, training divergent centroids and splitting denominators
     * (sim_dim_stats' n, centroid means). Zero-norm vectors REMAIN in the
     * corpus — dot products are defined for them — and cosine RANKING /
     * THRESHOLD sites guard NaN individually (the bruteTopK convention);
     * the one documented boundary is a zero-norm vector acting as a
     * k-means SEED or assignment subject, where the engines' NaN-vs-NULL
-    * orderings differ (NullEmbeddingSpec pins the guarded paths). */
+    * orderings differ (NullEmbeddingSpec pins the guarded paths).
+    *
+    * NON-FINITE COMPONENT CONTRACT (round 20 — the embeddings analog of
+    * Tables.centsSql): a vector carrying a NaN/±Infinity or NULL COMPONENT
+    * is corrupt upstream output and participates in no vector computation
+    * either. Without the boundary filter a NaN component flows into the
+    * micro-unit quantization casts (`CAST(round(x*1e6) AS BIGINT)` in
+    * trainKMeans / u8Codes), where Spark's non-ANSI CAST silently injects
+    * 0 and DuckDB's cast errors — the exact divergence class d5e0bfc
+    * closed for money doubles. Oracle mirror on every embeddings scan:
+    * `len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0`.
+    * NullEmbeddingSpec pins both directions. */
+  private[sim] val finiteEmbSql =
+    "NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT))"
+
   private[sim] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       .filter(col("embedding").isNotNull)
+      .filter(expr(finiteEmbSql))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
   }
 
@@ -221,7 +236,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * √N-scaled variant can derive K from the corpus itself. */
   def duckKmeansChain(kExpr: String = K.toString, iters: Int = Iters): String = {
     val sb = new StringBuilder
-    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),\n"
+    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),\n"
     sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < ($kExpr)),\n"
     for (i <- 1 to iters) {
       val cos = duckCosOf("e.v", "c.cv")
@@ -306,9 +321,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos))
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
@@ -321,9 +336,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos)) WHERE rank <= $k)""".stripMargin
 
   /** Dot-metric twin of [[duckBruteCte]] — the exact ground truth of the
@@ -334,9 +349,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY ${duckDotRawOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id) WHERE rank <= $k)""".stripMargin
 
   /** The IVF probe block shared by EVERY IVF-served path (`sim_ann_ivf`,
@@ -416,7 +431,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * per-round oracle hash gate is its tripwire (the normFp contract). */
   private[sim] def u8Codes(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .filter(col("embedding").isNotNull) // the vecs() NULL-embedding contract
+      // the vecs() NULL-embedding + non-finite-component contracts
+      .filter(col("embedding").isNotNull)
+      .filter(expr(finiteEmbSql))
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
           .as("vm"))
@@ -749,7 +766,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
       .map(m => s"SELECT vec_id, $m AS m, code, dist2 FROM m${m}asg")
       .mkString("\n       UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL),
+       |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
        |$duckPqChains,
        |u AS ($union)
        |SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ' ') AS codes,
@@ -770,7 +787,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * `sim_pq_topk` and `sim_pq_recall`. Emits `r` (ranked candidates). */
   private[sim] def duckPqRankedCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |     WHERE embedding IS NOT NULL),
+       |     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
        |$duckPqChains,
        |sc AS ($duckPqScoreSel),
        |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score

@@ -151,8 +151,10 @@ object EventsStream extends Serializable {
 
   def enrichSegmentBatch(spark: SparkSession, sfDir: String): DataFrame =
     enrichSegment(graft.Tables.events(spark, sfDir), graft.Tables.customer(spark, sfDir))
-      // hourlyCountsBatch's NULL-hour accounting-group pin
-      .orderBy(col("hour_ts").asc_nulls_first, col("segment"))
+      // hourlyCountsBatch's NULL-hour accounting-group pin; segment is
+      // nullable too (NULL-mktsegment customer in the nullgrid corpus), so
+      // its direction is pinned as well
+      .orderBy(col("hour_ts").asc_nulls_first, col("segment").asc_nulls_first)
 
   /** The same enrichment as an incremental stream over an arriving-files
     * directory, with the customer dim read as a static batch table. */
@@ -372,7 +374,7 @@ object EventsStream extends Serializable {
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
              |GROUP BY 1, 2
-             |ORDER BY hour_ts NULLS FIRST, segment""".stripMargin)),
+             |ORDER BY hour_ts NULLS FIRST, segment NULLS FIRST""".stripMargin)),
 
     /** STREAMING DRIFT GATE — graft.ops.Analytics.an_shard_drift's monitor
       * run AT THE LANDING ZONE: per arriving day-shard, the event-type-mix

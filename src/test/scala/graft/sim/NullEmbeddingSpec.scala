@@ -29,7 +29,20 @@ class NullEmbeddingSpec extends AnyFunSuite {
     val rows = (real :+ ((9L, Array.fill(8)(0.0f), 0)))
       .map { case (id, v, l) =>
         org.apache.spark.sql.Row(id: java.lang.Long, v, l: java.lang.Integer)
-      } :+ org.apache.spark.sql.Row(50L: java.lang.Long, null, 1: java.lang.Integer)
+      } :+ org.apache.spark.sql.Row(50L: java.lang.Long, null, 1: java.lang.Integer) :+
+      // NON-FINITE COMPONENT CONTRACT (round 20): vectors with a NaN /
+      // ±Inf / NULL component are dropped at the same reader boundary —
+      // without the filter a NaN component reaches the micro-unit
+      // quantization CAST where Spark injects 0 and DuckDB errors.
+      org.apache.spark.sql.Row(51L: java.lang.Long,
+        Float.NaN +: Array.fill(7)(0.1f), 1: java.lang.Integer) :+
+      org.apache.spark.sql.Row(52L: java.lang.Long,
+        Float.PositiveInfinity +: Array.fill(7)(0.1f), 1: java.lang.Integer) :+
+      org.apache.spark.sql.Row(53L: java.lang.Long,
+        Float.NegativeInfinity +: Array.fill(7)(0.1f), 1: java.lang.Integer) :+
+      org.apache.spark.sql.Row(54L: java.lang.Long,
+        (null: java.lang.Float) +: Array.fill(7)(0.1f: java.lang.Float),
+        1: java.lang.Integer)
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
@@ -43,14 +56,18 @@ class NullEmbeddingSpec extends AnyFunSuite {
   test("sim_dim_stats: the NULL row is absent from every dimension's n") {
     val r = run("sim_dim_stats").collect()
     assert(r.nonEmpty && r.forall(_.getLong(1) == 10L),
-      s"n must count the 10 non-null vectors (zero-norm included, NULL " +
-        s"excluded): ${r.take(3).mkString(";")}")
+      s"n must count the 10 non-null FINITE vectors (zero-norm included; " +
+        s"NULL and poisoned-component vectors excluded): ${r.take(3).mkString(";")}")
   }
 
-  test("sim_quantize_u8: the NULL row is absent from the code table") {
+  test("sim_quantize_u8: NULL and poisoned-component rows are absent from the code table") {
     val ids = run("sim_quantize_u8").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(50L) && ids.contains(9L),
       s"NULL vec absent, zero-norm still coded: $ids")
+    assert(Seq(51L, 52L, 53L, 54L).forall(!ids.contains(_)),
+      s"a NaN/±Inf/NULL COMPONENT must drop the vector before the " +
+        s"micro-unit quantization cast (Spark would inject 0, DuckDB " +
+        s"errors): $ids")
   }
 
   test("sim_rp_pairs: zero-norm pairs are excluded by the NaN guard, not the threshold") {

@@ -32,6 +32,16 @@ ALLOWED_PY_IMPORTS = {
     "shutil", "ast", "duckdb", "pandas", "pyarrow", "time",
 }
 
+# Sibling modules inside this repo's own tools/ directory (e.g.
+# `from local_check import parse_compare_lines` in the gate scripts) are
+# repo-local code, not internal packages — VERDICT r19 "What's wrong #1":
+# flagging them committed a LEAKCHECK.json whose 4 hits were all false
+# positives, eroding the gate.
+LOCAL_PY_MODULES = {
+    os.path.splitext(f)[0]
+    for f in os.listdir(os.path.join(ROOT, "tools")) if f.endswith(".py")
+}
+
 PATTERNS = {
     # import of a JVM package outside the allowed public roots (.scala/.sbt)
     "internal-import": re.compile(r"^\s*import\s+(?!%s)[a-z]" % "|".join(
@@ -97,7 +107,8 @@ def main():
                 for cat, rx in PATTERNS.items():
                     if cat == "internal-import" and is_py:
                         m = re.match(r"\s*(?:from|import)\s+([\w.]+)", line)
-                        if m and m.group(1).split(".")[0] not in ALLOWED_PY_IMPORTS:
+                        if m and m.group(1).split(".")[0] not in ALLOWED_PY_IMPORTS \
+                                and m.group(1).split(".")[0] not in LOCAL_PY_MODULES:
                             hits[cat].append(f"{rel}:{i}: {line.strip()[:160]}")
                         continue
                     if rx.search(line):

@@ -43,8 +43,14 @@ from local_check import parse_compare_lines
 
 SRC = "/root/testdata/sf0.001"
 FIXTURE = "/tmp/graft_nullgrid"
-MARKER_VERSION = "nullgrid-v2"  # v2: + NaN/±Infinity rows (the non-finite
+MARKER_VERSION = "nullgrid-v3"  # v2: + NaN/±Infinity rows (the non-finite
 # contract — Tables.centsSql's guard and the isfinite oracle mirrors)
+# v3 (VERDICT r20 #4 + ADVICE r19): poisoned embeddings (NULL vector,
+# NaN/±Inf/NULL COMPONENTS — the Similarity.finiteEmbSql reader contract)
+# and JOIN-REACHABLE NULL dim attributes (a purchase event hitting the
+# NULL-mktsegment customer, a lineitem hitting the NULL-brand part) so
+# enrichment/join queries actually see a NULL dim attribute and the
+# asc_nulls_first pins fire.
 
 EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
 
@@ -56,8 +62,7 @@ def stage():
         return
     shutil.rmtree(FIXTURE, ignore_errors=True)
     os.makedirs(FIXTURE)
-    for t in ["documents", "embeddings"]:
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{FIXTURE}/{t}.parquet")
+    shutil.copyfile(f"{SRC}/documents.parquet", f"{FIXTURE}/documents.parquet")
     con = duckdb.connect()
 
     def aug(table, cols, rows):
@@ -85,6 +90,11 @@ def stage():
         "(9100001, TIMESTAMP '2024-01-02 05:00:00', 19, 'view', 'NaN'::DOUBLE, '{\"k\": 7}')",
         "(9100002, TIMESTAMP '2024-01-02 05:01:00', 19, 'purchase', 'inf'::DOUBLE, '{\"k\": 7}')",
         "(9100003, TIMESTAMP '2024-01-02 05:02:00', 19, 'click', '-inf'::DOUBLE, '{\"k\": 7}')"]
+    # v3: a purchase that JOINS the NULL-mktsegment customer (9000004), so
+    # enrichment rollups carry a NULL segment group (the st_enrich_segment
+    # asc_nulls_first pin's firing row — ADVICE r19).
+    ev_rows.append(
+        "(9200001, TIMESTAMP '2024-01-02 06:00:00', 9000004, 'purchase', 5.5, '{\"k\": 7}')")
     aug("events", "event_id, ts, user_id, event_type, value, props", ev_rows)
 
     aug("orders", "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority", [
@@ -105,6 +115,10 @@ def stage():
         "(9000003, 5, 3, 1, 10.0, 1000.5, NULL, NULL, NULL, NULL, TIMESTAMP '1995-06-06 00:00:00')",
         "(9000003, 5, 3, 2, 10.0, 1000.5, 0.05, 0.02, 'R', 'F', NULL)",
         "(NULL, 5, 3, 3, 10.0, 1000.5, 0.05, 0.02, 'A', 'F', TIMESTAMP '1995-06-07 00:00:00')",
+        # v3: a lineitem that JOINS the NULL-brand part (9000002), so
+        # part-grouped joins carry a NULL p_brand group (the an_salted_join
+        # asc_nulls_first pin's firing row — ADVICE r19).
+        "(9000005, 9000002, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-08 00:00:00')",
         "(9100001, 5, 3, 1, 'NaN'::DOUBLE, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
         "(9100001, 5, 3, 2, 10.0, 'NaN'::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
         "(9100002, 5, 3, 1, 10.0, 'inf'::DOUBLE, 0.05, 0.02, 'R', 'F', TIMESTAMP '1995-07-06 00:00:00')"])
@@ -125,6 +139,20 @@ def stage():
         "(9000002, 'Supplier#9000002', NULL, 700.5)",
         "(9000003, 'Supplier#9000003', 3, NULL)",
         "(9100001, 'Supplier#9100001', 3, 'NaN'::DOUBLE)"])
+    # v3: poisoned embeddings — a NULL vector plus vectors with one
+    # NaN / +Inf / -Inf / NULL COMPONENT. The Similarity.finiteEmbSql
+    # reader contract must drop all five in BOTH engines; without it a NaN
+    # component reaches the micro-unit quantization casts where Spark's
+    # non-ANSI CAST injects 0 and DuckDB's cast errors (VERDICT r20 #4).
+    def poison(bad):
+        return ("list_transform(range(64), i -> CASE WHEN i = 3 THEN "
+                f"{bad} ELSE 0.1::FLOAT END)")
+    aug("embeddings", "vec_id, embedding, label", [
+        "(9000001, NULL::FLOAT[], 5)",
+        "(9000002, " + poison("'NaN'::FLOAT") + ", 5)",
+        "(9000003, " + poison("'inf'::FLOAT") + ", 5)",
+        "(9000004, " + poison("'-inf'::FLOAT") + ", 5)",
+        "(9000005, " + poison("NULL::FLOAT") + ", NULL)"])
     aug("region", "r_regionkey, r_name", [
         "(901, NULL)", "(NULL, 'NULLKEY REGION')"])
     aug("nation", "n_nationkey, n_name, n_regionkey", [
@@ -165,11 +193,14 @@ def main():
         "note": ("ENTIRE suite oracle-replayed over the combined NULL-grid "
                  "corpus (every nullable column of every fixture table "
                  "NULLed in at least one row, plus NaN/±Infinity rows in "
-                 "every money/measure double) — the engine-divergence "
-                 "classes (NULL sort direction, NULL group keys, NULL "
-                 "window keys, ASOF NULL probes; Spark's non-ANSI non-finite"
-                 " casts vs DuckDB's erroring casts) the clean fixtures "
-                 "cannot fire"),
+                 "every money/measure double, plus v3's poisoned embedding "
+                 "vectors — NULL vector and NaN/±Inf/NULL components — and "
+                 "join-reachable NULL dim attributes) — the "
+                 "engine-divergence classes (NULL sort direction, NULL "
+                 "group keys, NULL window keys, ASOF NULL probes; Spark's "
+                 "non-ANSI non-finite casts vs DuckDB's erroring casts, "
+                 "now including the embedding micro-unit quantization "
+                 "path) the clean fixtures cannot fire"),
         "n_queries": len(results),
         "n_ok": n_ok,
         "verify_wall_s": round(verify_s, 1),
