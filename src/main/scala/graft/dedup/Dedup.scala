@@ -121,12 +121,25 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * normalization retune would silently split stream from batch —
     * DocsStreamSpec pins their equality, but only at spec time). The
     * DuckDB oracles keep their literal
-    * `md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))` text (the
-    * dialect needs the 'g' flag); the per-round oracle hash gate is the
-    * cross-engine tripwire for that text, the same contract as every
-    * other oracle string. */
+    * `md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'A..Z',
+    * 'a..z'))` text (the dialect needs the 'g' flag); the per-round
+    * oracle hash gate is the cross-engine tripwire for that text, the
+    * same contract as every other oracle string.
+    *
+    * ASCII-ONLY case fold (round 20, found by the Unicode text-grid
+    * replay): `lower()` is NOT engine-portable — Java/Spark full-folds
+    * U+0130 'İ' to "i"+COMBINING DOT (two code points) where DuckDB's
+    * simple fold yields plain "i", so the same document fingerprinted
+    * differently in the two engines. An md5 identity key must be
+    * bit-reproducible in ANY engine (the MinHash family rule above), so
+    * the canonicalization folds exactly [A-Z]→[a-z] via translate and
+    * leaves non-ASCII case untouched (documented trade: "İstanbul" and
+    * "istanbul" are distinct documents — acceptable for an identity
+    * fingerprint, where a locale-dependent merge would be silent data
+    * loss that differs per engine). UnicodeTextSpec pins the trap chars. */
   def normFp(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), " +", " ")))
+    md5(translate(regexp_replace(trim(text), " +", " "),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"))
 
   /** The [[SimShape]] ladder rendered into artifact NAMES: the content key
     * detects corpus changes but is blind to a CONSTANT retune, so an

@@ -114,7 +114,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
         .groupBy(normFp(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy("fp"),
-      Some("""SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+      Some("""SELECT md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
              |       COUNT(*) AS n_docs, MIN(doc_id) AS keeper
              |FROM documents WHERE text IS NOT NULL
              |GROUP BY fp ORDER BY fp""".stripMargin)),
@@ -151,7 +151,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       },
       Some("""WITH r AS (
              |  SELECT doc_id, source,
-             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
              |         COALESCE(TRY_CAST(substr(source, 4) AS INT), 2147483647) AS src_rank
              |  FROM documents WHERE text IS NOT NULL)
              |SELECT fp, keeper, keeper_source, n_docs FROM (
@@ -171,7 +171,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
       "dd_clean_corpus",
       (s, d) => cleanCorpusKeepers(s, d).orderBy("doc_id"),
       Some(s"""WITH q AS (
-              |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+              |  SELECT doc_id, md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
               |  FROM documents
               |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
               |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
@@ -244,7 +244,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
           .orderBy("split", "source")
       },
       Some(s"""WITH q AS (
-              |  SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+              |  SELECT doc_id, md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
               |  FROM documents
               |  WHERE len(string_split_regex(trim(text), ' +')) BETWEEN 10 AND 1000
               |    AND (100 * len(list_filter(string_split_regex(trim(text), ' +'),
@@ -383,10 +383,10 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
             sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"),
             sum(when(col("n_sources") >= 2, 1L).otherwise(0L)).as("n_cross_dup"))
           .withColumn("dup_permille", expr("(1000 * n_dup) div n_docs"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some("""WITH doc AS (SELECT doc_id, source,
-             |               md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |               md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
              |             FROM documents),
              |grp AS (SELECT fp, COUNT(*) AS n_copies,
              |               COUNT(DISTINCT source) AS n_sources
@@ -398,7 +398,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |       (1000 * CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT))
              |         // COUNT(*) AS dup_permille
              |FROM doc LEFT JOIN grp USING (fp)
-             |GROUP BY source ORDER BY source""".stripMargin)),
+             |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
 
     /** CHUNK-LEVEL NEAR-DUP MASS over content-defined chunks — the
       * edit-robust upgrade of [[dd_substring_mass]]: a doc that shares
@@ -498,8 +498,12 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |p AS (SELECT doc_id,
              |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
              |      FROM r GROUP BY doc_id)
+             |-- NULL-TEXT CONTRACT (NullTextSpec): a NULL doc reports NULL
+             |-- line stats, not a zero-line doc — the bare COALESCE read 0
+             |-- removed lines for a doc with no line model at all
              |SELECT d.doc_id, d.nl AS n_lines,
-             |       COALESCE(p.n_removed, 0) AS n_removed,
+             |       CASE WHEN d.nl IS NULL THEN NULL
+             |            ELSE COALESCE(p.n_removed, 0) END AS n_removed,
              |       CAST($LineTok * (d.nl - COALESCE(p.n_removed, 0)) AS BIGINT)
              |         AS n_tokens_kept
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin)),
@@ -562,7 +566,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
             sum(when(col("s_ok"), col("n_tokens")).otherwise(0L)).as("tok_near"))
           .join(lineBySrc, Seq("source"), "left_outer")
           .withColumn("tok_line", coalesce(col("tok_line"), lit(0L)))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some(s"""WITH ${duckJaccard(500)},
              |base AS (
@@ -572,7 +576,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |         len(list_filter(string_split_regex(trim(text), ' +'),
              |                         t -> t IN ('the', 'a', 'of', 'and', 'to')))
              |           AS n_stop,
-             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
              |         string_split_regex(trim(text), ' +') AS t
              |  FROM documents),
              |b2 AS (SELECT *, (n_tokens BETWEEN 10 AND 1000
@@ -607,7 +611,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
              |SELECT agg.source, tok_raw, tok_quality, tok_exact, tok_near,
              |       COALESCE(ls.tok_line, 0) AS tok_line
              |FROM agg LEFT JOIN ls ON ls.source = agg.source
-             |ORDER BY agg.source""".stripMargin)),
+             |ORDER BY agg.source NULLS FIRST""".stripMargin)),
 
     /** DELETION-PROPAGATION MANIFEST (the right-to-be-forgotten report):
       * given a tombstone set (here the deterministic doc_id % 97 = 0 rule
@@ -800,7 +804,7 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
           .orderBy("doc_id")
       },
       Some("""WITH f AS (SELECT doc_id,
-             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp,
+             |         md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp,
              |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
              |       FROM documents),
              |c AS (SELECT doc_id, n_tokens,

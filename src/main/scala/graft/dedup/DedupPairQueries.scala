@@ -416,10 +416,10 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
               .as("n_false_pos"),
             sum(when(!col("bloom_hit") && col("source") === "src0", 1L).otherwise(0L))
               .as("n_false_neg"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some("""WITH fp AS (SELECT doc_id, source,
-             |              md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |              md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
              |            FROM documents WHERE text IS NOT NULL),
              |pos AS (SELECT doc_id, source,
              |          CAST(('0x' || substr(md5(fp), 1 + 4 * i, 3)) AS BIGINT) AS pos
@@ -433,7 +433,7 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
              |       CAST(SUM(CASE WHEN bloom_hit AND source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
              |         AS n_false_pos,
              |       CAST(0 AS BIGINT) AS n_false_neg
-             |FROM probed GROUP BY source ORDER BY source""".stripMargin)),
+             |FROM probed GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
 
     /** MINHASH ESTIMATOR QUALITY — the index-tuning eval for the LSH
       * family (the dd_* analog of sim_ann_recall): for every MinHash-LSH

@@ -182,6 +182,15 @@ object Multimodal {
     * streaming DataFrame at the landing zone. Frame-less payloads (< 1
     * frame) get an empty array — the landing contract screens every
     * arriving item. */
+  /** BYTE-EXACT frame fingerprint (round 20, found by the Unicode
+    * text-grid replay): the frame hash is md5 OVER THE UPPERCASE HEX
+    * RENDERING of the 32-byte frame, because DuckDB 1.0 can neither slice
+    * a BLOB nor md5 one — the old contract hashed 32-CHAR string slices
+    * in the oracle and relied on an all-ASCII corpus (char ≡ byte), a
+    * restriction a real media pipeline cannot carry. Hex is ASCII and
+    * both engines render it uppercase, so `md5(hex(bytes))` is identical
+    * cross-engine for ANY payload, multibyte included; frame indexing is
+    * byte-unit on both sides (64 hex chars per 32-byte frame). */
   def withFrameFps(docs: DataFrame): DataFrame =
     docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -189,7 +198,7 @@ object Multimodal {
       .withColumn("fps", expr(
         "CASE WHEN nf >= 1 THEN array_distinct(transform(" +
           "sequence(CAST(0 AS BIGINT), nf - 1, CAST(4 AS BIGINT)), " +
-          "i -> md5(substring(payload, CAST(i * 32 + 1 AS INT), 32)))) " +
+          "i -> md5(hex(substring(payload, CAST(i * 32 + 1 AS INT), 32))))) " +
           "ELSE CAST(array() AS ARRAY<STRING>) END"))
       .drop("payload", "nf")
 
@@ -198,7 +207,10 @@ object Multimodal {
     * winnowFpIndexPath discipline applied to media): DISTINCT sampled-frame
     * fingerprints, probed by the streaming media screen. Returns the path. */
   def frameFpIndexPath(s: SparkSession, d: String): String =
-    graft.Artifacts.indexParquetPath(s, "frame_idx", d, "documents")(
+    // `_hx` carries the round-20 hex frame-fingerprint definition in the
+    // artifact NAME (the simShapeTag policy: a constant/definition retune
+    // must force a rebuild, not silently serve the stale index).
+    graft.Artifacts.indexParquetPath(s, "frame_idx_hx", d, "documents")(
       withFrameFps(Tables.documents(s, d).filter(expr("doc_id % 5 <> 0")))
         .select(explode(col("fps")).as("fp")).distinct())
 
@@ -249,11 +261,13 @@ object Multimodal {
       * hash. All byte math on the BINARY column (substring/md5 over binary
       * are codegen'd); a real pipeline would hand each sampled slice to the
       * batched decoder above. Narrow: explode multiplies rows by nframes/4
-      * but nothing shuffles until the final sort. (Oracle note: the fixture
-      * text is pure ASCII, so DuckDB's string substr sees the same bytes the
-      * Spark side slices from the utf8 payload — ENFORCED by
-      * MultimodalSpec's fixture-contract tripwire, since DuckDB 1.0 cannot
-      * md5 a blob slice.) */
+      * but nothing shuffles until the final sort. (Oracle note: the frame
+      * fingerprint is md5 OVER THE UPPERCASE HEX of the frame bytes —
+      * [[withFrameFps]]'s round-20 byte-exact contract, since DuckDB 1.0
+      * cannot slice or md5 a BLOB; the oracle slices 64 hex chars per
+      * 32-byte frame, so the engines agree on ANY payload, multibyte
+      * included. MultimodalSpec pins a frame boundary that splits a
+      * multibyte char.) */
     QueryDef(
       "mm_frame_sample",
       (s, d) => Tables.documents(s, d)
@@ -268,17 +282,18 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           expr("length(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
             .as("n_frame_bytes"),
-          expr("md5(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32))")
+          expr("md5(hex(substring(payload, CAST(frame_idx * 32 + 1 AS INT), 32)))")
             .as("frame_md5"))
         .orderBy("doc_id", "frame_idx"),
-      Some("""WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+      Some("""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS nb
              |           FROM documents),
-             |idx AS (SELECT doc_id, text, unnest(range(0, (nb + 31) // 32, 4)) AS frame_idx
+             |idx AS (SELECT doc_id, hx, unnest(range(0, (nb + 31) // 32, 4)) AS frame_idx
              |        FROM f)
              |SELECT doc_id, frame_idx,
-             |       CAST(length(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32))
+             |       CAST(length(substr(hx, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) // 2
              |            AS INTEGER) AS n_frame_bytes,
-             |       md5(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 32)) AS frame_md5
+             |       md5(substr(hx, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
              |FROM idx ORDER BY doc_id, frame_idx""".stripMargin)),
 
     /** PERCEPTUAL-HASH NEAR-DUP over the binary payloads — the image-dedup
@@ -381,13 +396,13 @@ object Multimodal {
       * quadratic), pair rollup + two pair-sized count joins. Identical
       * economics to dd_winnow_pairs, applied to media frames; like the
       * pHash pair graph, the result is a build-once content-keyed parquet
-      * artifact every consumer probes. (Oracle note: fixture payloads are
-      * pure ASCII, so DuckDB's string substr sees the same bytes Spark
-      * slices from the utf8 payload — mm_frame_sample's documented
-      * equivalence, enforced by MultimodalSpec's fixture tripwire.) */
+      * artifact every consumer probes. (Oracle note: frame fingerprints
+      * are md5-over-hex — [[withFrameFps]]'s round-20 byte-exact contract,
+      * valid for any payload; the `_hx` artifact-name tag forces a rebuild
+      * off the old char-sliced graphs.) */
     QueryDef(
       "mm_video_dedup",
-      (s, d) => graft.Artifacts.indexParquet(s, s"video_pairs_c${graft.dedup.Dedup.MaxBucket}", d, "documents") {
+      (s, d) => graft.Artifacts.indexParquet(s, s"video_pairs_hx_c${graft.dedup.Dedup.MaxBucket}", d, "documents") {
         // The frame contract (32-byte frames, every 4th, md5, per-doc
         // distinct) is [[withFrameFps]] — ONE statement shared with the
         // streaming media screen, so the stride/width can't silently
@@ -408,12 +423,13 @@ object Multimodal {
           .select(col("doc_a"), col("doc_b"), col("n_shared"),
             col("containment_permille"))
       }.orderBy("doc_a", "doc_b"),
-      Some(s"""WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+      Some(s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                  octet_length(encode(text)) AS nb
              |           FROM documents),
-             |idx AS (SELECT doc_id, text,
+             |idx AS (SELECT doc_id, hx,
              |          unnest(range(0, (nb + 31) // 32, 4)) AS i FROM f),
              |h AS (SELECT DISTINCT doc_id,
-             |        md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS fh
+             |        md5(substr(hx, CAST(i * 64 + 1 AS INTEGER), 64)) AS fh
              |      FROM idx),
              |n AS (SELECT doc_id, COUNT(*) AS nfr FROM h GROUP BY doc_id),
              |keep AS (SELECT fh FROM h GROUP BY fh

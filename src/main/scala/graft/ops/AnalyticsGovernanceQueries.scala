@@ -36,7 +36,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
             "(source NOT IN ('src0', 'src1') AND bucket < 50)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("source"),
+        .orderBy(col("source").asc_nulls_first),
       Some(s"""WITH b AS (SELECT *,
              |  ${duckHashBits("doc_id", 15)} % 100 AS bucket
              |  FROM documents)
@@ -45,7 +45,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |WHERE (source = 'src0' AND bucket < 25)
              |   OR (source = 'src1' AND bucket < 75)
              |   OR (source NOT IN ('src0', 'src1') AND bucket < 50)
-             |GROUP BY source ORDER BY source""".stripMargin)),
+             |GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
 
     /** Deterministic stratified TRAIN/VAL/TEST split (80/10/10 by md5
       * bucket of doc_id) — the assignment every training pipeline needs to
@@ -63,7 +63,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           expr("CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END"))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("source", "split"),
+        .orderBy(col("source").asc_nulls_first, col("split")),
       Some(s"""WITH b AS (SELECT *,
              |  ${duckHashBits("doc_id", 15)} % 100 AS bucket
              |  FROM documents),
@@ -72,7 +72,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
              |       FROM b)
              |SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-             |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin)),
+             |FROM sp GROUP BY source, split ORDER BY source NULLS FIRST, split""".stripMargin)),
 
     /** BALANCED (exact-count) per-stratum subsample — 30 documents per
       * language, deterministically (no RNG: md5 hash order, so any engine,
@@ -91,13 +91,13 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           .withColumn("pick", row_number().over(wGlobal))
           .filter(col("pick") <= 30)
           .select(col("lang"), col("doc_id"), col("pick").cast("int").as("pick"))
-          .orderBy("lang", "pick")
+          .orderBy(col("lang").asc_nulls_first, col("pick"))
       },
       Some("""SELECT lang, doc_id, CAST(pick AS INTEGER) AS pick
              |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
              |        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS pick
              |      FROM documents)
-             |WHERE pick <= 30 ORDER BY lang, pick""".stripMargin)),
+             |WHERE pick <= 30 ORDER BY lang NULLS FIRST, pick""".stripMargin)),
 
     /** TEMPERATURE-WEIGHTED SOURCE MIXING (α = 0.5) — the multilingual /
       * multi-source sampling plan every large pretraining run publishes:
@@ -132,7 +132,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           .withColumn("boost_permille", expr("(1000 * share_ppm) div prop_ppm"))
           .select(col("source"), col("n_docs"), col("weight_micro"),
             col("share_ppm"), col("prop_ppm"), col("boost_permille"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some("""WITH n AS (SELECT source, COUNT(*) AS n_docs,
              |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
@@ -145,7 +145,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |       (1000000 * n_docs) // tot_docs AS prop_ppm,
              |       (1000 * ((1000000 * weight_micro) // tot_w))
              |         // ((1000000 * n_docs) // tot_docs) AS boost_permille
-             |FROM n, tot ORDER BY source""".stripMargin)),
+             |FROM n, tot ORDER BY source NULLS FIRST""".stripMargin)),
 
     /** FIXED-SIZE PER-STRATUM SAMPLE — exactly k=10 docs per source, chosen
       * as the k SMALLEST md5 draws (a deterministic reservoir: uniform over
@@ -182,7 +182,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           }
           .toDF("source", "doc_id", "h48", "sample_rank")
           .withColumn("sample_rank", col("sample_rank").cast("int"))
-          .orderBy("source", "sample_rank")
+          .orderBy(col("source").asc_nulls_first, col("sample_rank"))
       },
       Some(s"""SELECT source, doc_id, h48, CAST(rank AS INTEGER) AS sample_rank FROM (
              |  SELECT source, doc_id,
@@ -190,7 +190,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |         row_number() OVER (PARTITION BY source
              |           ORDER BY ${duckHashBits("doc_id", 12)} ASC, doc_id ASC) AS rank
              |  FROM documents)
-             |WHERE rank <= 10 ORDER BY source, sample_rank""".stripMargin)),
+             |WHERE rank <= 10 ORDER BY source NULLS FIRST, sample_rank""".stripMargin)),
 
     /** PER-KEY SKEW REPORT — the diagnostic a 100 TB operator runs before
       * choosing a join/aggregation strategy: the top-5 heaviest keys with
@@ -294,14 +294,14 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           .withColumn("docs_share_permille", expr("(1000 * n_docs) div total_docs"))
           .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_dup"),
             col("n_quality_pass"), col("avg_tokens_micro"), col("docs_share_permille"))
-          .orderBy("lang")
+          .orderBy(col("lang").asc_nulls_first)
       },
       Some(s"""WITH docs AS (
              |  SELECT doc_id, lang,
              |         len(string_split_regex(trim(text), ' +')) AS ntok,
              |         len(list_filter(string_split_regex(trim(text), ' +'),
              |                         t -> t IN ${graft.text.TextStats.stopList})) AS nstop,
-             |         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+             |         md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
              |  FROM documents),
              |dupfp AS (SELECT fp, COUNT(*) AS nfp FROM docs GROUP BY fp),
              |tot AS (SELECT COUNT(*) AS total_docs FROM docs)
@@ -315,7 +315,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |         AS avg_tokens_micro,
              |       (1000 * COUNT(*)) // total_docs AS docs_share_permille
              |FROM docs JOIN dupfp USING (fp), tot
-             |GROUP BY lang, total_docs ORDER BY lang""".stripMargin)),
+             |GROUP BY lang, total_docs ORDER BY lang NULLS FIRST""".stripMargin)),
 
     /** VOLUME ANOMALY DAYS — flag days whose event count departs from the
       * corpus mean by more than 2σ, with the inequality cleared of all
@@ -455,7 +455,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           .withColumn("source", coalesce(col("src1"), col("src2")))
           .groupBy(col("source"), col("status"))
           .agg(count(lit(1)).as("n_docs"))
-          .orderBy("source", "status")
+          .orderBy(col("source").asc_nulls_first, col("status"))
       },
       Some("""WITH v1 AS (SELECT doc_id, source AS src1, md5(text) AS fp1
              |            FROM documents),
@@ -473,7 +473,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
              |                  ELSE 'changed' END AS status
              |      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
              |SELECT source, status, COUNT(*) AS n_docs
-             |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)),
+             |FROM j GROUP BY source, status ORDER BY source NULLS FIRST, status""".stripMargin)),
 
     /** K-ANONYMITY AUDIT — the release-governance check before event data
       * leaves the pipeline: group the stream by its quasi-identifier tuple

@@ -648,13 +648,13 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("min_chars"),
             max(col("n_chars")).as("max_chars"))
-          .orderBy("bucket")
+          .orderBy(col("bucket").asc_nulls_first)
       },
       Some("""WITH g AS (SELECT MAX(n_chars) AS max_chars FROM documents)
              |SELECT (n_chars * 10) // (g.max_chars + 1) AS bucket,
              |       COUNT(*) AS n_docs,
              |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
              |FROM documents, g
-             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+             |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
   )
 }

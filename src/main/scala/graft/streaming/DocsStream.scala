@@ -372,12 +372,13 @@ object DocsStream {
         graft.Tables.documents(s, d).filter(expr("doc_id % 5 = 0")),
         s.read.parquet(graft.mm.Multimodal.frameFpIndexPath(s, d)))
         .orderBy("doc_id"),
-      Some("""WITH f0 AS (SELECT doc_id, text, octet_length(encode(text)) AS nb
+      Some("""WITH f0 AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |                   octet_length(encode(text)) AS nb
              |            FROM documents),
-             |i0 AS (SELECT doc_id, text,
+             |i0 AS (SELECT doc_id, hx,
              |         unnest(range(0, (nb + 31) // 32, 4)) AS i FROM f0),
              |h AS (SELECT DISTINCT doc_id,
-             |        md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS fh
+             |        md5(substr(hx, CAST(i * 64 + 1 AS INTEGER), 64)) AS fh
              |      FROM i0),
              |idx AS (SELECT DISTINCT fh FROM h WHERE doc_id % 5 <> 0),
              |newb AS (SELECT doc_id, fh FROM h WHERE doc_id % 5 = 0),
@@ -391,7 +392,7 @@ object DocsStream {
              |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin)),
     graft.QueryDef(
       "st_quality_gate",
-      (s, d) => qualityGate(graft.Tables.documents(s, d)).orderBy("source"),
+      (s, d) => qualityGate(graft.Tables.documents(s, d)).orderBy(col("source").asc_nulls_first),
       Some(s"""WITH v AS (
               |  SELECT source,
               |         len(string_split_regex(trim(text), ' +')) AS n_tokens,
@@ -406,10 +407,10 @@ object DocsStream {
               |                              AND (100 * n_stop) // n_tokens < 40
               |                             THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
               |         AS pass_permille
-              |FROM v GROUP BY source ORDER BY source""".stripMargin)),
+              |FROM v GROUP BY source ORDER BY source NULLS FIRST""".stripMargin)),
     graft.QueryDef(
       "st_pii_gate",
-      (s, d) => piiGate(graft.Tables.documents(s, d)).orderBy("source"),
+      (s, d) => piiGate(graft.Tables.documents(s, d)).orderBy(col("source").asc_nulls_first),
       Some {
         import graft.text.TextStats.{PiiEmail, PiiId, PiiIp, PiiPhone}
         s"""WITH b AS (SELECT source,
@@ -439,7 +440,7 @@ object DocsStream {
            |         AS n_docs_pii,
            |       (1000 * CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT))
            |         // COUNT(*) AS pii_permille
-           |FROM s4 GROUP BY source ORDER BY source""".stripMargin
+           |FROM s4 GROUP BY source ORDER BY source NULLS FIRST""".stripMargin
       }),
 
     /** Tokenizer fertility monitor (see [[bpeFertility]]): per-source
@@ -449,7 +450,7 @@ object DocsStream {
     graft.QueryDef(
       "st_bpe_fertility",
       (s, d) => bpeFertility(graft.Tables.documents(s, d),
-        graft.text.TextStats.bpeSubwordDict(s, d)).orderBy("source"),
+        graft.text.TextStats.bpeSubwordDict(s, d)).orderBy(col("source").asc_nulls_first),
       Some {
         val r = graft.text.TextStats.BpeRounds
         s"""${graft.text.TextStats.duckBpeChain(r)},
@@ -464,7 +465,7 @@ object DocsStream {
            |         // COUNT(*) AS fertility_permille
            |FROM tk t LEFT JOIN w$r w USING (word)
            |WHERE t.word <> ''
-           |GROUP BY t.source ORDER BY t.source""".stripMargin
+           |GROUP BY t.source ORDER BY t.source NULLS FIRST""".stripMargin
       }),
 
     /** Mixture quota-fill monitor (see [[mixtureFill]]): arriving docs run
@@ -477,7 +478,7 @@ object DocsStream {
       "st_mixture_drift",
       (s, d) => mixtureFill(graft.Tables.documents(s, d),
         graft.text.TextStats.mixtureRates(graft.Tables.documents(s, d)))
-        .orderBy("source"),
+        .orderBy(col("source").asc_nulls_first),
       Some(s"""WITH ${graft.text.TextStats.duckMixtureChain},
               |p AS (SELECT d.source, COUNT(*) AS n_sampled
               |      FROM documents d JOIN r ON r.source = d.source
@@ -488,7 +489,7 @@ object DocsStream {
               |       (1000 * p.n_sampled) // r.n_target AS fill_permille,
               |       CASE WHEN abs((1000 * p.n_sampled) // r.n_target - 1000) > 300
               |            THEN 'drift' ELSE 'ok' END AS verdict
-              |FROM p JOIN r USING (source) ORDER BY source""".stripMargin)))
+              |FROM p JOIN r USING (source) ORDER BY source NULLS FIRST""".stripMargin)))
 
   /** Per-source quota fill of the deterministic mixture draw
     * ([[graft.text.TextStats.sampleByThreshold]]): n_sampled vs the plan's

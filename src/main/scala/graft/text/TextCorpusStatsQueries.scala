@@ -49,11 +49,11 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("source")).as("n_sources"))
         .withColumn("avg_chars_micro", expr("(sum_chars * 1000000) div n_docs"))
-        .orderBy("lang"),
+        .orderBy(col("lang").asc_nulls_first),
       Some("""SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
              |       COUNT(DISTINCT source) AS n_sources,
              |       (CAST(SUM(n_chars) AS BIGINT) * 1000000) // COUNT(*) AS avg_chars_micro
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+             |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "tx_quality",
@@ -88,15 +88,23 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       * fixture vocabulary is synthetic so markers are illustrative.) */
     QueryDef(
       "tx_langid",
+      // NULL-TEXT CONTRACT (nullgrid v4): a NULL doc has NULL scores AND a
+      // NULL prediction — Spark's non-ANSI size(filter(NULL)) = -1 made a
+      // confident 'en' call while the oracle's NULL scores fell through
+      // the CASE to 'fr'; both were nonsense, pinned to NULL-in-NULL-out.
       (s, d) => Tables.documents(s, d)
         .select(
           col("doc_id"),
           col("lang"),
-          expr(s"size(filter($toks, t -> t IN ('the', 'a', 'and', 'fast', 'slow')))").as("s_en"),
-          expr(s"size(filter($toks, t -> t IN ('data', 'row', 'table', 'batch')))").as("s_de"),
-          expr(s"size(filter($toks, t -> t IN ('query', 'filter', 'merge', 'sort')))").as("s_fr"))
+          expr(s"CAST(CASE WHEN text IS NULL THEN NULL ELSE " +
+            s"size(filter($toks, t -> t IN ('the', 'a', 'and', 'fast', 'slow'))) END AS INT)").as("s_en"),
+          expr(s"CAST(CASE WHEN text IS NULL THEN NULL ELSE " +
+            s"size(filter($toks, t -> t IN ('data', 'row', 'table', 'batch'))) END AS INT)").as("s_de"),
+          expr(s"CAST(CASE WHEN text IS NULL THEN NULL ELSE " +
+            s"size(filter($toks, t -> t IN ('query', 'filter', 'merge', 'sort'))) END AS INT)").as("s_fr"))
         .withColumn("pred_lang",
-          expr("CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' " +
+          expr("CASE WHEN s_en IS NULL THEN NULL " +
+            "WHEN s_en >= s_de AND s_en >= s_fr THEN 'en' " +
             "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"))
         .orderBy("doc_id"),
       Some("""WITH sc AS (
@@ -109,7 +117,8 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |         t -> t IN ('query', 'filter', 'merge', 'sort'))) AS INTEGER) AS s_fr
              |  FROM documents)
              |SELECT doc_id, lang, s_en, s_de, s_fr,
-             |       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+             |       CASE WHEN s_en IS NULL THEN NULL
+             |            WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
              |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
@@ -133,7 +142,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
           .withColumn("rk", row_number().over(rankW))
           .filter(col("rk") <= 3)
           .select(col("lang"), col("bigram"), col("n"), col("rk"))
-          .orderBy("lang", "rk")
+          .orderBy(col("lang").asc_nulls_first, col("rk"))
       },
       Some("""WITH toksq AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS t
              |               FROM documents),
@@ -144,7 +153,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |  SELECT *, row_number() OVER (PARTITION BY lang
              |                               ORDER BY n DESC, bigram ASC) AS rk
              |  FROM cnt)
-             |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin)),
+             |WHERE rk <= 3 ORDER BY lang NULLS FIRST, rk""".stripMargin)),
 
     /** Repetition quality signals (the Gopher-rules family of pretraining
       * filters, Rae et al. 2021): fraction of repeated tokens, most-frequent-
@@ -279,7 +288,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
           col("doc_id"),
           graft.dedup.Dedup.normFp(col("text")).as("fp"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+      Some("""SELECT doc_id, md5(translate(regexp_replace(trim(text), ' +', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     /** TF-IDF-style term salience: top-5 terms per document scored by
@@ -378,7 +387,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
             min(col("fam_micro")).as("fam_min"), max(col("fam_micro")).as("fam_max"))
-          .orderBy("bucket")
+          .orderBy(col("bucket").asc_nulls_first)
       },
       Some("""WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
              |            FROM documents),
@@ -397,7 +406,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
              |       MIN(fam_micro) AS fam_min, MAX(fam_micro) AS fam_max
              |FROM fam, cut
-             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+             |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)),
 
     /** VOCABULARY PRUNING STATS — the pre-pass of every tokenizer/LM vocab
       * build: per language, how many token TYPES survive a min-count cutoff
@@ -418,7 +427,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
             sum(when(col("cnt") >= 5, 1L).otherwise(0L)).as("n_types_kept"),
             sum(when(col("cnt") >= 5, col("cnt")).otherwise(0L)).as("n_tokens_kept"))
           .withColumn("coverage_permille", expr("(1000 * n_tokens_kept) div n_tokens"))
-          .orderBy("lang")
+          .orderBy(col("lang").asc_nulls_first)
       },
       Some("""WITH tk AS (SELECT lang, unnest(string_split_regex(trim(text), ' +')) AS tok
              |            FROM documents),
@@ -430,7 +439,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |         AS n_tokens_kept,
              |       (1000 * CAST(SUM(CASE WHEN cnt >= 5 THEN cnt ELSE 0 END) AS BIGINT))
              |         // CAST(SUM(cnt) AS BIGINT) AS coverage_permille
-             |FROM tc GROUP BY lang ORDER BY lang""".stripMargin)),
+             |FROM tc GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin)),
 
     /** LENGTH-DISTRIBUTION DRIFT — per source, the total-variation distance
       * of its token-length band mix (32-token bands, capped at band 7) from
@@ -452,7 +461,7 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
               expr(s"least(${nTokensAs("BIGINT")} div 32, 7L)").as("band")),
           "source", "band", "n_docs")
         .withColumn("drift_ok", col("tv_micro") < 100000L)
-        .orderBy("source"),
+        .orderBy(col("source").asc_nulls_first),
       Some("""WITH b AS (SELECT source,
              |         least(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) // 32,
              |               7) AS band
@@ -470,6 +479,6 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |         AS drift_ok
              |FROM tot t CROSS JOIN g CROSS JOIN gt
              |LEFT JOIN sh s ON s.source = t.source AND s.band = g.band
-             |GROUP BY t.source ORDER BY t.source""".stripMargin)),
+             |GROUP BY t.source ORDER BY t.source NULLS FIRST""".stripMargin)),
   )
 }

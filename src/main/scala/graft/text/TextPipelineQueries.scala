@@ -34,7 +34,11 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
               "slice(t, CAST(i * 40 + 1 AS INT), 50))")).as(Seq("chunk_idx", "ctoks")))
         .select(col("doc_id"),
           col("chunk_idx").cast("int").as("chunk_idx"),
-          size(col("ctoks")).as("n_chunk_tokens"),
+          // NULL-TEXT CONTRACT (nullgrid v4): a NULL doc yields one NULL
+          // chunk whose token count is NULL in both engines — non-ANSI
+          // size(NULL) = -1 where the oracle's len(NULL) is NULL.
+          expr("CASE WHEN ctoks IS NULL THEN NULL ELSE size(ctoks) END")
+            .cast("int").as("n_chunk_tokens"),
           md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_idx"),
       Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
@@ -71,7 +75,9 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
             ++ windowIndexCols: _*)
-          .orderBy("source", "doc_id")
+          // source is nullable on staged corpora (nullgrid v4): pin the
+          // NULL group's direction on both sides
+          .orderBy(col("source").asc_nulls_first, col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT source, doc_id,
              |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
@@ -85,7 +91,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
              |       (cum - 1) // $PackWin AS win_last,
              |       (cum - n_tokens) % $PackWin AS offset_in_win,
              |       (cum - n_tokens) // $PackWin <> (cum - 1) // $PackWin AS is_split
-             |FROM c ORDER BY source, doc_id""".stripMargin)),
+             |FROM c ORDER BY source NULLS FIRST, doc_id""".stripMargin)),
 
     /** SHARDED SEQUENCE PACKING — the 100 TB shape of tx_pack_sequences.
       * The unsharded variant's window puts an entire source in ONE task; a
@@ -111,7 +117,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
           Seq("source"))
         .select(Seq(col("source"), col("doc_id"), col("n_tokens"))
           ++ windowIndexCols: _*)
-        .orderBy("source", "doc_id"),
+        .orderBy(col("source").asc_nulls_first, col("doc_id")),
       Some(s"""WITH t AS (SELECT source, doc_id,
              |                  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
              |                  doc_id // 64 AS shard
@@ -120,17 +126,26 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
              |             CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in_shard
              |      FROM t),
+             |-- carry_in stays NULLABLE and cum restates shardedCum's rule
+             |-- (NULL iff NO non-NULL count precedes): the earlier
+             |-- COALESCE(carry,0) + plain `carry + cum_in_shard` went NULL
+             |-- whenever a NULL-count doc OPENED a shard, diverging from the
+             |-- unsharded window-sum on nullable-text corpora (nullgrid v4)
              |c AS (SELECT source, shard,
-             |             COALESCE(CAST(SUM(SUM(n_tokens)) OVER (PARTITION BY source ORDER BY shard
-             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS carry_in
-             |      FROM t GROUP BY source, shard)
-             |SELECT s.source, s.doc_id, s.n_tokens,
-             |       (carry_in + cum_in_shard - n_tokens) // $PackWin AS win_first,
-             |       (carry_in + cum_in_shard - 1) // $PackWin AS win_last,
-             |       (carry_in + cum_in_shard - n_tokens) % $PackWin AS offset_in_win,
-             |       (carry_in + cum_in_shard - n_tokens) // $PackWin
-             |         <> (carry_in + cum_in_shard - 1) // $PackWin AS is_split
-             |FROM s JOIN c USING (source, shard) ORDER BY source, doc_id""".stripMargin)),
+             |             CAST(SUM(SUM(n_tokens)) OVER (PARTITION BY source ORDER BY shard
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS carry_in
+             |      FROM t GROUP BY source, shard),
+             |m AS (SELECT s.source, s.doc_id, s.n_tokens,
+             |             CASE WHEN carry_in IS NULL AND cum_in_shard IS NULL THEN NULL
+             |                  ELSE COALESCE(carry_in, 0) + COALESCE(cum_in_shard, 0)
+             |             END AS cum
+             |      FROM s JOIN c USING (source, shard))
+             |SELECT source, doc_id, n_tokens,
+             |       (cum - n_tokens) // $PackWin AS win_first,
+             |       (cum - 1) // $PackWin AS win_last,
+             |       (cum - n_tokens) % $PackWin AS offset_in_win,
+             |       (cum - n_tokens) // $PackWin <> (cum - 1) // $PackWin AS is_split
+             |FROM m ORDER BY source NULLS FIRST, doc_id""".stripMargin)),
 
     /** SPAN CORRUPTION (the T5/span-denoising objective prep): mask every
       * 5th 3-token span — positions i with (i div 3) % 5 = 0 — replacing
@@ -256,7 +271,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
           .filter(col("bucket") < col("rate_permille"))
           .groupBy(col("source"), col("rate_permille"))
           .agg(count(lit(1)).as("n_docs_sampled"), sum(col("n_tokens")).as("n_tokens_sampled"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some("""WITH docs AS (SELECT doc_id, source,
              |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
@@ -415,7 +430,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
           .select(col("source"), col("n_docs"), col("weight_fp"), col("n_target"),
             coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
             coalesce(col("picked_sum"), lit(0L)).as("picked_sum"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some(s"""WITH $duckMixtureChain,
              |p AS (SELECT d.source, COUNT(*) AS n_sampled,
@@ -427,7 +442,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
              |SELECT r.source, r.n_docs, r.weight_fp, r.n_target,
              |       CAST(COALESCE(p.n_sampled, 0) AS BIGINT) AS n_sampled,
              |       CAST(COALESCE(p.picked_sum, 0) AS BIGINT) AS picked_sum
-             |FROM r LEFT JOIN p ON p.source = r.source ORDER BY r.source""".stripMargin)),
+             |FROM r LEFT JOIN p ON p.source = r.source ORDER BY r.source NULLS FIRST""".stripMargin)),
 
     /** DETERMINISTIC STRATIFIED SPLIT — the per-doc ASSIGNMENT TABLE
       * (the artifact downstream jobs join against), complementing
@@ -538,7 +553,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
            |SELECT source, n_raw, noise,
            |       CAST(greatest(n_raw + noise, 0) AS BIGINT) AS n_noisy,
            |       CAST(${TextStats.EpsMicro} AS BIGINT) AS eps_micro
-           |FROM nz ORDER BY source""".stripMargin
+           |FROM nz ORDER BY source NULLS FIRST""".stripMargin
       }),
 
     /** PACKING EFFICIENCY ACCOUNTING — what the tx_pack_sequences layout
@@ -576,7 +591,7 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
               s"(((total_tokens + ${PackWin - 1}) div $PackWin) * $PackWin)")
               .as("fill_permille"),
             col("n_split_docs"))
-          .orderBy("source")
+          .orderBy(col("source").asc_nulls_first)
       },
       Some(s"""WITH t AS (SELECT source, doc_id,
              |         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
@@ -596,6 +611,6 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
              |       (1000 * total_tokens) // (((total_tokens + ${PackWin - 1}) // $PackWin) * $PackWin)
              |         AS fill_permille,
              |       n_split_docs
-             |FROM g ORDER BY source""".stripMargin)),
+             |FROM g ORDER BY source NULLS FIRST""".stripMargin)),
   )
 }

@@ -232,18 +232,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byMod("text") > byMod("image") && byMod("image") > byMod("audio"))
   }
 
-  test("fixture contract: documents.text is pure ASCII (frame oracles slice CHARS)") {
-    // The mm_frame_sample / mm_video_dedup / st_media_dedup oracles hash
-    // 32-CHARACTER string slices while the engine hashes 32-BYTE binary
-    // slices; DuckDB 1.0 cannot md5 a blob slice, so the equivalence rests
-    // on the corpus being pure ASCII (char ≡ byte). This tripwire turns a
-    // fixture regeneration that breaks the constraint into a named failure
-    // here instead of an opaque hash mismatch in three queries.
-    val nonAscii = graft.Tables.documents(spark, sf)
-      .filter(expr("text IS NOT NULL AND text RLIKE '[^\\\\x00-\\\\x7F]'"))
-      .count()
-    assert(nonAscii == 0,
-      s"$nonAscii docs carry non-ASCII text — the frame-slice char≡byte " +
-        "equivalence the mm oracles rely on no longer holds")
+  test("frame contract: fingerprints are md5-over-hex of BYTE slices (multibyte-split safe)") {
+    // Round 20: the old oracles hashed 32-CHARACTER string slices and
+    // relied on an all-ASCII corpus (char ≡ byte, enforced by a fixture
+    // tripwire here). The contract is now byte-exact for ANY payload: the
+    // frame hash is md5 of the UPPERCASE HEX rendering of the 32-byte
+    // frame (DuckDB 1.0 cannot slice or md5 a BLOB; hex is ASCII in both
+    // engines). This pins the hard case the old contract could not
+    // express: a multibyte char STRADDLING the frame boundary — byte
+    // frame 0 ends mid-emoji, which no char slice can produce.
+    val text = "a" * 31 + "😀" + " tail text long enough for a second frame " + "b" * 80
+    val bytes = text.getBytes("UTF-8")
+    def expFp(frame: Array[Byte]): String = {
+      val hex = frame.map(b => f"$b%02X").mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    }
+    import spark.implicits._
+    val fps = graft.mm.Multimodal.withFrameFps(
+        Seq((1L, text)).toDF("doc_id", "text"))
+      .select(col("fps")).collect()(0).getSeq[String](0)
+    assert(fps.head == expFp(bytes.slice(0, 32)),
+      "frame 0 must hash the exact BYTE slice (31 ASCII bytes + the first " +
+        "emoji byte), rendered as uppercase hex")
+    assert(fps.contains(expFp(bytes.slice(128, 160))),
+      "sampled frame 4 must hash bytes 128..159 byte-exactly")
   }
 }

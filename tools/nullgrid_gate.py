@@ -43,7 +43,7 @@ from local_check import parse_compare_lines
 
 SRC = "/root/testdata/sf0.001"
 FIXTURE = "/tmp/graft_nullgrid"
-MARKER_VERSION = "nullgrid-v3"  # v2: + NaN/±Infinity rows (the non-finite
+MARKER_VERSION = "nullgrid-v4"  # v2: + NaN/±Infinity rows (the non-finite
 # contract — Tables.centsSql's guard and the isfinite oracle mirrors)
 # v3 (VERDICT r20 #4 + ADVICE r19): poisoned embeddings (NULL vector,
 # NaN/±Inf/NULL COMPONENTS — the Similarity.finiteEmbSql reader contract)
@@ -51,6 +51,14 @@ MARKER_VERSION = "nullgrid-v3"  # v2: + NaN/±Infinity rows (the non-finite
 # NULL-mktsegment customer, a lineitem hitting the NULL-brand part) so
 # enrichment/join queries actually see a NULL dim attribute and the
 # asc_nulls_first pins fire.
+# v4 (round 20, the Unicode/empty-text axis the replay method had never
+# probed): pathological documents — empty/whitespace-only text, astral
+# emoji, combining marks, CJK, RTL, case-folding traps (İ/ß — fired the
+# normFp lower() divergence, now ASCII-fold translate), zero-width
+# spaces, a 5000-char single token, a multibyte char STRADDLING the
+# 32-byte frame boundary (fired the mm frame char-vs-byte slice
+# divergence, now md5-over-hex) — plus NULL text/lang/source/n_chars
+# rows, previously spec-only.
 
 EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
 
@@ -62,8 +70,40 @@ def stage():
         return
     shutil.rmtree(FIXTURE, ignore_errors=True)
     os.makedirs(FIXTURE)
-    shutil.copyfile(f"{SRC}/documents.parquet", f"{FIXTURE}/documents.parquet")
     con = duckdb.connect()
+    # v4 pathological documents (doc_id, text, lang, source); n_chars is
+    # appended as the python code-point length. NULL-field rows carry
+    # explicit None. The straddler (9000015) puts an emoji's 4 bytes across
+    # the 32-byte frame boundary — the case no char slice can express.
+    doc_rows = [
+        (9000001, "", "en", "src0"),
+        (9000002, "   ", "en", "src1"),
+        (9000003, "\t\n\r\n", "en", "src2"),
+        (9000004, "\U0001F600\U0001F680\U0001F916", "en", "src3"),
+        (9000005, "café naïve résumé", "fr", "src4"),
+        (9000006, "你好世界 日本語テスト", "zh", "src5"),
+        (9000007, "مرحبا بالعالم", "ar", "src6"),
+        (9000008, "a" * 5000, "en", "src7"),
+        (9000009, "word " * 200 + "énd", "en", "src8"),
+        (9000010, "MiXeD CaSe STRASSE ß İstanbul", "de", "src9"),
+        (9000011, "tab\tsep\tvals and  double  spaces", "en", "src10"),
+        (9000012, "​​zero​width​", "en", "src11"),
+        (9000013, "emoji \U0001F600 mixed ascii", "en", "src12"),
+        (9000014, "ein kleines deutsches dokument mit ein paar worten", "de", "src13"),
+        (9000015, "a" * 31 + "\U0001F600" + " tail across the frame boundary " + "b" * 80,
+         "en", "src14"),
+        (9000016, None, "en", "src15"),
+        (9000017, "null lang document body", None, "src16"),
+        (9000018, "null source document body", "en", None),
+        (9000019, None, None, None),
+    ]
+    con.execute(f"CREATE TABLE doc_aug AS SELECT * FROM '{SRC}/documents.parquet' LIMIT 0")
+    con.executemany("INSERT INTO doc_aug VALUES (?,?,?,?,?)",
+                    [(d, t, l, s, len(t) if t is not None else None)
+                     for (d, t, l, s) in doc_rows])
+    con.execute(f"""COPY (SELECT * FROM '{SRC}/documents.parquet'
+      UNION ALL SELECT * FROM doc_aug)
+      TO '{FIXTURE}/documents.parquet' (FORMAT PARQUET)""")
 
     def aug(table, cols, rows):
         vals = ",\n      ".join(rows)
