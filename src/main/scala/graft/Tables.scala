@@ -33,9 +33,18 @@ object Tables {
     * injects 0 (NaN) or Long.MaxValue (Inf) into money totals, while the
     * DuckDB oracle's CAST hard-errors — one corrupts, the other dies.
     * DOUBLE→DECIMAL casts need no Spark-side guard (non-ANSI cast of a
-    * non-finite double is already NULL) — only their oracles mirror. */
+    * non-finite double is already NULL) — only their oracles mirror.
+    *
+    * MAGNITUDE BOUND (round 20, the finite completion of the contract): a
+    * FINITE measure beyond ±9e16 is corrupt upstream output in the same
+    * class — `round(x * 100)` no longer fits a BIGINT, so Spark's
+    * non-ANSI cast clamps to ±Long.MaxValue where DuckDB's cast errors
+    * (the exact divergence verified at 1e18). `abs > 9e16` subsumes the
+    * old Infinity equality, so the guard SHRINKS: NaN or out-of-range →
+    * NULL. Oracle mirror everywhere: `(isfinite(c) AND abs(c) <= 9e16) AND abs(c) <= 9e16`.
+    * NonFiniteSpec pins the boundary. */
   def centsSql(c: String): String =
-    s"CAST(round(CASE WHEN isnan($c) OR abs($c) = CAST('Infinity' AS DOUBLE) " +
+    s"CAST(round(CASE WHEN isnan($c) OR abs($c) > 9e16D " +
       s"THEN NULL ELSE $c END * 100) AS BIGINT)"
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =

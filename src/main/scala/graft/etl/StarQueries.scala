@@ -20,14 +20,14 @@ object StarQueries {
       "songplays_build",
       (s, d) => StarEtl.songplays(s, d),
       Some("""WITH se AS (SELECT *, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
-             |dim AS (SELECT user_id AS d_user, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
+             |dim AS (SELECT user_id AS d_user, TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
              |               MIN(event_id) AS song_id
              |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
              |SELECT DISTINCT make_timestamp((se.ms // 1000) * 1000000) AS start_time,
              |       CAST(se.user_id AS VARCHAR) AS user_id, dim.song_id,
              |       CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
              |FROM se JOIN dim ON se.user_id = dim.d_user
-             |                AND CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value
+             |                AND TRY_CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value
              |ORDER BY start_time NULLS FIRST, user_id, song_id, session_id,
              |         user_agent NULLS FIRST""".stripMargin)),
     QueryDef(
@@ -49,13 +49,13 @@ object StarQueries {
       "songs_build",
       (s, d) => StarEtl.songs(s, d),
       Some("""SELECT DISTINCT p_partkey AS song_id, p_name AS title, p_brand AS artist_id,
-             |       p_size AS year, CAST(CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(9,0)) AS BIGINT) AS duration
+             |       p_size AS year, CAST(TRY_CAST(CASE WHEN isfinite(p_retailprice) THEN p_retailprice END AS DECIMAL(9,0)) AS BIGINT) AS duration
              |FROM part ORDER BY song_id""".stripMargin)),
     QueryDef(
       "artists_build",
       (s, d) => StarEtl.artists(s, d),
       Some("""SELECT DISTINCT s_suppkey AS artist_id, s_name AS name,
-             |       s_nationkey AS location, CAST(CAST(CASE WHEN isfinite(s_acctbal) THEN s_acctbal END AS DECIMAL(9,0)) AS BIGINT) AS latitude
+             |       s_nationkey AS location, CAST(TRY_CAST(CASE WHEN isfinite(s_acctbal) THEN s_acctbal END AS DECIMAL(9,0)) AS BIGINT) AS latitude
              |FROM supplier ORDER BY artist_id""".stripMargin)),
     QueryDef(
       "time_build",
@@ -98,7 +98,7 @@ object StarQueries {
           .limit(10)
       },
       Some("""WITH se AS (SELECT *, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
-             |dim AS (SELECT user_id AS d_user, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
+             |dim AS (SELECT user_id AS d_user, TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
              |               MIN(event_id) AS song_id
              |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
              |songplays AS (
@@ -106,7 +106,7 @@ object StarQueries {
              |         CAST(se.user_id AS VARCHAR) AS user_id, dim.song_id,
              |         CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
              |  FROM se JOIN dim ON se.user_id = dim.d_user
-             |                  AND CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value)
+             |                  AND TRY_CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value)
              |SELECT song_id, COUNT(*) AS n_plays, COUNT(DISTINCT user_id) AS n_users
              |FROM songplays GROUP BY song_id
              |ORDER BY n_plays DESC, song_id ASC LIMIT 10""".stripMargin)),
@@ -123,7 +123,7 @@ object StarQueries {
           .orderBy("hour")
       },
       Some("""WITH se AS (SELECT *, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view'),
-             |dim AS (SELECT user_id AS d_user, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
+             |dim AS (SELECT user_id AS d_user, TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
              |               MIN(event_id) AS song_id
              |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
              |songplays AS (
@@ -131,7 +131,7 @@ object StarQueries {
              |         CAST(se.user_id AS VARCHAR) AS user_id, dim.song_id,
              |         CAST(se.event_id AS VARCHAR) AS session_id, se.props AS user_agent
              |  FROM se JOIN dim ON se.user_id = dim.d_user
-             |                  AND CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value)
+             |                  AND TRY_CAST(CASE WHEN isfinite(se.value) THEN se.value END AS DECIMAL(9,0)) = dim.d_value)
              |SELECT CAST(hour(start_time) AS INTEGER) AS hour, COUNT(*) AS n_plays
              |FROM songplays GROUP BY hour ORDER BY hour NULLS FIRST""".stripMargin)),
 
@@ -148,12 +148,12 @@ object StarQueries {
           .select(se("event_id"), dim("song_id"))
           .orderBy("event_id", "song_id")
       },
-      Some("""WITH dim AS (SELECT user_id AS d_user, CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
+      Some("""WITH dim AS (SELECT user_id AS d_user, TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS d_value,
              |                    MIN(event_id) AS song_id
              |             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
              |SELECT e.event_id, dim.song_id
              |FROM events e JOIN dim ON e.user_id = dim.d_user
-             |                      AND CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(9,0)) = dim.d_value
+             |                      AND TRY_CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(9,0)) = dim.d_value
              |WHERE e.event_type = 'view'
              |ORDER BY event_id, song_id""".stripMargin)),
   )

@@ -497,7 +497,8 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
       (s, d) => Tables.events(s, d)
         .select(col("event_type"),
           expr("(ts div 1000000 div 3600000) % 24").as("hour_of_day"),
-          expr("CAST(floor(CASE WHEN isnan(value) OR abs(value) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE value END / 10.0D) AS BIGINT)").as("value_decade"),
+          // Tables.centsSql's measure guard (NaN or |x| > 9e16 → NULL)
+          expr("CAST(floor(CASE WHEN isnan(value) OR abs(value) > 9e16D THEN NULL ELSE value END / 10.0D) AS BIGINT)").as("value_decade"),
           col("user_id"))
         .groupBy(col("event_type"), col("hour_of_day"), col("value_decade"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
@@ -513,7 +514,7 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           col("hour_of_day").asc_nulls_first,
           col("value_decade").asc_nulls_first),
       Some("""SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
-             |       CAST(floor(CASE WHEN isfinite(value) THEN value END / 10) AS BIGINT) AS value_decade,
+             |       CAST(floor(CASE WHEN (isfinite(value) AND abs(value) <= 9e16) THEN value END / 10) AS BIGINT) AS value_decade,
              |       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
              |       CASE WHEN COUNT(DISTINCT user_id) >= 5 THEN 'ok'
              |            ELSE 'suppress' END AS verdict

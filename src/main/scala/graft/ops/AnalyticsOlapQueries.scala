@@ -67,14 +67,14 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       // value-map build vs two separate percentile() aggregates
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) = CAST('Infinity' AS DOUBLE) THEN NULL ELSE l_extendedprice END, array(0.5D, 0.9D))").as("ps"))
+        .agg(expr("percentile(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) > 9e16D THEN NULL ELSE l_extendedprice END, array(0.5D, 0.9D))").as("ps"))
         .select(col("l_returnflag"),
           expr("round(element_at(ps, 1), 4)").as("p50"),
           expr("round(element_at(ps, 2), 4)").as("p90"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |       round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.5), 4) AS p50,
-             |       round(quantile_cont(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END, 0.9), 4) AS p90
+             |       round(quantile_cont(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END, 0.5), 4) AS p50,
+             |       round(quantile_cont(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END, 0.9), 4) AS p90
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag NULLS FIRST""".stripMargin)),
 
@@ -139,7 +139,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY cents
              |            RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW) AS BIGINT)
              |         AS n_within_10k
-             |FROM (SELECT *, CAST(round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100) AS BIGINT) AS cents FROM orders)
+             |FROM (SELECT *, CAST(round(CASE WHEN (isfinite(o_totalprice) AND abs(o_totalprice) <= 9e16) THEN o_totalprice END * 100) AS BIGINT) AS cents FROM orders)
              |ORDER BY o_custkey NULLS FIRST, o_orderkey""".stripMargin)),
 
     QueryDef(
@@ -169,7 +169,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
              |       CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
              |       first_value(o_orderkey) OVER wf AS cheapest,
              |       last_value(o_orderkey) OVER wf AS dearest
-             |FROM (SELECT *, CAST(round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100) AS BIGINT) AS cents FROM orders)
+             |FROM (SELECT *, CAST(round(CASE WHEN (isfinite(o_totalprice) AND abs(o_totalprice) <= 9e16) THEN o_totalprice END * 100) AS BIGINT) AS cents FROM orders)
              |WINDOW w AS (PARTITION BY o_custkey
              |             ORDER BY cents ASC NULLS FIRST, o_orderkey ASC),
              |       wf AS (PARTITION BY o_custkey
@@ -281,7 +281,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .orderBy("l_returnflag")
       },
       Some("""WITH c AS (SELECT l_returnflag,
-             |                  CAST(round(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END * 100) AS BIGINT) AS cts
+             |                  CAST(round(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END * 100) AS BIGINT) AS cts
              |           FROM lineitem),
              |r AS (SELECT l_returnflag, cts,
              |             row_number() OVER (PARTITION BY l_returnflag ORDER BY cts) AS rn,
@@ -350,7 +350,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           valueCol = col("cents"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |       CAST(SUM(CAST(round(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END * 100) AS BIGINT)) AS BIGINT)
+             |       CAST(SUM(CAST(round(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END * 100) AS BIGINT)) AS BIGINT)
              |         AS sum_value,
              |       COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag
@@ -371,7 +371,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
         // poisons the double SUM — Spark's cast then injects 0 where the
         // oracle's cast errors.
         .agg(expr("CAST(sum(CASE WHEN isnan(l_quantity) OR " +
-            "abs(l_quantity) = CAST('Infinity' AS DOUBLE) THEN NULL " +
+            "abs(l_quantity) > 9e16D THEN NULL " +
             "ELSE l_quantity END) AS BIGINT)").as("sum_qty"),
           count(lit(1)).as("n"))
         // p_brand is nullable (the nullgrid corpus stages a NULL-brand
@@ -379,7 +379,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
         // NULLS FIRST, DuckDB NULLS LAST.
         .orderBy(col("p_brand").asc_nulls_first),
       Some("""SELECT p_brand,
-             |       CAST(SUM(CASE WHEN isfinite(l_quantity) THEN l_quantity END)
+             |       CAST(SUM(CASE WHEN (isfinite(l_quantity) AND abs(l_quantity) <= 9e16) THEN l_quantity END)
              |            AS BIGINT) AS sum_qty,
              |       COUNT(*) AS n
              |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -411,11 +411,11 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
           .orderBy("k")
       },
       Some("""WITH base AS (SELECT c_custkey AS k,
-             |                     CAST(round(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END * 100) AS BIGINT) AS bal_cents,
+             |                     CAST(round(CASE WHEN (isfinite(c_acctbal) AND abs(c_acctbal) <= 9e16) THEN c_acctbal END * 100) AS BIGINT) AS bal_cents,
              |                     c_mktsegment AS seg
              |              FROM customer),
              |changes AS (SELECT o_custkey AS k,
-             |                   CAST(round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100) AS BIGINT) AS new_bal
+             |                   CAST(round(CASE WHEN (isfinite(o_totalprice) AND abs(o_totalprice) <= 9e16) THEN o_totalprice END * 100) AS BIGINT) AS new_bal
              |            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
              |                          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |                  FROM orders) WHERE rn = 1)
@@ -499,7 +499,7 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
                 |GROUP BY r_name ORDER BY r_name""".stripMargin)
       },
       Some("""SELECT r_name,
-             |       CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
              |       COUNT(DISTINCT o_orderkey) AS n_orders
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey

@@ -141,7 +141,7 @@ object Relational {
           col("value").cast(Dec9).cast(LongType).as("value_dec"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS user_id_str,
-             |       CAST(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS BIGINT) AS value_dec
+             |       CAST(TRY_CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(9,0)) AS BIGINT) AS value_dec
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // ---- E1 scalar expression --------------------------------------------
@@ -435,11 +435,11 @@ object Relational {
         .withColumn("avg_qty_micro", expr("(sum_qty * 1000000) div n"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |       CAST(CAST(SUM(CAST(CASE WHEN (isfinite(l_quantity) AND abs(l_quantity) <= 9e16) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
              |            AS BIGINT) AS sum_qty,
-             |       CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
              |       COUNT(*) AS n,
-             |       (CAST(CAST(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |       (CAST(CAST(SUM(CAST(CASE WHEN (isfinite(l_quantity) AND abs(l_quantity) <= 9e16) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
              |             AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
@@ -486,7 +486,7 @@ object Relational {
              |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '_all_'
              |            ELSE COALESCE(l_linestatus, '_null_') END AS ls,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
+             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
     QueryDef(
@@ -543,7 +543,7 @@ object Relational {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |       CAST(SUM(CAST(round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100) AS BIGINT))
+             |       CAST(SUM(CAST(round(CASE WHEN (isfinite(o_totalprice) AND abs(o_totalprice) <= 9e16) THEN o_totalprice END * 100) AS BIGINT))
              |            OVER (PARTITION BY o_custkey
              |                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
              |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
@@ -560,7 +560,7 @@ object Relational {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |       lag(CAST(round(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END * 100) AS BIGINT), 1)
+             |       lag(CAST(round(CASE WHEN (isfinite(o_totalprice) AND abs(o_totalprice) <= 9e16) THEN o_totalprice END * 100) AS BIGINT), 1)
              |         OVER (PARTITION BY o_custkey
              |               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC) AS prev_cents
              |FROM orders

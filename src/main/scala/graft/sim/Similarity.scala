@@ -65,10 +65,14 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * trainKMeans / u8Codes), where Spark's non-ANSI CAST silently injects
     * 0 and DuckDB's cast errors — the exact divergence class d5e0bfc
     * closed for money doubles. Oracle mirror on every embeddings scan:
-    * `len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0`.
+    * `len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0`.
     * NullEmbeddingSpec pins both directions. */
   private[sim] val finiteEmbSql =
-    "NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) = CAST('Infinity' AS FLOAT))"
+    // |x| > 1e9 subsumes the Infinity equality and bounds the micro-unit
+    // arithmetic: u8Codes computes (x·1e6 + m)·127 with m = max|x·1e6|,
+    // which must stay inside BIGINT in BOTH engines (DuckDB errors on
+    // overflow, Spark wraps silently) — |x| ≤ 1e9 keeps it ≤ ~2.5e17.
+    "NOT exists(embedding, x -> x IS NULL OR isnan(x) OR abs(x) > CAST(1e9 AS FLOAT))"
 
   private[sim] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -236,7 +240,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * √N-scaled variant can derive K from the corpus itself. */
   def duckKmeansChain(kExpr: String = K.toString, iters: Int = Iters): String = {
     val sb = new StringBuilder
-    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),\n"
+    sb ++= "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),\n"
     sb ++= s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv FROM e WHERE vec_id < ($kExpr)),\n"
     for (i <- 1 to iters) {
       val cos = duckCosOf("e.v", "c.cv")
@@ -321,9 +325,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos))
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
@@ -336,9 +340,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |                            ORDER BY $duckCos DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id AND NOT isnan($duckCos)) WHERE rank <= $k)""".stripMargin
 
   /** Dot-metric twin of [[duckBruteCte]] — the exact ground truth of the
@@ -349,9 +353,9 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
        |         row_number() OVER (PARTITION BY q.vec_id
        |           ORDER BY ${duckDotRawOf("q.va", "c.vb")} DESC, c.vec_id ASC) AS rank
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
+       |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) q,
        |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
+       |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) c
        |  WHERE c.vec_id <> q.vec_id) WHERE rank <= $k)""".stripMargin
 
   /** The IVF probe block shared by EVERY IVF-served path (`sim_ann_ivf`,
@@ -766,7 +770,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
       .map(m => s"SELECT vec_id, $m AS m, code, dist2 FROM m${m}asg")
       .mkString("\n       UNION ALL ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+       |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
        |$duckPqChains,
        |u AS ($union)
        |SELECT vec_id, array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ' ') AS codes,
@@ -787,7 +791,7 @@ object Similarity extends SimilarityServeQueries with SimilarityEvalQueries {
     * `sim_pq_topk` and `sim_pq_recall`. Emits `r` (ranked candidates). */
   private[sim] def duckPqRankedCtes: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+       |     WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
        |$duckPqChains,
        |sc AS ($duckPqScoreSel),
        |tot AS (SELECT q_id, cand_id, CAST(SUM(sc) AS BIGINT) AS score

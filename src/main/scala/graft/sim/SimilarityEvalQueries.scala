@@ -153,7 +153,7 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
       Some {
         val cos = duckCosOf("e.v", "c.cv")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
-           |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+           |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
            |cent AS (SELECT label, list(comp ORDER BY jj) AS cv FROM (
            |  SELECT label, jj,
            |         CAST(SUM(CAST(round(v[jj] * 1000000) AS BIGINT)) AS DOUBLE)
@@ -191,7 +191,7 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
           col("sumsq_micro2"), col("mean"))
         .orderBy("j"),
       Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-              |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+              |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
               |x AS (SELECT jj, CAST(round(v[jj] * 1000000) AS BIGINT) AS xm
               |      FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS jj))
               |SELECT CAST(jj - 1 AS INTEGER) AS j, COUNT(*) AS n,
@@ -258,7 +258,7 @@ private[sim] trait SimilarityEvalQueries { this: Similarity.type =>
              |           list_transform(CAST(embedding AS DOUBLE[]),
              |                          x -> CAST(round(x * 1000000) AS BIGINT)),
              |           y -> y * y)) // 1000000 AS BIGINT) AS norm2_micro
-             |       FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0)
+             |       FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0)
              |SELECT label, COUNT(*) AS n_vecs,
              |       CAST(MIN(norm2_micro) AS BIGINT) AS min_norm2_micro,
              |       CAST(MAX(norm2_micro) AS BIGINT) AS max_norm2_micro,

@@ -75,7 +75,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
       },
       Some(
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-           |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+           |           WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
            |shape AS (${rpShapeSql("e")}),
            |planes AS (SELECT p.p, i.i,
            |    ${sgnCase("'rp:' || CAST(p.p AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)")} AS sgn
@@ -263,7 +263,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
         .orderBy("vec_id"),
       Some("""WITH vm AS (SELECT vec_id,
              |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-             |  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+             |  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
              |mm AS (SELECT vec_id, vm,
              |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m
              |       FROM vm),
@@ -314,7 +314,7 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
       },
       Some("""WITH vm AS (SELECT vec_id,
              |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
-             |  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0),
+             |  FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0),
              |q8 AS (SELECT vec_id,
              |         greatest(list_max(list_transform(vm, x -> abs(x))), 1) AS m,
              |         list_transform(vm, x ->
@@ -498,9 +498,9 @@ private[sim] trait SimilarityServeQueries { this: Similarity.type =>
              |                                            i -> va[i] * vb[i])) DESC,
              |                    c.vec_id ASC) AS rank
              |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS va
-             |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) q,
+             |        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) q,
              |       (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vb FROM embeddings
-             |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x), FALSE))) = 0) c
+             |        WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT coalesce(isfinite(x) AND abs(x) <= 1e9, FALSE))) = 0) c
              |  WHERE c.vec_id <> q.vec_id)
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 

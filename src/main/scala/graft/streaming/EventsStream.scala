@@ -340,7 +340,7 @@ object EventsStream extends Serializable {
       (s, d) => sessionizeBatch(s, d),
       Some("""WITH g AS (
              |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-             |         CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT) AS cents,
+             |         CAST(round(CASE WHEN (isfinite(value) AND abs(value) <= 9e16) THEN value END * 100) AS BIGINT) AS cents,
              |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id
              |                                 ORDER BY epoch_ms(ts), event_id) AS prev_ms
              |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
@@ -361,7 +361,7 @@ object EventsStream extends Serializable {
       Some("""SELECT CAST(date_trunc('hour', make_timestamp((epoch_ms(ts) // 1000) * 1000000))
              |            AS TIMESTAMP) AS hour_ts,
              |       event_type, COUNT(*) AS n,
-             |       CAST(SUM(CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |       CAST(SUM(CAST(round(CASE WHEN (isfinite(value) AND abs(value) <= 9e16) THEN value END * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY 1, 2
              |ORDER BY hour_ts NULLS FIRST, event_type NULLS FIRST""".stripMargin)),
     QueryDef(
@@ -370,7 +370,7 @@ object EventsStream extends Serializable {
       Some("""SELECT CAST(date_trunc('hour', make_timestamp((epoch_ms(ts) // 1000) * 1000000))
              |            AS TIMESTAMP) AS hour_ts,
              |       c_mktsegment AS segment, COUNT(*) AS n,
-             |       CAST(SUM(CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |       CAST(SUM(CAST(round(CASE WHEN (isfinite(value) AND abs(value) <= 9e16) THEN value END * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE event_type = 'purchase'
              |GROUP BY 1, 2
@@ -410,7 +410,7 @@ object EventsStream extends Serializable {
       (s, d) => kanonGateBatch(s, d),
       Some("""WITH q AS (SELECT event_id, event_type,
              |         (epoch_ms(ts) // 3600000) % 24 AS hour_of_day,
-             |         CAST(round(CASE WHEN isfinite(value) THEN value END * 100) AS BIGINT) AS cents, user_id
+             |         CAST(round(CASE WHEN (isfinite(value) AND abs(value) <= 9e16) THEN value END * 100) AS BIGINT) AS cents, user_id
              |       FROM events),
              |ok AS (SELECT event_type, hour_of_day FROM q WHERE event_id % 5 <> 0
              |       GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) >= 5)

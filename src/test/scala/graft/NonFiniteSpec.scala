@@ -28,7 +28,11 @@ class NonFiniteSpec extends AnyFunSuite {
     val ev = Seq(
       org.apache.spark.sql.Row(1L, t0, 7L, "view", 2.0, "{}"),
       org.apache.spark.sql.Row(2L, t0 + 1000000000L, 7L, "view", Double.NaN, "{}"),
-      org.apache.spark.sql.Row(3L, t0 + 2000000000L, 7L, "view", Double.PositiveInfinity, "{}"))
+      org.apache.spark.sql.Row(3L, t0 + 2000000000L, 7L, "view", Double.PositiveInfinity, "{}"),
+      // MAGNITUDE BOUND (round 20): a finite measure beyond ±9e16 is the
+      // same contract class — round(x*100) no longer fits a BIGINT, so
+      // Spark's cast clamps where DuckDB's errors.
+      org.apache.spark.sql.Row(4L, t0 + 3000000000L, 7L, "view", 1.0e18, "{}"))
     spark.createDataFrame(spark.sparkContext.parallelize(ev, 1), eschema)
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val lschema = StructType(Seq(
@@ -43,7 +47,10 @@ class NonFiniteSpec extends AnyFunSuite {
         Double.box(0.0), Double.box(0.0), "N", "O", ts("1995-02-01 00:00:00")),
       org.apache.spark.sql.Row(1L, 10L, 3L, Int.box(2), Double.box(Double.NaN),
         Double.box(Double.NaN), Double.box(0.0), Double.box(0.0), "N", "O",
-        ts("1995-02-02 00:00:00")))
+        ts("1995-02-02 00:00:00")),
+      org.apache.spark.sql.Row(1L, 10L, 3L, Int.box(3), Double.box(1.0e18),
+        Double.box(-1.0e18), Double.box(0.0), Double.box(0.0), "N", "O",
+        ts("1995-02-03 00:00:00")))
     spark.createDataFrame(spark.sparkContext.parallelize(li, 1), lschema)
       .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     val pschema = StructType(Seq(
@@ -59,34 +66,34 @@ class NonFiniteSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, dir)
 
-  test("centsSql: NaN and Infinity money become NULL cents, not 0 / Long.MaxValue") {
+  test("centsSql: NaN/Infinity/out-of-range money becomes NULL cents, not 0 / clamp") {
     val r = run("st_hourly_counts").collect()
-    // all three views land in the same hour; only the finite 2.00 counts
-    assert(r.length == 1 && r(0).getLong(2) == 3L, s"${r.mkString(";")}")
+    // all four views land in the same hour; only the finite 2.00 counts
+    assert(r.length == 1 && r(0).getLong(2) == 4L, s"${r.mkString(";")}")
     assert(r(0).getLong(3) == 200L,
-      s"sum_cents must skip NaN/Inf (200 = the finite 2.00): ${r(0)}")
+      s"sum_cents must skip NaN/Inf/1e18 (200 = the finite 2.00): ${r(0)}")
   }
 
-  test("an_kanon_audit: a non-finite value buckets to the NULL decade, not decade 0") {
+  test("an_kanon_audit: non-finite and out-of-range values bucket to the NULL decade") {
     val r = run("an_kanon_audit").collect()
     val decades = r.map(x => if (x.isNullAt(2)) None else Some(x.getLong(2))).toSet
     assert(decades == Set(Some(0L), None),
-      s"finite 2.0 -> decade 0; NaN/Inf -> NULL decade: ${r.mkString(";")}")
+      s"finite 2.0 -> decade 0; NaN/Inf/1e18 -> NULL decade: ${r.mkString(";")}")
     val nullRow = r.filter(_.isNullAt(2))
-    assert(nullRow.length == 1 && nullRow(0).getLong(3) == 2L,
-      s"both non-finite events in the NULL-decade cell: ${nullRow.mkString(";")}")
+    assert(nullRow.length == 1 && nullRow(0).getLong(3) == 3L,
+      s"all three poisoned events in the NULL-decade cell: ${nullRow.mkString(";")}")
   }
 
-  test("an_salted_join: a NaN quantity is excluded from the bigint sum") {
+  test("an_salted_join: NaN and out-of-range quantities are excluded from the bigint sum") {
     val r = run("an_salted_join").collect()
-    assert(r.length == 1 && r(0).getLong(1) == 5L && r(0).getLong(2) == 2L,
-      s"sum_qty 5 (NaN skipped), n 2: ${r.mkString(";")}")
+    assert(r.length == 1 && r(0).getLong(1) == 5L && r(0).getLong(2) == 3L,
+      s"sum_qty 5 (NaN and 1e18 skipped), n 3: ${r.mkString(";")}")
   }
 
-  test("agg_groupby: NaN price/quantity rows are NULL in the DECIMAL sums") {
+  test("agg_groupby: NaN and out-of-range rows are NULL in the DECIMAL sums") {
     val r = run("agg_groupby").collect().map(x => x.getString(0) -> x).toMap
     val n = r("N")
-    assert(n.getLong(2) == 5L, s"sum_qty skips the NaN row: $n")
-    assert(n.getLong(4) == 2L, "both rows counted")
+    assert(n.getLong(2) == 5L, s"sum_qty skips the NaN and 1e18 rows: $n")
+    assert(n.getLong(4) == 3L, "all three rows counted")
   }
 }

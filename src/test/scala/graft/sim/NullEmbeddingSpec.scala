@@ -42,7 +42,12 @@ class NullEmbeddingSpec extends AnyFunSuite {
         Float.NegativeInfinity +: Array.fill(7)(0.1f), 1: java.lang.Integer) :+
       org.apache.spark.sql.Row(54L: java.lang.Long,
         (null: java.lang.Float) +: Array.fill(7)(0.1f: java.lang.Float),
-        1: java.lang.Integer)
+        1: java.lang.Integer) :+
+      // round-20 magnitude bound: |x| > 1e9 would overflow the u8Codes
+      // micro-unit arithmetic (DuckDB errors, Spark wraps) — dropped at
+      // the same boundary
+      org.apache.spark.sql.Row(55L: java.lang.Long,
+        1.0e12f +: Array.fill(7)(0.1f), 1: java.lang.Integer)
     val schema = StructType(Seq(
       StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
@@ -64,10 +69,10 @@ class NullEmbeddingSpec extends AnyFunSuite {
     val ids = run("sim_quantize_u8").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(50L) && ids.contains(9L),
       s"NULL vec absent, zero-norm still coded: $ids")
-    assert(Seq(51L, 52L, 53L, 54L).forall(!ids.contains(_)),
-      s"a NaN/±Inf/NULL COMPONENT must drop the vector before the " +
-        s"micro-unit quantization cast (Spark would inject 0, DuckDB " +
-        s"errors): $ids")
+    assert(Seq(51L, 52L, 53L, 54L, 55L).forall(!ids.contains(_)),
+      s"a NaN/±Inf/NULL/out-of-range COMPONENT must drop the vector " +
+        s"before the micro-unit quantization cast (Spark would inject " +
+        s"0 or wrap, DuckDB errors): $ids")
   }
 
   test("sim_rp_pairs: zero-norm pairs are excluded by the NaN guard, not the threshold") {

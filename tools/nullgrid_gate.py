@@ -43,7 +43,7 @@ from local_check import parse_compare_lines
 
 SRC = "/root/testdata/sf0.001"
 FIXTURE = "/tmp/graft_nullgrid"
-MARKER_VERSION = "nullgrid-v4"  # v2: + NaN/±Infinity rows (the non-finite
+MARKER_VERSION = "nullgrid-v5"  # v2: + NaN/±Infinity rows (the non-finite
 # contract — Tables.centsSql's guard and the isfinite oracle mirrors)
 # v3 (VERDICT r20 #4 + ADVICE r19): poisoned embeddings (NULL vector,
 # NaN/±Inf/NULL COMPONENTS — the Similarity.finiteEmbSql reader contract)
@@ -59,6 +59,12 @@ MARKER_VERSION = "nullgrid-v4"  # v2: + NaN/±Infinity rows (the non-finite
 # 32-byte frame boundary (fired the mm frame char-vs-byte slice
 # divergence, now md5-over-hex) — plus NULL text/lang/source/n_chars
 # rows, previously spec-only.
+# v5 (round 20, the magnitude axis): ±1e18 finite values in every
+# money/measure double and a 1e12 embedding component — out-of-range for
+# the BIGINT/DECIMAL(9,0)/micro-unit casts, where Spark's non-ANSI cast
+# clamps/NULLs and DuckDB's errors. Contracts: Tables.centsSql's
+# abs > 9e16 bound (subsumes Infinity), TRY_CAST in the DECIMAL(9,0)
+# oracles, Similarity.finiteEmbSql's abs > 1e9 component bound.
 
 EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
 
@@ -129,7 +135,10 @@ def stage():
     ev_rows += [
         "(9100001, TIMESTAMP '2024-01-02 05:00:00', 19, 'view', 'NaN'::DOUBLE, '{\"k\": 7}')",
         "(9100002, TIMESTAMP '2024-01-02 05:01:00', 19, 'purchase', 'inf'::DOUBLE, '{\"k\": 7}')",
-        "(9100003, TIMESTAMP '2024-01-02 05:02:00', 19, 'click', '-inf'::DOUBLE, '{\"k\": 7}')"]
+        "(9100003, TIMESTAMP '2024-01-02 05:02:00', 19, 'click', '-inf'::DOUBLE, '{\"k\": 7}')",
+        # v5: out-of-range finite measures (the magnitude axis)
+        "(9100004, TIMESTAMP '2024-01-02 05:03:00', 19, 'view', 1e18::DOUBLE, '{\"k\": 7}')",
+        "(9100005, TIMESTAMP '2024-01-02 05:04:00', 19, 'purchase', -1e18::DOUBLE, '{\"k\": 7}')"]
     # v3: a purchase that JOINS the NULL-mktsegment customer (9000004), so
     # enrichment rollups carry a NULL segment group (the st_enrich_segment
     # asc_nulls_first pin's firing row — ADVICE r19).
@@ -145,7 +154,8 @@ def stage():
         "(9000005, 7, 'O', 100.5, TIMESTAMP '1995-06-03 00:00:00', NULL)",
         "(9000006, NULL, NULL, NULL, NULL, NULL)",
         "(9100001, 9, 'O', 'NaN'::DOUBLE, TIMESTAMP '1995-07-01 00:00:00', '1-URGENT')",
-        "(9100002, 9, 'O', 'inf'::DOUBLE, TIMESTAMP '1995-07-02 00:00:00', '2-HIGH')"])
+        "(9100002, 9, 'O', 'inf'::DOUBLE, TIMESTAMP '1995-07-02 00:00:00', '2-HIGH')",
+        "(9100003, 9, 'O', 1e18::DOUBLE, TIMESTAMP '1995-07-03 00:00:00', '3-MEDIUM')"])
     aug("lineitem", "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
         "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate", [
         "(9000001, NULL, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
@@ -161,24 +171,28 @@ def stage():
         "(9000005, 9000002, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-08 00:00:00')",
         "(9100001, 5, 3, 1, 'NaN'::DOUBLE, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
         "(9100001, 5, 3, 2, 10.0, 'NaN'::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
-        "(9100002, 5, 3, 1, 10.0, 'inf'::DOUBLE, 0.05, 0.02, 'R', 'F', TIMESTAMP '1995-07-06 00:00:00')"])
+        "(9100002, 5, 3, 1, 10.0, 'inf'::DOUBLE, 0.05, 0.02, 'R', 'F', TIMESTAMP '1995-07-06 00:00:00')",
+        "(9100003, 5, 3, 1, 1e18::DOUBLE, -1e18::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-07 00:00:00')"])
     aug("customer", "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment", [
         "(9000001, NULL, 3, 500.25, 'BUILDING')",
         "(9000002, 'Customer#9000002', NULL, 500.25, 'BUILDING')",
         "(9000003, 'Customer#9000003', 3, NULL, 'AUTOMOBILE')",
         "(9000004, 'Customer#9000004', 3, 500.25, NULL)",
-        "(9100001, 'Customer#9100001', 3, 'NaN'::DOUBLE, 'BUILDING')"])
+        "(9100001, 'Customer#9100001', 3, 'NaN'::DOUBLE, 'BUILDING')",
+        "(9100002, 'Customer#9100002', 3, 1e18::DOUBLE, 'BUILDING')"])
     aug("part", "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice", [
         "(9000001, NULL, 'Brand#13', 'SMALL PLATED', 5, 900.75)",
         "(9000002, 'violet chocolate part', NULL, 'SMALL PLATED', 5, 900.75)",
         "(9000003, 'olive almond part', 'Brand#13', NULL, NULL, 900.75)",
         "(9000004, 'navy linen part', 'Brand#13', 'SMALL PLATED', 5, NULL)",
-        "(9100001, 'amber quartz part', 'Brand#13', 'SMALL PLATED', 5, 'NaN'::DOUBLE)"])
+        "(9100001, 'amber quartz part', 'Brand#13', 'SMALL PLATED', 5, 'NaN'::DOUBLE)",
+        "(9100002, 'copper steel part', 'Brand#13', 'SMALL PLATED', 5, 1e18::DOUBLE)"])
     aug("supplier", "s_suppkey,s_name,s_nationkey,s_acctbal", [
         "(9000001, NULL, 3, 700.5)",
         "(9000002, 'Supplier#9000002', NULL, 700.5)",
         "(9000003, 'Supplier#9000003', 3, NULL)",
-        "(9100001, 'Supplier#9100001', 3, 'NaN'::DOUBLE)"])
+        "(9100001, 'Supplier#9100001', 3, 'NaN'::DOUBLE)",
+        "(9100002, 'Supplier#9100002', 3, -1e18::DOUBLE)"])
     # v3: poisoned embeddings — a NULL vector plus vectors with one
     # NaN / +Inf / -Inf / NULL COMPONENT. The Similarity.finiteEmbSql
     # reader contract must drop all five in BOTH engines; without it a NaN
@@ -192,7 +206,8 @@ def stage():
         "(9000002, " + poison("'NaN'::FLOAT") + ", 5)",
         "(9000003, " + poison("'inf'::FLOAT") + ", 5)",
         "(9000004, " + poison("'-inf'::FLOAT") + ", 5)",
-        "(9000005, " + poison("NULL::FLOAT") + ", NULL)"])
+        "(9000005, " + poison("NULL::FLOAT") + ", NULL)",
+        "(9000006, " + poison("1e12::FLOAT") + ", 5)"])
     aug("region", "r_regionkey, r_name", [
         "(901, NULL)", "(NULL, 'NULLKEY REGION')"])
     aug("nation", "n_nationkey, n_name, n_regionkey", [
