@@ -496,17 +496,19 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
                 |JOIN c_sql ON o_custkey = c_custkey
                 |JOIN n_sql ON c_nationkey = n_nationkey
                 |JOIN r_sql ON n_regionkey = r_regionkey
-                |GROUP BY r_name ORDER BY r_name""".stripMargin)
+                |GROUP BY r_name ORDER BY r_name NULLS FIRST""".stripMargin)
       },
+      // r_name is nullable (the nullgrid stages a NULL-name region, reached
+      // through a full dim chain since v6): NULL direction pinned both sides.
       Some("""SELECT r_name,
-             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+             |       CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
              |       COUNT(DISTINCT o_orderkey) AS n_orders
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+             |GROUP BY r_name ORDER BY r_name NULLS FIRST""".stripMargin)),
 
     /** BATCH SESSIONIZATION — the offline twin of st_sessionize (streaming/
       * EventsStream.scala): split each user's event stream into sessions at

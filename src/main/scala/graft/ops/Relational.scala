@@ -435,11 +435,11 @@ object Relational {
         .withColumn("avg_qty_micro", expr("(sum_qty * 1000000) div n"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(CAST(SUM(CAST(CASE WHEN (isfinite(l_quantity) AND abs(l_quantity) <= 9e16) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |       CAST(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
              |            AS BIGINT) AS sum_qty,
-             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+             |       CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
              |       COUNT(*) AS n,
-             |       (CAST(CAST(SUM(CAST(CASE WHEN (isfinite(l_quantity) AND abs(l_quantity) <= 9e16) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
+             |       (CAST(CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(18,2))) AS DECIMAL(18,0))
              |             AS BIGINT) * 1000000) // COUNT(*) AS avg_qty_micro
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
@@ -486,7 +486,7 @@ object Relational {
              |       CASE WHEN GROUPING(l_linestatus) = 1 THEN '_all_'
              |            ELSE COALESCE(l_linestatus, '_null_') END AS ls,
              |       COUNT(*) AS n,
-             |       CAST(SUM(CAST(CASE WHEN (isfinite(l_extendedprice) AND abs(l_extendedprice) <= 9e16) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
+             |       CAST(SUM(TRY_CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin)),
     QueryDef(

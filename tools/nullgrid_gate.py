@@ -43,7 +43,7 @@ from local_check import parse_compare_lines
 
 SRC = "/root/testdata/sf0.001"
 FIXTURE = "/tmp/graft_nullgrid"
-MARKER_VERSION = "nullgrid-v5"  # v2: + NaN/±Infinity rows (the non-finite
+MARKER_VERSION = "nullgrid-v6"  # v2: + NaN/±Infinity rows (the non-finite
 # contract — Tables.centsSql's guard and the isfinite oracle mirrors)
 # v3 (VERDICT r20 #4 + ADVICE r19): poisoned embeddings (NULL vector,
 # NaN/±Inf/NULL COMPONENTS — the Similarity.finiteEmbSql reader contract)
@@ -65,6 +65,12 @@ MARKER_VERSION = "nullgrid-v5"  # v2: + NaN/±Infinity rows (the non-finite
 # clamps/NULLs and DuckDB's errors. Contracts: Tables.centsSql's
 # abs > 9e16 bound (subsumes Infinity), TRY_CAST in the DECIMAL(9,0)
 # oracles, Similarity.finiteEmbSql's abs > 1e9 component bound.
+# v6 (round 20): a full dim chain reaching the NULL-NAME region
+# (lineitem 9200001 → order → customer 9000005 → nation 903 → region
+# 901) so r_name-grouped joins see a NULL group (an_sql_revenue's
+# NULLS FIRST pin), and a 5e16 l_extendedprice — passes the 9e16
+# measure guard yet overflows DECIMAL(18,2), firing the TRY_CAST
+# mirror of Spark's NULL-on-overflow decimal cast.
 
 EVENT_TYPES = ["'view'", "'purchase'", "'click'", "NULL"]
 
@@ -155,7 +161,9 @@ def stage():
         "(9000006, NULL, NULL, NULL, NULL, NULL)",
         "(9100001, 9, 'O', 'NaN'::DOUBLE, TIMESTAMP '1995-07-01 00:00:00', '1-URGENT')",
         "(9100002, 9, 'O', 'inf'::DOUBLE, TIMESTAMP '1995-07-02 00:00:00', '2-HIGH')",
-        "(9100003, 9, 'O', 1e18::DOUBLE, TIMESTAMP '1995-07-03 00:00:00', '3-MEDIUM')"])
+        "(9100003, 9, 'O', 1e18::DOUBLE, TIMESTAMP '1995-07-03 00:00:00', '3-MEDIUM')",
+        # v6: order owned by the NULL-name-region chain's customer
+        "(9200001, 9000005, 'O', 100.5, TIMESTAMP '1995-08-01 00:00:00', '1-URGENT')"])
     aug("lineitem", "l_orderkey,l_partkey,l_suppkey,l_linenumber,l_quantity,"
         "l_extendedprice,l_discount,l_tax,l_returnflag,l_linestatus,l_shipdate", [
         "(9000001, NULL, 3, 1, 10.0, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-06-05 00:00:00')",
@@ -172,14 +180,18 @@ def stage():
         "(9100001, 5, 3, 1, 'NaN'::DOUBLE, 1000.5, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
         "(9100001, 5, 3, 2, 10.0, 'NaN'::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-05 00:00:00')",
         "(9100002, 5, 3, 1, 10.0, 'inf'::DOUBLE, 0.05, 0.02, 'R', 'F', TIMESTAMP '1995-07-06 00:00:00')",
-        "(9100003, 5, 3, 1, 1e18::DOUBLE, -1e18::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-07 00:00:00')"])
+        "(9100003, 5, 3, 1, 1e18::DOUBLE, -1e18::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-07-07 00:00:00')",
+        # v6: rides the NULL-name-region chain; 5e16 passes the 9e16 guard
+        # but overflows DECIMAL(18,2) (NULL both sides via TRY_CAST mirror)
+        "(9200001, 5, 3, 1, 10.0, 5e16::DOUBLE, 0.05, 0.02, 'N', 'O', TIMESTAMP '1995-08-02 00:00:00')"])
     aug("customer", "c_custkey,c_name,c_nationkey,c_acctbal,c_mktsegment", [
         "(9000001, NULL, 3, 500.25, 'BUILDING')",
         "(9000002, 'Customer#9000002', NULL, 500.25, 'BUILDING')",
         "(9000003, 'Customer#9000003', 3, NULL, 'AUTOMOBILE')",
         "(9000004, 'Customer#9000004', 3, 500.25, NULL)",
         "(9100001, 'Customer#9100001', 3, 'NaN'::DOUBLE, 'BUILDING')",
-        "(9100002, 'Customer#9100002', 3, 1e18::DOUBLE, 'BUILDING')"])
+        "(9100002, 'Customer#9100002', 3, 1e18::DOUBLE, 'BUILDING')",
+        "(9000005, 'Customer#9000005', 903, 500.25, 'BUILDING')"])
     aug("part", "p_partkey,p_name,p_brand,p_type,p_size,p_retailprice", [
         "(9000001, NULL, 'Brand#13', 'SMALL PLATED', 5, 900.75)",
         "(9000002, 'violet chocolate part', NULL, 'SMALL PLATED', 5, 900.75)",
@@ -212,7 +224,8 @@ def stage():
         "(901, NULL)", "(NULL, 'NULLKEY REGION')"])
     aug("nation", "n_nationkey, n_name, n_regionkey", [
         "(901, NULL, 0)", "(902, 'NATION_NULLREG', NULL)",
-        "(NULL, 'NULLKEY NATION', 1)"])
+        "(NULL, 'NULLKEY NATION', 1)",
+        "(903, 'NATION_TO_NULLREGION', 901)"])
     with open(marker, "w") as f:
         f.write(MARKER_VERSION)
     print(f"[nullgrid_gate] staged {FIXTURE}")
