@@ -67,7 +67,18 @@ object Tables {
     * sites doing `ts div 1000000` — means a fixture regeneration changes
     * exactly one line of plan, not 20 queries. The session TZ is pinned
     * UTC (Sessions.scala), so casting a TIMESTAMP_NTZ value to timestamp
-    * is exact and `unix_micros * 1000` loses nothing the reference kept. */
+    * is exact and `unix_micros * 1000` loses nothing the reference kept.
+    *
+    * TIMELINE DOMAIN: non-negative epoch (ts ≥ 0, i.e. 1970+), matching
+    * the reference's log data (epoch-ms app logs, sql_queries.py:152).
+    * Every ms/hour/day/week bucketing in the engine uses Spark `div`
+    * (truncation toward zero) against oracle `//` (floor) — IDENTICAL on
+    * non-negative operands, divergent one unit below zero, so a
+    * pre-1970 timestamp is outside the stated domain (the corresponding
+    * class for UNKNOWN positions — NULL ts — has a full contract: kept
+    * as accounting groups, excluded from timelines). TablesSpec pins the
+    * fixture side of the bound; a pre-1970 feed needs a floor-division
+    * sweep of the ~20 call sites before the oracles hold. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = read(s, d, "events")
     df.schema("ts").dataType match {

@@ -31,6 +31,11 @@ class TablesSpec extends AnyFunSuite {
     // And the values really are nanos: ms derived from ts must land in a
     // plausible UTC-millis window (fixture event time is Jan 2024; allow
     // 2020..2030 so regenerations move freely without touching this spec).
+    // The min bound doubles as the TIMELINE-DOMAIN tripwire (Tables.events
+    // scaladoc): every bucketing uses Spark `div` (truncates toward zero)
+    // against oracle `//` (floors) — identical on ts ≥ 0, divergent one
+    // unit below — so a fixture regeneration shipping pre-1970 events must
+    // fail HERE, not as an opaque hash mismatch across the ts family.
     val ms = events.selectExpr("min(ts div 1000000)", "max(ts div 1000000)").head()
     assert(ms.getLong(0) >= 1577836800000L && ms.getLong(1) <= 1893456000000L,
       s"ts div 1e6 outside plausible epoch-millis range: $ms — wrong unit after normalization?")
