@@ -93,6 +93,72 @@ object Tables {
   // parallelize via their own shuffles, and RoundRobinPartitioning's
   // deterministic full-row local sort taxes every light consumer. On a
   // cluster the lever is source-side: write multiple row groups / files.
+  // For pipelines whose EXPENSIVE work is per-row and pre-exchange (regex
+  // batteries, array higher-order functions), [[spreadIfCoarse]] below is
+  // the guide-§2.5 remedy, applied scale-adaptively.
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Parquet row-group count of `path` (file or directory of part files),
+    * memoized per path — footer metadata only, the thing a table catalog
+    * would already know; never reads data pages. This is what decides
+    * whether a scan can parallelize AT THE SOURCE: Spark splits files by
+    * byte range, but a split materializes only the row groups whose
+    * midpoint falls inside it, so a one-row-group file yields exactly one
+    * non-empty scan task no matter how many byte-range splits cover it. */
+  private val rowGroupMemo = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def rowGroupCount(s: SparkSession, path: String): Long =
+    rowGroupMemo.getOrElseUpdate(path, {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = s.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        else Seq(p)
+      files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try r.getFooter.getBlocks.size.toLong finally r.close()
+      }.sum
+    })
+
+  /** SCALE-ADAPTIVE scan spread (optimization guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    * When the source parquet has FEWER row groups than the session's
+    * shuffle parallelism — the local fixture's one-row-group-per-file
+    * layout, or a cluster table written as a handful of giant row groups —
+    * a pipeline whose expensive work is per-row and pre-exchange runs that
+    * work on as many cores as there are row groups. This helper pays ONE
+    * deterministic hash exchange of the raw rows to spread them, and is a
+    * structural NO-OP (returns `df` unchanged) whenever the source already
+    * provides ≥ parallelism row groups, which is every properly-laid-out
+    * table at the 100 TB target — the check is footer metadata, not a
+    * constant tuned for local mode. Hash (not round-robin) partitioning:
+    * deterministic under task retry (SPARK-38388 discipline) and no
+    * sort-before-repartition tax. The explicit partition count pins the
+    * exchange against AQE re-coalescing it back to one tiny partition
+    * (REPARTITION_BY_NUM origin), which would undo the spread. Apply ONLY
+    * where per-row compute dominates (regex/HOF batteries) — for light
+    * consumers the exchange costs more than it buys (the round-2 finding
+    * above). Results are unaffected: hash repartitioning changes row
+    * placement, never row content, and every declared query ends in its
+    * own ORDER BY. */
+  private[graft] def spreadIfCoarse(df: DataFrame, srcPath: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val s = df.sparkSession
+    val parallelism = s.sessionState.conf.numShufflePartitions
+    if (rowGroupCount(s, srcPath) >= parallelism) df
+    else df.repartition(parallelism, key)
+  }
+
+  /** [[documents]] spread across the session's cores when the source's
+    * row-group layout is coarser than the session parallelism — for the
+    * heavy per-row text pipelines (PII regex battery, span-corruption
+    * HOFs, per-doc repetition stats). */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    spreadIfCoarse(documents(s, d), s"$d/documents.parquet", expr("doc_id"))
 }

@@ -123,21 +123,29 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
     /** Top-3 word bigrams per language: n-gram frequency analytics —
-      * posexplode+lead bigram stream → (lang, bigram) counts → windowed
-      * top-k. Two shuffles; the count shuffle is partial-aggregated. */
+      * per-row bigram assembly → (lang, bigram) counts → windowed top-k.
+      * OPTIMIZATION r21 (guide §2.4): bigrams are built row-locally from
+      * the materialized token array (`transform(sequence(1, n-1), i ->
+      * concat_ws(' ', tk[i-1], tk[i]))` — exactly the oracle's own
+      * formulation) instead of posexplode + lead() over a (doc_id, pos)
+      * window, which shuffled AND sorted the full exploded token stream
+      * just to pair each token with its successor. Plan diff: the
+      * Exchange(doc_id)+Sort+Window subtree is gone; the count shuffle
+      * (partial-aggregated) is now the stream's first exchange. Identical
+      * bigram multiset by construction: docs with <2 tokens (incl. NULL
+      * text, where non-ANSI size(NULL) = -1) have no bigram on both paths. */
     QueryDef(
       "tx_top_bigrams",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val rankW = Window.partitionBy(col("lang"))
           .orderBy(col("n").desc, col("bigram").asc)
         Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            posexplode(expr(toks)).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(byDoc))
-          .filter(col("w1").isNotNull)
-          .select(col("lang"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+          .select(col("lang"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(col("lang"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i]))"))
+            .as("bigram"))
           .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(rankW))
           .filter(col("rk") <= 3)
@@ -164,31 +172,45 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       * per-token counts, so no second scan of the documents. */
     QueryDef(
       "tx_repetition",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val stream = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(byDoc))
-          .withColumn("bigram",
-            when(col("w1").isNotNull, concat_ws(" ", col("w0"), col("w1"))))
-        val tokStats = stream.groupBy(col("doc_id"), col("w0"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-            max("c").as("top_c"))
-        val bgStats = stream.filter(col("w1").isNotNull)
-          .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum("c").as("n_bg"), count(lit(1)).as("n_bg_distinct"))
-        tokStats.join(bgStats, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("n_tokens"),
-            expr("(100 * (n_tokens - n_distinct)) div n_tokens").as("dup_token_pct"),
-            expr("(100 * top_c) div n_tokens").as("top_token_pct"),
-            expr("(100 * (coalesce(n_bg, 0) - coalesce(n_bg_distinct, 0))) " +
-              "div greatest(coalesce(n_bg, 0), 1)").as("dup_bigram_pct"))
-          .orderBy("doc_id")
-      },
+      // OPTIMIZATION r21 (guide §2.4, §1.2 step 1): every output here is a
+      // PER-DOCUMENT statistic, so the whole query is computable row-locally
+      // from the materialized token array — no token stream needs to exist,
+      // let alone be shuffled. The previous shape exploded every token,
+      // shuffled the stream TWICE through a (doc_id, pos) window sort (once
+      // per consumer of the lead()-joined stream), ran four aggregations and
+      // a join. Now: n_tokens/n_distinct are size()/array_distinct(); the
+      // most-frequent-token count is a run-length max over array_sort(tk)
+      // (equal tokens are adjacent after sorting — same max count as the
+      // groupBy, any grouping order); bigram stats use the same per-row
+      // transform as tx_top_bigrams. Zero exchanges before the presentation
+      // ORDER BY — the at-scale shape: per-row O(n log n) work that never
+      // leaves the scan task. Row set unchanged: posexplode emitted rows
+      // exactly for non-NULL non-empty arrays = `size(tk) >= 1` (size(NULL)
+      // is -1 under non-ANSI); docs with <2 tokens had no bgStats row,
+      // reproduced by the CASE 0s (the old coalesce(n_bg, 0) arm).
+      (s, d) => Tables.documentsSpread(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 1"))
+        .select(col("doc_id"),
+          expr("CAST(size(tk) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(array_distinct(tk)) AS BIGINT)").as("n_distinct"),
+          expr("aggregate(array_sort(tk), " +
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+            "(a, x) -> named_struct('prev', x, " +
+            "'run', IF(a.prev = x, a.run + 1L, 1L), " +
+            "'best', GREATEST(a.best, IF(a.prev = x, a.run + 1L, 1L))), " +
+            "a -> a.best)").as("top_c"),
+          expr("CASE WHEN size(tk) >= 2 THEN CAST(size(tk) - 1 AS BIGINT) ELSE 0L END")
+            .as("n_bg"),
+          expr("CASE WHEN size(tk) >= 2 THEN CAST(size(array_distinct(" +
+            "transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', tk[i - 1], tk[i]))" +
+            ")) AS BIGINT) ELSE 0L END").as("n_bg_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(100 * (n_tokens - n_distinct)) div n_tokens").as("dup_token_pct"),
+          expr("(100 * top_c) div n_tokens").as("top_token_pct"),
+          expr("(100 * (n_bg - n_bg_distinct)) div greatest(n_bg, 1L)")
+            .as("dup_bigram_pct"))
+        .orderBy("doc_id"),
       Some("""WITH toksq AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
              |tok AS (SELECT doc_id, unnest(t) AS w FROM toksq),
              |tc  AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
@@ -252,16 +274,39 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
       * both engines. */
     QueryDef(
       "tx_bigram_lm",
+      // OPTIMIZATION r21 (guide §2.4): two structural fixes, result-identical.
+      //  1. The bigram stream is assembled ROW-LOCALLY (transform over the
+      //     materialized token array — the oracle's own formulation) instead
+      //     of posexplode + lead() over a (doc_id, pos) window. The stream
+      //     feeds three consumers, and the window form paid the token-stream
+      //     Exchange(doc_id) + Sort in EVERY one of them (the round-20 plan
+      //     shows three Exchange+Sort+Window subtrees); now each consumer is
+      //     a narrow scan-side Generate.
+      //  2. The head-count table derives from the bigram-count table:
+      //     c1(w0) = Σ_w1 c2(w0, w1) — exact integer identity — so the c1
+      //     branch aggregates the vocabulary-sized c2 output instead of
+      //     re-counting the corpus-sized bigram stream, and ReuseExchange
+      //     shares c2's one shuffle between both consumers: two corpus
+      //     passes instead of three, one fewer corpus-sized aggregation.
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // r21 A/B note: Tables.documentsSpread was tried on this base and
+        // measured consistently WORSE (1.5s vs 1.0s) — the three consumers
+        // do not share the spread exchange as one runtime stage, so the
+        // spread tripled instead of amortizing. Left narrow.
         val bg = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(w))
-          .filter(col("w1").isNotNull)
-          .select(col("doc_id"), col("w0"), col("w1"))
+          .select(col("doc_id"), expr(toks).as("tk"))
+          .filter(expr("size(tk) >= 2"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w0, tk[i] AS w1))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w0").as("w0"), col("b.w1").as("w1"))
+          // No-op on data (split() never yields NULL elements) — stated
+          // explicitly so the c2 subtree canonicalizes identically under
+          // both consumers (the join infers these on its build side) and
+          // ReuseExchange can share c2's one shuffle with the c1 rollup.
+          .filter(col("w0").isNotNull && col("w1").isNotNull)
         val c2 = bg.groupBy(col("w0"), col("w1")).agg(count(lit(1)).as("c2"))
-        val c1 = bg.groupBy(col("w0")).agg(count(lit(1)).as("c1"))
+        val c1 = c2.groupBy(col("w0")).agg(sum(col("c2")).as("c1"))
         bg.join(c2, Seq("w0", "w1")).join(c1, Seq("w0"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
@@ -308,7 +353,14 @@ private[text] trait TextCorpusStatsQueries { this: TextStats.type =>
           .select(col("doc_id"), explode(expr(toks)).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df = tok.distinct().groupBy(col("term"))
+        // OPTIMIZATION r21 (guide §2.3/§2.4): document frequency = "docs
+        // containing the term", so dedup per-row with array_distinct and
+        // count — identical to distinct (doc_id, term) pairs per term, but
+        // the full (doc_id, term)-keyed distinct Exchange is gone; the df
+        // stream's only shuffle is the term-keyed count (map-side combined).
+        val df = Tables.documents(s, d)
+          .select(explode(expr(s"array_distinct($toks)")).as("term"))
+          .groupBy(col("term"))
           .agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))

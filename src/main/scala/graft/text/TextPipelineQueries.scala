@@ -165,6 +165,10 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
       * NO skew by construction. */
     QueryDef(
       "tx_mask_spans",
+      // r21 A/B note: Tables.documentsSpread was tried here (the
+      // tx_pii_scrub remedy) and measured NO win — the HOF battery over
+      // this row count doesn't dominate the way the regex battery does, so
+      // the spread exchange was pure cost. Left narrow.
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), expr(toks).as("tk"))
         // NULL-total (TextStats.nTokensAs discipline): size(NULL tk) = -1
@@ -332,7 +336,10 @@ private[text] trait TextPipelineQueries { this: TextStats.type =>
       * driver-contract ORDER BY. */
     QueryDef(
       "tx_pii_scrub",
-      (s, d) => Tables.documents(s, d)
+      // OPTIMIZATION r21: Tables.documentsSpread — eight regex passes per
+      // row, pre-exchange (guide §2.5 coarse-input remedy; no-op when the
+      // source has ≥ parallelism row groups).
+      (s, d) => Tables.documentsSpread(s, d)
         .select(col("doc_id"),
           expr("concat(text, ' contact user', CAST(doc_id AS STRING), " +
             "'@example.com tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
