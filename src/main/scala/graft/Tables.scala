@@ -161,4 +161,12 @@ object Tables {
     * HOFs, per-doc repetition stats). */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
     spreadIfCoarse(documents(s, d), s"$d/documents.parquet", expr("doc_id"))
+
+  /** [[lineitem]] spread the same way — for the fact-side pipelines whose
+    * pre-exchange segment does real per-row work over the 600 k-row fact
+    * (rollup/cube Expand multiplication, broadcast-join probes feeding a
+    * partial aggregate, percentile/HLL partial buffer builds). Key =
+    * l_orderkey: deterministic, uniform, and the fact's natural key. */
+  def lineitemSpread(s: SparkSession, d: String): DataFrame =
+    spreadIfCoarse(lineitem(s, d), s"$d/lineitem.parquet", expr("l_orderkey"))
 }

@@ -555,10 +555,24 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
         val lineTok = lineKeepers(lineSpans(surv))
           .select(expr(packedLineDoc).as("doc_id"))
           .groupBy(col("doc_id")).agg(expr(s"$LineTok * count(1)").as("tok_line_doc"))
-        val lineBySrc = surv.select(col("doc_id"), col("source"))
-          .join(lineTok, Seq("doc_id"), "left_outer")
+        // OPTIMIZATION r21 (guide §2.4/§1.2 step 1): the per-source rollup
+        // only needs each keeper doc's SOURCE, so it attaches a plain
+        // (doc_id, source) projection instead of re-joining `surv` — whose
+        // subtree re-ran the full tokenize + normFp-md5 + quality-gate +
+        // exact-keeper + near-loser chain a third time (the r20 plan shows
+        // three copies of the base subtree; this drops the middle one: 6
+        // documents scans → 4). Equivalence: the old form summed
+        // coalesce(tok_line_doc, 0) over ALL surviving docs per source —
+        // zero-keeper docs contribute nothing, so summing over lineTok's
+        // rows alone is the same total; a source whose survivors all keep
+        // nothing produced a (source, 0) row before and NO row now, and the
+        // final left_outer join + coalesce(tok_line, 0) restates exactly
+        // that 0. lineTok docs ⊆ documents, so the inner attach drops
+        // nothing.
+        val lineBySrc = lineTok
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source"))
-          .agg(sum(coalesce(col("tok_line_doc"), lit(0L))).as("tok_line"))
+          .agg(sum(col("tok_line_doc")).as("tok_line"))
         flagged.groupBy(col("source"))
           .agg(sum(col("n_tokens")).as("tok_raw"),
             sum(when(col("q_ok"), col("n_tokens")).otherwise(0L)).as("tok_quality"),

@@ -64,8 +64,11 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
     QueryDef(
       "an_percentile",
       // one percentile buffer for both quantiles (array form) — halves the
-      // value-map build vs two separate percentile() aggregates
-      (s, d) => Tables.lineitem(s, d)
+      // value-map build vs two separate percentile() aggregates.
+      // lineitemSpread (r21, guide §2.5): the partial percentile buffers are
+      // built PRE-exchange, so a coarse-row-group fact serialized the whole
+      // value-buffer build on one core; no-op on well-laid-out sources.
+      (s, d) => Tables.lineitemSpread(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(CASE WHEN isnan(l_extendedprice) OR abs(l_extendedprice) > 9e16D THEN NULL ELSE l_extendedprice END, array(0.5D, 0.9D))").as("ps"))
         .select(col("l_returnflag"),
@@ -204,6 +207,10 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       * SCALING curve is the exact operator's, not the production path's. */
     QueryDef(
       "an_approx_distinct_bound",
+      // r21 A/B note: lineitemSpread was tried and measured +39% — the
+      // exact-distinct partial dedups per partition, so 32 spread partials
+      // shuffle up to 32x the rows one partition's local dedup emits.
+      // Left narrow.
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
@@ -239,6 +246,10 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
     QueryDef(
       "an_approx_percentile_bound",
       (s, d) => {
+        // r21 A/B note: lineitemSpread was tried and measured +10% — the
+        // spread exchange buys nothing here (the window runs at
+        // |l_returnflag| = 4-way parallelism regardless) and the approx
+        // sketch partials multiply with partition count. Left narrow.
         val c = Tables.lineitem(s, d)
           .select(col("l_returnflag"), cents("l_extendedprice").as("cts"))
         val byFlag = Window.partitionBy(col("l_returnflag"))
@@ -362,7 +373,9 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
     QueryDef(
       "an_salted_join",
       (s, d) => Skew.saltedJoin(
-          Tables.lineitem(s, d)
+          // lineitemSpread (r21, guide §2.5): the broadcast-join probe and
+          // the partial brand aggregate run pre-exchange on the fact side.
+          Tables.lineitemSpread(s, d)
             .select(col("l_partkey").as("k"), col("l_orderkey"), col("l_quantity")),
           Tables.part(s, d).select(col("p_partkey").as("k"), col("p_brand")),
           key = "k", saltSource = "l_orderkey")
@@ -481,7 +494,10 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
     QueryDef(
       "an_sql_revenue",
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("li_sql")
+        // lineitemSpread (r21, guide §2.5): the fact side probes four
+        // broadcast dims and feeds the partial distinct-aggregate, all
+        // pre-exchange — single-core on a coarse-row-group input.
+        Tables.lineitemSpread(s, d).createOrReplaceTempView("li_sql")
         Tables.orders(s, d).createOrReplaceTempView("o_sql")
         Tables.customer(s, d).createOrReplaceTempView("c_sql")
         Tables.nation(s, d).createOrReplaceTempView("n_sql")

@@ -464,7 +464,10 @@ object Relational {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)),
     QueryDef(
       "agg_rollup",
-      (s, d) => Tables.lineitem(s, d)
+      // lineitemSpread (r21, guide §2.5): Expand triples the fact stream
+      // BEFORE the partial aggregate, all pre-exchange — single-core on a
+      // coarse-row-group input; no-op on well-laid-out sources.
+      (s, d) => Tables.lineitemSpread(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         // grouping()-labeled subtotals: a plain coalesce-to-'_all_' would
         // conflate a genuine NULL data group with the subtotal row, tying
