@@ -55,17 +55,22 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * the monolithic form forced a full-corpus shingle pass that a
     * doc_id join then threw away, since Catalyst can't push the join
     * below the per-doc window + distinct). */
-  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame =
+    // OPTIMIZATION r21 (guide §2.4, the tx_tfidf/tx_repetition pattern):
+    // 3-gram shingles assemble ROW-LOCALLY from the materialized token
+    // array and dedup per row with array_distinct — identical (doc_id, sng)
+    // set as the old posexplode + two lead() windows + global distinct
+    // (per-doc distinct ≡ global distinct when doc_id is in the key), but
+    // the plan loses BOTH the token-stream Exchange(doc_id)+Sort the
+    // window forced and the (doc_id, sng)-keyed distinct Exchange. Docs
+    // with <3 tokens have no full shingle on either path (the old filter
+    // on lead-2 NULL; size(NULL)=-1 under non-ANSI covers NULL text).
     docs
-      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(w))
-      .withColumn("w2", lead(col("w0"), 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sng"))
-      .distinct()
-  }
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 3"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(2, size(tk) - 1), " +
+          "i -> concat_ws(' ', tk[i - 2], tk[i - 1], tk[i])))")).as("sng"))
 
   /** Positional 8-token shingles, one row per (doc_id, pos, gh) — the
     * repeated-substring index grain. Same relational discipline as

@@ -345,11 +345,19 @@ private[dedup] trait DedupPairQueries { this: Dedup.type =>
     QueryDef(
       "dd_decontaminate",
       (s, d) => {
-        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        val sh = shingleRows(s, d)
-        val benchDict = sh.join(src.filter(col("source") === "src0"), "doc_id")
+        // OPTIMIZATION r21 (guide §2.3 "project before the exchange" /
+        // §1.2 step 1): each side shingles ONLY its own source slice via
+        // the frame-parameterized shingleRowsOf (the RunCorpusPipeline
+        // form) instead of shingling the WHOLE corpus twice and then
+        // joining a (doc_id, source) projection to throw most rows away —
+        // shingling is per-row, so filtering before it is exactly
+        // equivalent to the inner doc_id join after it (NULL source fails
+        // both `=== 'src0'` and `=!= 'src0'`, dropped on both paths). Plan:
+        // 4 documents scans → 2, and the two doc-keyed joins disappear.
+        val docs = Tables.documents(s, d)
+        val benchDict = shingleRowsOf(docs.filter(col("source") === "src0"))
           .groupBy(col("sng")).agg(countDistinct(col("doc_id")).as("nb"))
-        val corpus = sh.join(src.filter(col("source") =!= "src0"), "doc_id")
+        val corpus = shingleRowsOf(docs.filter(col("source") =!= "src0"))
           .select(col("doc_id"), col("sng"))
         corpus.join(broadcast(benchDict), "sng")
           .groupBy(col("doc_id"))
