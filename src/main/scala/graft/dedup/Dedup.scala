@@ -92,19 +92,22 @@ object Dedup extends DedupPairQueries with DedupCorpusQueries {
     * one call site to a 64-bit prefix (conv of 16 hex chars caps at
     * Long.MaxValue); the shuffle key widens, nothing else changes. */
   private[dedup] def gram8Rows(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // OPTIMIZATION r21 (guide §2.4, the winnowedFpRows rewrite's sibling):
+    // positional 8-gram hashes assemble ROW-LOCALLY (one transform over the
+    // materialized token array, each md5 computed once per gram) instead of
+    // posexplode + seven lead() windows, which shuffled AND sorted the full
+    // token stream just to see each token's successors. posexplode of the
+    // gram array keeps the identical (doc_id, pos, gh) grain — pos is the
+    // gram's start-token index on both paths; docs under 8 tokens have no
+    // gram on either (the old lead-7 NULL filter ≡ the size guard here).
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toks).as("tk"))
       .filter(expr("size(tk) >= 8"))
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w0")))
-      .withColumn("g8", concat_ws(" ",
-        col("w0") +: (1 to 7).map(i => lead(col("w0"), i).over(w)): _*))
-      .withColumn("w7", lead(col("w0"), 7).over(w))
-      .filter(col("w7").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        expr("md5_prefix48(g8)").as("gh"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(7, size(tk) - 1), i -> md5_prefix48(concat_ws(' ', " +
+          "tk[i - 7], tk[i - 6], tk[i - 5], tk[i - 4], " +
+          "tk[i - 3], tk[i - 2], tk[i - 1], tk[i])))")).as(Seq("pos", "gh")))
   }
 
   /** Bucket-size cap for candidate generation. A stop-shingle or hot band

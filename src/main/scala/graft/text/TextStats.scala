@@ -323,24 +323,37 @@ object TextStats extends TextDp with TextBpe
     * post-Generate `size(tk)` is O(1) against the carried array pointer. */
   def winnowedFpRows(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val wLead = Window.partitionBy("doc_id").orderBy("pos")
-    val wMin = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, 4)
+    // OPTIMIZATION r21 (guide §2.4): fully ROW-LOCAL winnowing — the gram
+    // md5 array materializes as its own column, the 5-window minima are
+    // array_min over slices, and the per-doc distinct is array_distinct —
+    // no token-stream Exchange(doc_id)+Sort+2×Window, no global distinct
+    // exchange (doc_id is in the key, so per-doc dedup ≡ the old global
+    // .distinct()). The round-9 "~25× slower under a generator" trap was
+    // CollapseProject inlining a SINGLE-reference gram array into the
+    // window-min lambda (recomputing every gram md5 once per window
+    // position — O(n²) md5s); here `grams` is referenced three times in
+    // the consuming projection (size + sequence bound + slice), and
+    // CollapseProject refuses to inline a non-cheap multi-referenced
+    // producer, so each gram md5 computes exactly once per doc — verified
+    // in the committed plan (md5_prefix48 appears once,
+    // plans/r21/tx_winnowing_after.txt). Identity to the window form:
+    // gram p = tokens p..p+3 (i = p+3 below), fp(p) = min(grams[p..p+4])
+    // for p ≤ m−5 — exactly the old full-window filter; docs under 8
+    // tokens have no full window on either path (size(NULL) = -1 under
+    // non-ANSI covers NULL text).
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toks).as("tk"))
       .filter(expr("size(tk) >= 8"))
-      .select(col("doc_id"), expr("CAST(size(tk) AS BIGINT) - 3").as("n_grams"),
-        posexplode(col("tk")).as(Seq("pos", "tok")))
-      .withColumn("g4", concat_ws(" ", col("tok"),
-        lead("tok", 1).over(wLead), lead("tok", 2).over(wLead), lead("tok", 3).over(wLead)))
-      .filter(col("pos") <= col("n_grams") - 1)
-      .withColumn("ghash", expr("md5_prefix48(g4)"))
-      .withColumn("fp", min(col("ghash")).over(wMin))
-      .filter(col("pos") <= col("n_grams") - 5)
-      .select(col("doc_id"), col("n_grams"), col("fp"))
-      .distinct()
+      .select(col("doc_id"), expr(
+        "transform(sequence(3, size(tk) - 1), i -> " +
+          "md5_prefix48(concat_ws(' ', tk[i - 3], tk[i - 2], tk[i - 1], tk[i])))")
+        .as("grams"))
+      .select(col("doc_id"),
+        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+        explode(expr(
+          "array_distinct(transform(sequence(0, size(grams) - 5), " +
+            "p -> array_min(slice(grams, p + 1, 5))))")).as("fp"))
   }
 
   /** DuckDB CTE chain ending in `m(doc_id, grams, fps)` — the oracle replay
