@@ -169,4 +169,9 @@ object Tables {
     * l_orderkey: deterministic, uniform, and the fact's natural key. */
   def lineitemSpread(s: SparkSession, d: String): DataFrame =
     spreadIfCoarse(lineitem(s, d), s"$d/lineitem.parquet", expr("l_orderkey"))
+
+  /** [[events]] spread the same way — for event pipelines whose per-row
+    * pre-exchange work is real (JSON prop parsing). */
+  def eventsSpread(s: SparkSession, d: String): DataFrame =
+    spreadIfCoarse(events(s, d), s"$d/events.parquet", expr("event_id"))
 }

@@ -367,17 +367,25 @@ private[dedup] trait DedupCorpusQueries { this: Dedup.type =>
     QueryDef(
       "dd_source_dup_rate",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val doc = Tables.documents(s, d).select(col("doc_id"), col("source"),
           normFp(col("text")).as("fp"))
-        val grp = doc.groupBy(col("fp"))
-          .agg(count(lit(1)).as("n_copies"),
-            countDistinct(col("source")).as("n_sources"))
-        // LEFT join: a NULL-fp (NULL-text) doc never matches the group
-        // table (NULL != NULL in both engines), so with an inner join it
-        // silently vanished from n_docs, deflating the denominator. Under
-        // the dd_exact NULL-fingerprint contract it counts as a doc that is
-        // never a duplicate: NULL n_copies/n_sources fail both >= 2 tests.
-        doc.join(grp, Seq("fp"), "left_outer")
+        // OPTIMIZATION r21 (guide §2.4): per-fp copy/source counts ride ONE
+        // window over the fp shuffle instead of a groupBy(fp) + join-back,
+        // which re-ran the md5 projection a second time as the probe side
+        // (2 documents scans -> 1, one exchange fewer). NULL-fp (NULL-text)
+        // docs keep the dd_exact NULL-fingerprint contract — never a
+        // duplicate — via the dd_soft_dedup per-doc isolation key: their
+        // window partition is the doc itself, so n_copies = n_sources = 1,
+        // which fails the >= 2 tests exactly like the old left join's NULL
+        // (the rollup only consumes the booleans). collect_set, like the
+        // old COUNT(DISTINCT source), skips NULL sources.
+        doc
+          .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(
+            coalesce(col("fp"), concat(lit("null:"), col("doc_id"))))))
+          .withColumn("n_sources", size(collect_set(col("source")).over(
+            Window.partitionBy(
+              coalesce(col("fp"), concat(lit("null:"), col("doc_id")))))))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup"),

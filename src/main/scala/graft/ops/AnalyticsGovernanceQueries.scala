@@ -274,9 +274,18 @@ private[ops] trait AnalyticsGovernanceQueries { this: Analytics.type =>
           expr(s"size($tk)").as("ntok"),
           expr(s"size(filter($tk, t -> t IN ${graft.text.TextStats.stopList}))").as("nstop"),
           graft.dedup.Dedup.normFp(col("text")).as("fp"))
-        val dupfp = docs.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+        // OPTIMIZATION r21 (guide §2.4): the per-fp copy count rides ONE
+        // window over the fp shuffle instead of a groupBy(fp) + join-back —
+        // which re-ran the whole tokenize+md5 docs subtree a second time
+        // as the probe side (3 documents scans -> 2; the tot branch prunes
+        // to a bare count). The inner `join(dupfp, "fp")` dropped NULL-fp
+        // (NULL-text) docs — restated by the explicit filter; nfp over the
+        // fp partition equals the joined group count for every kept row.
+        val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
         val tot = docs.agg(count(lit(1)).as("total_docs"))
-        docs.join(dupfp, "fp").crossJoin(broadcast(tot))
+        docs.filter(col("fp").isNotNull)
+          .withColumn("nfp", count(lit(1)).over(wFp))
+          .crossJoin(broadcast(tot))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ntok")).as("n_tokens"),

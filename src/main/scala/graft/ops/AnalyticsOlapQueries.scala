@@ -447,6 +447,10 @@ private[ops] trait AnalyticsOlapQueries { this: Analytics.type =>
       * write). Narrow integer bit math, no shuffle. */
     QueryDef(
       "an_zorder",
+      // r21 A/B note: lineitemSpread was tried (to parallelize the range
+      // sort's child) and measured +59% — the extra exchange of the wide
+      // output rows costs more than the light bit-math projection saves.
+      // Left narrow.
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           graft.sources.Layout.zorderValue(

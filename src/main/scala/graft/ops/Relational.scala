@@ -631,7 +631,9 @@ object Relational {
              |ORDER BY c_custkey""".stripMargin)),
     QueryDef(
       "json_extract",
-      (s, d) => Tables.events(s, d)
+      // eventsSpread (r21, guide §2.5): two JSON path extractions per row,
+      // pre-exchange, plus the ORDER BY's sample+run double child pass.
+      (s, d) => Tables.eventsSpread(s, d)
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").as("k_str"),
